@@ -1,0 +1,75 @@
+"""Control table: per-partition checkpoint / lineage (FIXTURES.md §3).
+
+Generalizes the reference's resume check — "skip this document if its
+outputs already exist and are non-empty" (reference: cli.py:45-51,
+finetune_commands/excel2training.py:261-264) — to PARTITION granularity,
+which is the unit that matters at 10^12 docs: a killed job resumes by
+anti-joining the input against committed partition ids instead of stat-ing
+a trillion files.
+
+Schema: partition_id int, status string, docs_processed long,
+bytes_parsed long, parse_failures long, committed_at timestamp.
+
+Commit protocol (exactly-once per partition):
+  1. output written first (dynamic partition overwrite → idempotent);
+  2. control rows appended only after the write action succeeds;
+  3. a crash between 1 and 2 leaves the partition uncommitted → the rerun
+     overwrites it in place. No partial state is ever visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONTROL_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("docs_processed", T.LongType(), True),
+        T.StructField("bytes_parsed", T.LongType(), True),
+        T.StructField("parse_failures", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+STATUS_COMMITTED = "committed"
+
+
+def read_control(spark: SparkSession, control_dir: str) -> DataFrame:
+    """Control table, or an empty frame if no run has committed yet."""
+    try:
+        return spark.read.schema(CONTROL_SCHEMA).parquet(control_dir)
+    except Exception:  # AnalysisException: path does not exist
+        return spark.createDataFrame([], CONTROL_SCHEMA)
+
+
+def committed_partitions(spark: SparkSession, control_dir: str) -> DataFrame:
+    """Distinct committed partition ids — the anti-join build side (J3).
+
+    Small by construction (≤ n_buckets rows) → always broadcast.
+    """
+    return (
+        read_control(spark, control_dir)
+        .filter(F.col("status") == STATUS_COMMITTED)
+        .select("partition_id")
+        .distinct()
+    )
+
+
+def append_commits(metrics_df: DataFrame, control_dir: str) -> None:
+    """Append committed rows (one per partition) with lineage metrics."""
+    (
+        metrics_df.select(
+            F.col("partition_id").cast("int"),
+            F.lit(STATUS_COMMITTED).alias("status"),
+            F.col("docs_processed").cast("long"),
+            F.col("bytes_parsed").cast("long"),
+            F.col("parse_failures").cast("long"),
+            F.current_timestamp().alias("committed_at"),
+        )
+        .coalesce(1)  # n_buckets rows at most — one tiny file per run
+        .write.mode("append")
+        .parquet(control_dir)
+    )

@@ -1,0 +1,87 @@
+"""spark-submit entry point for the extraction job.
+
+    spark-submit --py-files pdf_extractor_spark.zip pdf_extractor_spark/job.py \
+        --input /path/to/pages_parquet  (or --synth N to generate pages) \
+        --output /path/out --control /path/control \
+        [--n-buckets 64] [--salt-factor 8]
+
+Replaces the reference's `pdf-extractor <config> <in> <out>` console script
+(reference: pyproject.toml:27, cli.py:63-124) with a cluster job: same
+contract — process every input document, skip already-committed work,
+write per-document extraction results — expressed as one Spark plan.
+
+Exit code 0 and a one-line JSON summary on stdout (docs, bytes, failures,
+wall-clock) so schedulers and the bench harness can parse the result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# spark-submit puts the SCRIPT's dir on sys.path, not the repo root; make the
+# package importable when run as `spark-submit pdf_extractor_spark/job.py`
+# without --py-files (with --py-files this is a no-op).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark main-content extraction job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir with pages table (url, warc_ts, html, text, lang)")
+    src.add_argument("--synth", type=int, metavar="N", help="synthesize N deterministic pages instead")
+    p.add_argument("--seed", type=int, default=42, help="synthesizer seed (with --synth)")
+    p.add_argument("--output", required=True, help="output parquet dir (partitioned by partition_id)")
+    p.add_argument("--control", required=True, help="control-table parquet dir (checkpoint/lineage)")
+    p.add_argument("--n-buckets", type=int, default=64, help="url-hash partition count")
+    p.add_argument("--salt-factor", type=int, default=8, help="skew salt fan-out per bucket")
+    p.add_argument("--master", default=None, help="override spark master (default: env/local)")
+    args = p.parse_args(argv)
+
+    from pdf_extractor_spark.pipeline import run_extraction
+    from pdf_extractor_spark.session import get_spark
+    from pdf_extractor_spark.synth import pages_df
+
+    spark = get_spark(app_name="extract_job", master=args.master)
+    t0 = time.time()
+    if args.input:
+        pages = spark.read.parquet(args.input)
+        missing = {"url", "html"} - set(pages.columns)
+        if missing:
+            print("error: input table missing required columns: %s" % sorted(missing), file=sys.stderr)
+            return 2
+    else:
+        pages = pages_df(spark, args.synth, seed=args.seed)
+
+    stats = run_extraction(
+        spark,
+        pages,
+        args.output,
+        args.control,
+        n_buckets=args.n_buckets,
+        salt_factor=args.salt_factor,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "partitions_committed": stats.partitions_committed,
+                "docs_processed": stats.docs_processed,
+                "bytes_parsed": stats.bytes_parsed,
+                "parse_failures": stats.parse_failures,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(stats.docs_processed / wall, 1) if wall > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

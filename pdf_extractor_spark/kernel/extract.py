@@ -1,0 +1,63 @@
+"""Payload dispatch: one document in, (text, spans, status) out.
+
+This is the engine's core custom kernel (SURVEY.md §2.1 S5, §2.10 D1/D2) and
+the pure-Python ORACLE for the byte-identity fidelity suite. The Spark
+pipeline wraps exactly this function in mapInPandas (kernel/spark_kernel.py),
+so oracle-vs-pipeline equality checks Spark plumbing, not two algorithms.
+
+Dispatch is on content magic bytes, not file extension — the reference's
+suffix matching (finetune_commands/excel2training.py:231-239) is unreliable
+for crawl data where the URL rarely reflects the payload type.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pdf_extractor_spark.kernel.html_extract import extract_html
+from pdf_extractor_spark.kernel.pdf_extract import PDF_MAGIC, extract_pdf
+
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_FAILED = "failed"
+
+
+@dataclass
+class ExtractResult:
+    """Per-document extraction output (FIXTURES.md §2 `extracted` row).
+
+    Mirrors the reference's ProcessingResult (core/models.py:67-71) with
+    fields generalized to span offsets: span.page/bbox are None for HTML
+    payloads, set for PDF payloads (optional page/bbox as in
+    core/models.py:37-42).
+    """
+
+    extracted_text: str = ""
+    span_offsets: list = field(default_factory=list)  # [{start,end,page,bbox}]
+    parse_status: str = STATUS_OK
+
+
+def extract_document(raw: bytes | None) -> ExtractResult:
+    """Extract main content from one raw payload. NEVER raises.
+
+    Failures are data, not exceptions: a malformed payload yields
+    parse_status='failed' and is counted in partition lineage
+    (control table `parse_failures`), never a task failure — the
+    reference's per-doc try/except analog (core/extractor.py:340-347).
+    """
+    if raw is None or len(raw) == 0:
+        return ExtractResult(parse_status=STATUS_FAILED)
+    try:
+        if raw.startswith(PDF_MAGIC):
+            text, spans = extract_pdf(raw)
+        else:
+            text, pairs = extract_html(raw)
+            spans = [
+                {"start": s, "end": e, "page": None, "bbox": None}
+                for s, e in pairs
+            ]
+        if not text:
+            return ExtractResult(parse_status=STATUS_EMPTY)
+        return ExtractResult(extracted_text=text, span_offsets=spans, parse_status=STATUS_OK)
+    except Exception:
+        return ExtractResult(parse_status=STATUS_FAILED)

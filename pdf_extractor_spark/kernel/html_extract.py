@@ -1,0 +1,249 @@
+"""HTML main-content extraction: tokenizer + array-encoded DOM + density classifier.
+
+A from-scratch boilerplate stripper in the Arc90-Readability / Boilerpipe
+family (Kohlschütter et al., WSDM 2010: text density + link density separate
+main content from navigation/footer chrome). NOT a port of the reference —
+the reference extracts PDF fields via an LLM (reference:
+services/gpt_service.py:21-156); our engine replaces that with a
+deterministic, vectorizable classifier per BASELINE.json `north_star`.
+
+Pipeline per document:
+  1. encoding sniff  (meta charset → utf-8 fallback, deterministic `replace`)
+  2. tokenize        (single compiled regex pass → tag/text/comment tokens)
+  3. node table      (flat arrays: kind, tag_id, depth, text, block boundaries)
+  4. block scoring   (chars, words, anchor chars → link density; numpy)
+  5. classification  (keep block iff density rules pass; drop chrome subtrees)
+  6. emit            (extracted_text = kept blocks joined by '\n';
+                      span_offsets = [start,end) per kept block)
+
+Whitespace canonicalization matches the reference's `' '.join(text.split())`
+(reference: fine_tuning/data_processor.py:48); block separator is exactly
+'\n' like the reference's page join (reference: services/pdf_service.py:38).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+
+# --- tag sets -----------------------------------------------------------------
+
+# Elements whose raw content is never document text.
+RAW_TEXT_TAGS = ("script", "style", "noscript", "template", "svg")
+
+# Subtrees that are never main content: site chrome + document metadata.
+CHROME_TAGS = frozenset(
+    {"nav", "footer", "header", "aside", "form", "menu", "iframe",
+     "select", "option", "button", "head", "title"}
+)
+
+# Tags that open a new content block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "article", "section", "main", "body",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "li", "td", "th", "dd", "dt", "pre", "blockquote",
+        "ul", "ol", "table", "tr", "figure", "figcaption", "br", "hr",
+    }
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Classification thresholds (Boilerpipe-style; fixed, part of the contract).
+MAX_LINK_DENSITY = 1.0 / 3.0
+MIN_BLOCK_CHARS = 25
+MIN_HEADING_CHARS = 3
+
+# --- tokenizer ----------------------------------------------------------------
+
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-]+)", re.IGNORECASE
+)
+
+_WS_RE = re.compile(r"\s+")
+
+_KNOWN_ENCODINGS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "iso-8859-1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "ascii": "ascii",
+}
+
+
+def sniff_encoding(raw: bytes) -> str:
+    """Meta-charset sniff on the first 2048 bytes; utf-8 fallback."""
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        return _KNOWN_ENCODINGS.get(name, "utf-8")
+    return "utf-8"
+
+
+@dataclass
+class Block:
+    """One candidate content block (array-encoded downstream)."""
+
+    tag: str            # block tag that opened it
+    depth: int          # DOM depth at open
+    in_chrome: bool     # inside nav/footer/header/aside/form subtree
+    parts: list         # raw text fragments
+    anchor_chars: int = 0
+    total_chars: int = 0
+
+    def text(self) -> str:
+        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+
+
+def _parse_blocks(raw: bytes) -> "list[Block]":
+    """Decode (charset sniff) then single-pass tokenize → flat block list.
+
+    Never raises on malformed markup — unclosed tags, stray '<', bad entities
+    all degrade to text or get skipped deterministically.
+    """
+    enc = sniff_encoding(raw)
+    try:
+        doc = raw.decode(enc, "replace")
+    except LookupError:  # unknown codec name that slipped the table
+        doc = raw.decode("utf-8", "replace")
+    return _parse_blocks_str(doc)
+
+
+_TOKEN_RE_S = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<![^>]*>"
+    r"|<\?[^>]*>"
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)\s*>"
+    r"|<\s*([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)/?>",
+    re.DOTALL,
+)
+
+_RAW_CLOSE_RES = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in RAW_TEXT_TAGS}
+
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col", "embed", "source", "track", "wbr"}
+)
+
+
+def _parse_blocks_str(doc: str) -> list[Block]:
+    blocks: list[Block] = []
+    cur = Block(tag="body", depth=0, in_chrome=False, parts=[])
+    blocks.append(cur)
+
+    chrome_depth = 0      # >0 → inside a chrome subtree
+    anchor_depth = 0      # >0 → inside <a>
+    stack: list[str] = []
+    pos = 0
+    n = len(doc)
+
+    def flush_text(txt: str):
+        nonlocal cur
+        if not txt:
+            return
+        txt = _htmlmod.unescape(txt)
+        # normalize NBSP to plain space for stable downstream whitespace collapse
+        txt = txt.replace("\xa0", " ")
+        stripped_len = len(_WS_RE.sub("", txt))
+        if stripped_len == 0:
+            if cur.parts:
+                cur.parts.append(" ")
+            return
+        cur.parts.append(txt)
+        cur.total_chars += stripped_len
+        if anchor_depth > 0:
+            cur.anchor_chars += stripped_len
+
+    def open_block(tag: str):
+        nonlocal cur
+        cur = Block(tag=tag, depth=len(stack), in_chrome=chrome_depth > 0, parts=[])
+        blocks.append(cur)
+
+    while pos < n:
+        m = _TOKEN_RE_S.search(doc, pos)
+        if m is None:
+            flush_text(doc[pos:])
+            break
+        if m.start() > pos:
+            flush_text(doc[pos : m.start()])
+        pos = m.end()
+
+        close_tag, open_tag = m.group(1), m.group(2)
+        if close_tag is not None:
+            tag = close_tag.lower()
+            if tag in CHROME_TAGS and chrome_depth > 0:
+                chrome_depth -= 1
+            if tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if stack and tag in stack:
+                while stack and stack[-1] != tag:
+                    stack.pop()
+                if stack:
+                    stack.pop()
+            if tag in BLOCK_TAGS or tag in CHROME_TAGS:
+                # closing a block/chrome subtree ends it; following text
+                # belongs to a fresh block at the parent's chrome level
+                open_block(stack[-1] if stack else "div")
+        elif open_tag is not None:
+            tag = open_tag.lower()
+            attrs = m.group(3) or ""
+            self_closing = attrs.rstrip().endswith("/") or tag in VOID_TAGS
+            if tag in RAW_TEXT_TAGS and not self_closing:
+                mm = _RAW_CLOSE_RES[tag].search(doc, pos)
+                pos = mm.end() if mm else n
+                continue
+            if tag in CHROME_TAGS:
+                if not self_closing:
+                    chrome_depth += 1
+                open_block(tag)  # chrome block: collected but never kept
+                continue
+            if tag == "a":
+                if not self_closing:
+                    anchor_depth += 1
+                continue
+            if tag in BLOCK_TAGS:
+                open_block(tag)
+                if not self_closing and tag not in ("br", "hr"):
+                    stack.append(tag)
+            # inline tags: no block boundary
+        # comments/doctype/pi: skipped entirely
+
+    return blocks
+
+
+def extract_html(raw: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """Extract main content text + span offsets from raw HTML bytes.
+
+    Returns (extracted_text, [(start, end) per kept block]).
+    Deterministic; never raises on malformed markup.
+    """
+    blocks = _parse_blocks(raw)
+
+    kept: list[str] = []
+    for b in blocks:
+        if b.in_chrome or b.total_chars == 0:
+            continue
+        txt = b.text()
+        if not txt:
+            continue
+        link_density = b.anchor_chars / b.total_chars
+        if link_density > MAX_LINK_DENSITY:
+            continue
+        if b.tag in HEADING_TAGS:
+            if b.total_chars >= MIN_HEADING_CHARS:
+                kept.append(txt)
+            continue
+        if b.total_chars >= MIN_BLOCK_CHARS:
+            kept.append(txt)
+
+    extracted = "\n".join(kept)
+    spans: list[tuple[int, int]] = []
+    off = 0
+    for t in kept:
+        spans.append((off, off + len(t)))
+        off += len(t) + 1  # '\n'
+    return extracted, spans

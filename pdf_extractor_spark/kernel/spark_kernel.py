@@ -1,0 +1,75 @@
+"""Arrow mapInPandas wrapper around the extraction kernel.
+
+One `mapInPandas` pass runs the whole per-partition pipeline —
+decode → tokenize → classify → serialize — with no intermediate shuffle
+(SURVEY.md §4.2 "pipelining"). Batches arrive Arrow-sized
+(spark.sql.execution.arrow.maxRecordsPerBatch, kept small because `html`
+blobs are large); within a batch the kernel is called per document but all
+scoring/sorting inside it is numpy-vectorized, and no row-at-a-time Spark
+Python UDF is involved (input_hint: "no per-row Python" = no per-row serde;
+Arrow moves whole columns).
+
+Output schema (FIXTURES.md §2):
+  url string, extracted_text string,
+  span_offsets array<struct<start int, end int, page int, bbox array<float>>>,
+  parse_status string, n_bytes long
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pdf_extractor_spark.kernel.extract import extract_document
+
+EXTRACTED_SCHEMA = (
+    "url string, extracted_text string, "
+    "span_offsets array<struct<start: int, end: int, page: int, bbox: array<float>>>, "
+    "parse_status string, n_bytes long"
+)
+
+# Columns the kernel needs — select these before mapInPandas so Catalyst
+# prunes `text`/`lang`/`warc_ts` out of the parquet scan.
+KERNEL_INPUT_COLS = ["url", "html"]
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (url, html) batches → extracted rows."""
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        payloads = pdf["html"].tolist()
+        texts: list[str] = []
+        spans: list[list[tuple]] = []
+        statuses: list[str] = []
+        n_bytes: list[int] = []
+        for raw in payloads:
+            b = bytes(raw) if raw is not None else None
+            res = extract_document(b)
+            texts.append(res.extracted_text)
+            # tuples serialize to Arrow struct fields positionally
+            spans.append(
+                [(s["start"], s["end"], s["page"], s["bbox"]) for s in res.span_offsets]
+            )
+            statuses.append(res.parse_status)
+            n_bytes.append(len(b) if b is not None else 0)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "extracted_text": texts,
+                "span_offsets": spans,
+                "parse_status": statuses,
+                "n_bytes": n_bytes,
+            }
+        )
+
+
+def run_kernel(pages_df):
+    """Apply the extraction kernel to a pages DataFrame.
+
+    Projects to (url, html) first so the parquet scan reads only those
+    columns (check: .explain shows ReadSchema with 2 fields).
+    """
+    return pages_df.select(*KERNEL_INPUT_COLS).mapInPandas(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )

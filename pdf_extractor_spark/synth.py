@@ -1,0 +1,242 @@
+"""Deterministic Common-Crawl-style pages synthesizer.
+
+Builds the `pages` table mandated by BASELINE.json `input_hint`:
+(url string, warc_ts timestamp, html binary, text string, lang string).
+
+Every row is a pure function of (seed, doc_id) — np.random.default_rng
+seeded with the pair — so generation is order- and partition-independent:
+the same doc_id yields the same bytes whether generated on the driver
+(oracle tests) or inside a distributed mapInPandas generator (bench), and
+regardless of how Spark splits the id range across tasks.
+
+Content mix (FIXTURES.md §1):
+  - ~91% HTML: known main content (headline + paragraphs) wrapped in
+    boilerplate (nav, sidebar link farm, footer, script/style noise);
+    ~10% of those declare latin-1/cp1252 charsets with non-ascii bytes.
+  - ~6% PDF: uncompressed multi-page payloads with glyph runs emitted in
+    SHUFFLED order so reading-order reconstruction is actually exercised.
+  - ~3% degenerate: empty payload ('failed') or chrome-only page ('empty').
+
+Host distribution is zipf-skewed with 2 heavy-hitter hosts (~100× density)
+to exercise salting / AQE skew handling (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+
+_WORDS = (
+    "data spark batch shuffle partition column query table row scan filter "
+    "join aggregate window sort merge hash broadcast skew salt codegen arrow "
+    "vector page crawl corpus token text block density anchor link content "
+    "boiler plate extract parse glyph layout reading order span offset byte "
+    "identical oracle fidelity control lineage resume commit throughput scale"
+).split()
+
+_HEAVY_HOSTS = ["bigportal.example.com", "hugecdn.example.net"]
+_NORMAL_HOSTS = ["site%02d.example.org" % i for i in range(40)]
+
+_LANGS = ["en", "en", "en", "fr", "es", "de", "zh"]
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+# payload-type thresholds on rng.random() draw
+_P_PDF = 0.06
+_P_FAILED = 0.015
+_P_EMPTY = 0.015
+_P_LATIN1 = 0.09  # of the HTML share
+
+
+def _rng(seed: int, doc_id: int) -> np.random.Generator:
+    return np.random.default_rng([seed, doc_id])
+
+
+def _sentence(rng: np.random.Generator, n_lo: int = 5, n_hi: int = 12) -> str:
+    n = int(rng.integers(n_lo, n_hi + 1))
+    words = [_WORDS[int(i)] for i in rng.integers(0, len(_WORDS), n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def _paragraph(rng: np.random.Generator) -> str:
+    # sentences ≥8 words so every paragraph clears MIN_BLOCK_CHARS by construction
+    return " ".join(_sentence(rng, 8, 14) for _ in range(int(rng.integers(1, 5))))
+
+
+def _nav_links(rng: np.random.Generator, k: int) -> str:
+    return "".join(
+        '<li><a href="/%s">%s %s</a></li>'
+        % (_WORDS[int(rng.integers(0, len(_WORDS)))],
+           _WORDS[int(rng.integers(0, len(_WORDS)))].capitalize(),
+           _WORDS[int(rng.integers(0, len(_WORDS)))])
+        for _ in range(k)
+    )
+
+
+def make_html(rng: np.random.Generator) -> tuple[bytes, str]:
+    """One HTML page. Returns (payload_bytes, golden_main_text).
+
+    golden_main_text is the extraction truth BY CONSTRUCTION: headline +
+    paragraphs, whitespace-collapsed, joined by '\n' — what the kernel must
+    emit byte-identically.
+    """
+    headline = _sentence(rng, 3, 7).rstrip(".")
+    paras = [_paragraph(rng) for _ in range(int(rng.integers(2, 7)))]
+    latin = rng.random() < _P_LATIN1
+    if latin:
+        # inject non-ascii content that differs between latin-1 and utf-8
+        paras[0] = "Caf\xe9 r\xe9sum\xe9 \xfcber stra\xdfe - " + paras[0]  # latin-1-safe
+
+    golden = "\n".join([headline] + paras)
+
+    nav = "<nav><ul>%s</ul></nav>" % _nav_links(rng, int(rng.integers(4, 9)))
+    sidebar = (
+        '<div class="sidebar"><ul>%s</ul></div>'
+        % "".join(
+            '<li><a href="/t/%d">%s</a></li>' % (i, _sentence(rng, 2, 4).rstrip("."))
+            for i in range(int(rng.integers(5, 12)))
+        )
+    )
+    footer = (
+        "<footer><p>Copyright %d example.org — %s</p><ul>%s</ul></footer>"
+        % (2020 + int(rng.integers(0, 6)), _sentence(rng, 4, 8), _nav_links(rng, 5))
+    )
+    script = "<script>var x_%d = {a: %d};</script>" % (
+        int(rng.integers(0, 999)), int(rng.integers(0, 999)))
+    style = "<style>.c%d{color:#%06x}</style>" % (
+        int(rng.integers(0, 99)), int(rng.integers(0, 0xFFFFFF)))
+    comment = "<!-- generated page %d -->" % int(rng.integers(0, 10**6))
+
+    body_paras = "".join("<p>%s</p>" % p for p in paras)
+    charset = "iso-8859-1" if latin else "utf-8"
+    doc = (
+        "<!DOCTYPE html><html><head><meta charset=\"%s\"><title>%s</title>%s%s</head>"
+        "<body>%s<header><h4>%s</h4></header>%s"
+        "<main><article><h1>%s</h1>%s</article></main>%s%s</body></html>"
+        % (charset, headline, style, script, comment,
+           _sentence(rng, 2, 4), nav, headline, body_paras, sidebar, footer)
+    )
+    enc = "latin-1" if latin else "utf-8"
+    return doc.encode(enc, "replace"), golden
+
+
+def make_pdf(rng: np.random.Generator) -> tuple[bytes, str]:
+    """One uncompressed PDF payload. Returns (payload_bytes, golden_text).
+
+    Pages of lines; each line split into 1–3 runs placed with absolute Tm
+    at increasing x. Runs are emitted into the content stream in a shuffled
+    order — the parser must reconstruct (page asc, y desc, x asc).
+    """
+    n_pages = int(rng.integers(1, 4))
+    page_lines: list[list[str]] = []
+    golden_lines: list[str] = []
+    streams: list[bytes] = []
+    for p in range(n_pages):
+        n_lines = int(rng.integers(3, 8))
+        runs = []  # (y, x, text)
+        this_page: list[str] = []
+        for li in range(n_lines):
+            y = 720.0 - 16.0 * li
+            words = _sentence(rng, 4, 9).rstrip(".").split()
+            n_runs = min(len(words), int(rng.integers(1, 4)))
+            chunks = np.array_split(np.array(words, dtype=object), n_runs)
+            x = 72.0
+            line_txts = []
+            for ch in chunks:
+                t = " ".join(ch.tolist())
+                runs.append((y, x, t))
+                line_txts.append(t)
+                x += 0.5 * 12.0 * len(t) + 18.0
+            this_page.append(" ".join(line_txts))
+        order = rng.permutation(len(runs))
+        ops = ["BT /F1 12 Tf"]
+        for i in order:
+            y, x, t = runs[int(i)]
+            esc = t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ops.append("1 0 0 1 %.1f %.1f Tm (%s) Tj" % (x, y, esc))
+        ops.append("ET")
+        streams.append(" ".join(ops).encode("latin-1"))
+        page_lines.append(this_page)
+        golden_lines.extend(this_page)
+    body = b"".join(
+        b"stream\n" + s + b"\nendstream\n" for s in streams
+    )
+    payload = b"%PDF-1.4\n" + body + b"%%EOF\n"
+    return payload, "\n".join(golden_lines)
+
+
+def synth_row(seed: int, doc_id: int) -> dict:
+    """One pages-table row + golden extraction truth (None when degenerate)."""
+    rng = _rng(seed, doc_id)
+    draw = rng.random()
+
+    host_draw = rng.random()
+    if host_draw < 0.45:  # heavy hitters: ~45% of all docs on 2 hosts
+        host = _HEAVY_HOSTS[int(rng.integers(0, len(_HEAVY_HOSTS)))]
+    else:
+        host = _NORMAL_HOSTS[int(rng.integers(0, len(_NORMAL_HOSTS)))]
+
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    ts = _EPOCH + _dt.timedelta(seconds=int(rng.integers(0, 365 * 24 * 3600)))
+
+    golden: str | None
+    if draw < _P_FAILED:
+        kind, payload, golden = "failed", b"", None
+        url = "https://%s/broken/%d" % (host, doc_id)
+    elif draw < _P_FAILED + _P_EMPTY:
+        kind = "empty"
+        payload = b"<html><head><title>x</title></head><body><nav><a href='/'>home</a></nav></body></html>"
+        golden = None
+        url = "https://%s/empty/%d" % (host, doc_id)
+    elif draw < _P_FAILED + _P_EMPTY + _P_PDF:
+        kind = "pdf"
+        payload, golden = make_pdf(rng)
+        url = "https://%s/docs/report_%d.pdf" % (host, doc_id)
+    else:
+        kind = "html"
+        payload, golden = make_html(rng)
+        url = "https://%s/articles/%d/page.html" % (host, doc_id)
+
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": golden or "",
+        "lang": lang,
+        "_kind": kind,       # test-only metadata, dropped from the table
+        "_golden": golden,   # test-only golden truth
+    }
+
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def synth_pandas(seed: int, doc_ids) -> "pd.DataFrame":  # noqa: F821
+    """Vectorize synth_row over a doc_id array → pandas DataFrame (pages cols)."""
+    import pandas as pd
+
+    rows = [synth_row(seed, int(d)) for d in doc_ids]
+    return pd.DataFrame(
+        {c: [r[c] for r in rows] for c in PAGES_COLUMNS}
+    )
+
+
+def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
+    """Distributed pages-table generation: spark.range → mapInPandas(synth).
+
+    The generator runs on executors; nothing is collected to the driver, so
+    this scales to any n_docs (bench uses ~5e5).
+    """
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield synth_pandas(seed, pdf["id"].to_numpy())
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    return (
+        spark.range(0, n_docs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=schema)
+    )

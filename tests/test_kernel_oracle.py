@@ -1,0 +1,153 @@
+"""Pure-Python kernel (oracle) tests — no Spark.
+
+Mirrors the reference's golden-JSON-per-document validation
+(reference: validation/model_validator.py:87-211) with strict byte equality
+instead of its normalized equality (model_validator.py:80-85).
+"""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.kernel import extract_document
+from pdf_extractor_spark.kernel.html_extract import extract_html, sniff_encoding
+from pdf_extractor_spark.kernel.pdf_extract import (
+    parse_glyph_runs,
+    reading_order_text,
+)
+from pdf_extractor_spark.synth import synth_row
+
+N_DOCS = 800
+SEED = 42
+
+
+def test_golden_by_construction():
+    """Kernel output is byte-identical to the synthesizer's known main content."""
+    kinds = {"html": 0, "pdf": 0, "empty": 0, "failed": 0}
+    for i in range(N_DOCS):
+        r = synth_row(SEED, i)
+        res = extract_document(r["html"])
+        kinds[r["_kind"]] += 1
+        if r["_kind"] in ("html", "pdf"):
+            assert res.parse_status == "ok", (i, r["url"], res.parse_status)
+            assert res.extracted_text == r["_golden"], (i, r["url"])
+        elif r["_kind"] == "failed":
+            assert res.parse_status == "failed"
+        else:
+            assert res.parse_status == "empty"
+    # every payload kind must actually occur in the fixture
+    assert all(v > 0 for v in kinds.values()), kinds
+
+
+def test_span_offsets_index_into_text():
+    for i in range(300):
+        r = synth_row(SEED, i)
+        res = extract_document(r["html"])
+        for s in res.span_offsets:
+            seg = res.extracted_text[s["start"] : s["end"]]
+            assert seg and seg == seg.strip()
+            if r["_kind"] == "pdf":
+                assert s["page"] is not None and len(s["bbox"]) == 4
+            else:
+                assert s["page"] is None and s["bbox"] is None
+
+
+def test_boilerplate_is_stripped():
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<nav><a href='/a'>AAAA NAVLINK AAAA</a><a href='/b'>BBBB</a></nav>"
+        b"<p>This is the real main content paragraph of the page.</p>"
+        b"<div class='links'><a href='/1'>one link farm entry</a> "
+        b"<a href='/2'>two link farm entry</a> <a href='/3'>three link farm entry</a></div>"
+        b"<footer>Copyright FOOTERCO all rights reserved worldwide</footer>"
+        b"</body></html>"
+    )
+    text, spans = extract_html(html)
+    assert text == "This is the real main content paragraph of the page."
+    assert "NAVLINK" not in text and "FOOTERCO" not in text
+    assert spans == [(0, len(text))]
+
+
+def test_link_density_threshold():
+    # block is >1/3 anchor text → dropped even though long
+    farm = b"<p>" + b" ".join(
+        b'<a href="/%d">link text %d</a>' % (i, i) for i in range(10)
+    ) + b"</p>"
+    text, _ = extract_html(b"<body>" + farm + b"</body>")
+    assert text == ""
+    # same block with enough plain text around the anchors → kept
+    mixed = (
+        b"<p>Plenty of ordinary prose surrounds the single "
+        b'<a href="/x">anchor</a> so density stays low here.</p>'
+    )
+    text2, _ = extract_html(b"<body>" + mixed + b"</body>")
+    assert "ordinary prose" in text2
+
+
+def test_charset_sniff_and_latin1():
+    assert sniff_encoding(b'<meta charset="ISO-8859-1">') == "latin-1"
+    assert sniff_encoding(b"no meta here") == "utf-8"
+    doc = '<html><head><meta charset="iso-8859-1"></head><body><p>Caf\xe9 r\xe9sum\xe9 and more text to pass the minimum.</p></body></html>'
+    text, _ = extract_html(doc.encode("latin-1"))
+    assert "Café résumé" in text
+
+
+def test_malformed_never_raises():
+    cases = [
+        b"<html><p>unclosed everywhere",
+        b"<<<>>><p>&bogus; &amp; entity</p><b",
+        b"\xff\xfe\x00garbage\x00bytes",
+        b"<script>while(1){}</script>",
+        b"%PDF-1.4\nnot really a pdf",
+        None,
+        b"",
+    ]
+    for c in cases:
+        res = extract_document(c)
+        assert res.parse_status in ("ok", "empty", "failed")
+
+
+def test_script_style_excluded():
+    html = (
+        b"<body><script>var mainlooking = 'content content content content';</script>"
+        b"<style>.x{font: content}</style>"
+        b"<p>Actual visible paragraph content for the extraction test.</p></body>"
+    )
+    text, _ = extract_html(html)
+    assert text == "Actual visible paragraph content for the extraction test."
+
+
+def test_pdf_reading_order_reconstruction():
+    """Runs emitted out of order must come back (page asc, y desc, x asc).
+
+    Reference semantics: lines grouped by rounded y, sorted top-down, spans
+    left-to-right (reference: finetune_commands/excel2training.py:287-311).
+    """
+    pdf = (
+        b"%PDF-1.4\n"
+        b"stream\n"
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 200 700 Tm (world) Tj "    # line 1, right
+        b"1 0 0 1 72 650 Tm (second line) Tj "
+        b"1 0 0 1 72 700 Tm (hello) Tj "      # line 1, left
+        b"ET\nendstream\n"
+        b"stream\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (page two) Tj ET\nendstream\n"
+        b"%%EOF\n"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert len(runs) == 4
+    text, spans = reading_order_text(runs)
+    assert text == "hello world\nsecond line\npage two"
+    assert [s["page"] for s in spans] == [0, 0, 0, 1]
+    # offsets index correctly
+    assert text[spans[1]["start"] : spans[1]["end"]] == "world"
+
+
+def test_pdf_escapes_and_td():
+    pdf = (
+        b"%PDF-1.4\nstream\nBT /F1 10 Tf 72 700 Td "
+        b"(paren \\( close \\) back\\\\slash) Tj ET\nendstream\n%%EOF"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert runs[0]["text"] == "paren ( close ) back\\slash"
+    assert runs[0]["font_size"] == 10.0
+    assert runs[0]["origin"] == (72.0, 700.0)

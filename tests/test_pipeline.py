@@ -1,0 +1,129 @@
+"""Spark pipeline tests: byte-identity vs oracle, resume, skew spread.
+
+The fidelity gate required by BASELINE.json `north_rule`: every url's
+`extracted_text` from the Spark pipeline must be byte-identical to the
+pure-Python oracle's output.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.kernel import extract_document
+from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+from pdf_extractor_spark.pipeline import run_extraction, with_partition_id
+from pdf_extractor_spark.synth import pages_df, synth_row
+
+SEED = 42
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def out_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("pipeline")
+    return str(base / "out"), str(base / "control")
+
+
+def test_fidelity_byte_identity(spark):
+    """Pipeline output == oracle output, byte for byte, for every url."""
+    pages = pages_df(spark, N_DOCS, seed=SEED, num_partitions=4)
+    got = {
+        r.url: (r.extracted_text, r.parse_status)
+        for r in run_kernel(pages).collect()
+    }
+    assert len(got) == N_DOCS
+    for i in range(N_DOCS):
+        sr = synth_row(SEED, i)
+        res = extract_document(sr["html"])
+        text, status = got[sr["url"]]
+        assert status == res.parse_status, sr["url"]
+        assert text == res.extracted_text, sr["url"]
+
+
+def test_end_to_end_with_control(spark, out_dirs):
+    out_dir, control_dir = out_dirs
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(control_dir, ignore_errors=True)
+
+    pages = pages_df(spark, N_DOCS, seed=SEED, num_partitions=4)
+    stats = run_extraction(spark, pages, out_dir, control_dir, n_buckets=16)
+    assert stats.partitions_committed == 16
+    assert stats.docs_processed == N_DOCS
+    assert stats.parse_failures > 0  # fixture includes broken payloads
+    assert stats.bytes_parsed > 0
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == N_DOCS
+    # every url exactly once (idempotent write)
+    assert out.select("url").distinct().count() == N_DOCS
+
+
+def test_resume_zero_recompute(spark, out_dirs):
+    """Second run over the same input commits nothing and recomputes nothing."""
+    out_dir, control_dir = out_dirs
+    pages = pages_df(spark, N_DOCS, seed=SEED, num_partitions=4)
+    stats2 = run_extraction(spark, pages, out_dir, control_dir, n_buckets=16)
+    assert stats2.partitions_committed == 0
+    assert stats2.docs_processed == 0
+    assert spark.read.parquet(out_dir).count() == N_DOCS
+    # control still has exactly one committed row per partition
+    ctl = spark.read.parquet(control_dir)
+    assert ctl.count() == 16
+    assert ctl.select("partition_id").distinct().count() == 16
+
+
+def test_partial_commit_resume(spark, tmp_path):
+    """Kill-after-k-partitions simulation: pre-commit half the partitions,
+    rerun, assert only the other half is processed."""
+    out_dir = str(tmp_path / "out")
+    control_dir = str(tmp_path / "control")
+    n_buckets = 8
+
+    pages = pages_df(spark, 400, seed=SEED, num_partitions=2)
+
+    # first: full run to produce a valid control table
+    run_extraction(spark, pages, out_dir, control_dir, n_buckets=n_buckets)
+
+    # simulate crash: drop control rows for partitions >= 4 (they become
+    # uncommitted), leave output files in place
+    from pdf_extractor_spark.control import CONTROL_SCHEMA
+
+    kept = spark.read.parquet(control_dir).filter(F.col("partition_id") < 4).collect()
+    shutil.rmtree(control_dir)
+    spark.createDataFrame(kept, CONTROL_SCHEMA).write.parquet(control_dir)
+
+    stats = run_extraction(spark, pages, out_dir, control_dir, n_buckets=n_buckets)
+    assert stats.partitions_committed == 4  # only the uncommitted half
+    docs_per_pid = {
+        r.partition_id: r.cnt
+        for r in with_partition_id(pages, n_buckets)
+        .groupBy("partition_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    expected = sum(v for k, v in docs_per_pid.items() if k >= 4)
+    assert stats.docs_processed == expected
+    # final output complete and unique
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 400
+    assert out.select("url").distinct().count() == 400
+
+
+def test_skew_spread(spark):
+    """Heavy-hitter hosts must not serialize onto one task: with salting,
+    the max task share of the hot partition stays bounded."""
+    pages = pages_df(spark, 1000, seed=SEED, num_partitions=4)
+    hosts = (
+        pages.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host").count().orderBy(F.desc("count")).limit(2).collect()
+    )
+    # fixture promises ~45% of docs on the two heavy hosts
+    heavy_share = sum(r["count"] for r in hosts) / 1000
+    assert heavy_share > 0.3
+
+    salted = pages.repartition(
+        16, F.pmod(F.xxhash64("url"), F.lit(64))
+    ).withColumn("spid", F.spark_partition_id())
+    sizes = [r.cnt for r in salted.groupBy("spid").agg(F.count("*").alias("cnt")).collect()]
+    assert max(sizes) < 1000 * 0.25  # no task owns a hot-host-sized chunk
