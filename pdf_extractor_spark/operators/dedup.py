@@ -1,0 +1,257 @@
+"""Deduplication operators over `documents` — the training-pipeline suite.
+
+Exact (content-hash), n-gram Jaccard, MinHash+LSH, and SimHash, each as a
+composition of built-in DataFrame ops (explode / join / groupBy) so the
+whole thing is shuffle-planned by Catalyst — no UDFs anywhere.
+
+Scale design: all pairwise stages go through a shared-token equi-join
+(shingle or LSH band), never a cross join. The join key is the thing that
+bounds the blow-up: MinHash bands keep candidate pairs ~linear in corpus
+size, which is the entire point of LSH at 10^12 docs (shingle self-join is
+quadratic per hub shingle and is provided for oracle-comparable Jaccard at
+small scale).
+
+Hash portability: md5 hex strings compare lexicographically the same in
+Spark and DuckDB, so min(md5(...)) is a valid portable MinHash; bit tricks
+use hex-digit arithmetic (strpos on '0123456789abcdef') instead of
+engine-specific hex→int casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.registry import load, register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _norm(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# --- exact ---------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS h FROM documents
+    ), groups AS (
+      SELECT h, count(*) AS n, min(doc_id) AS keep_id FROM hashed GROUP BY h
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+           CAST(sum(n - 1) AS BIGINT) AS docs_removable
+    FROM groups
+    """,
+    doc="Exact dedup: md5 over canonical normalized text → hash-groupBy, keep "
+    "min(doc_id) (the reference's seen-set dedup, sync_to_onedrive.py:269-291, "
+    "content-addressed). One shuffle on the 32-hex key; map-side partial agg "
+    "means duplicates collapse before the exchange.",
+)
+def dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    groups = (
+        d.select("doc_id", F.md5(_norm(F.col("text")).cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_id"))
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"),
+        F.sum(F.col("n") - 1).alias("docs_removable"),
+    )
+
+
+# --- shingles (shared by jaccard + minhash) --------------------------------
+
+# char 8-grams at stride 4 over normalized text — deterministic, portable.
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS s
+  FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 300),
+       unnest(range(1, greatest(length(t) - 6, 2), 4)) AS u(i)
+  WHERE length(t) >= 8
+"""
+
+
+def _shingles(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = _norm(F.col("text"))
+    return (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.length("t") >= 8)
+        .select(
+            "doc_id",
+            # DuckDB range() is stop-EXCLUSIVE, Spark sequence() is inclusive:
+            # use stop-1 here so both emit identical stride positions.
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - 6, F.lit(2)) - 1, F.lit(4))
+            ).alias("i"),
+            "t",
+        )
+        .select("doc_id", F.expr("substr(t, CAST(i AS INT), 8)").alias("s"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db, round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    """,
+    doc="n-gram Jaccard near-dup: shingle set overlap via self-equi-join on "
+    "shingle. Quadratic in docs-per-hub-shingle — correct but the SMALL-SCALE "
+    "oracle path; the scale path is dedup_minhash_lsh below.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("da"))
+        .join(sb, F.col("sb.doc_id") == F.col("db"))
+        .filter(jac >= 0.5)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (  -- MinHash: k=12 independent hashes via seed-salted md5, min as hex-string
+      SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, unnest(range(0, 12)) AS kk(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (  -- LSH: 4 bands × 3 rows; band key = md5 of concatenated sigs
+      SELECT doc_id, CAST(k // 3 AS INT) AS band,
+             md5(string_agg(mh, '|' ORDER BY k)) AS band_key
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash + LSH candidate pairs (Broder '97 resemblance sketch; "
+    "banding per Leskovec/Rajaraman/Ullman MMDS ch.3). The band equi-join "
+    "replaces the quadratic shingle join: pairs only form inside identical "
+    "(band, band_key) buckets → linear-ish work at corpus scale. min(md5) "
+    "as hex string is portable across engines (lexicographic = bytewise).",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k")
+    sig = (
+        sh.select("doc_id", "s", ks)
+        .select(
+            "doc_id",
+            "k",
+            F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("s")).cast("binary")).alias("h"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("k") / 3).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]), "|").cast("binary")
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN
+                   (((strpos('0123456789abcdef',
+                             substr(md5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                     >> CAST(3 - (b % 4) AS INT)) & 1) = 1
+                 THEN 1 ELSE -1 END) AS score
+      FROM words, unnest(range(0, 32)) AS bb(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash (Charikar '02): 32-bit signature from word-feature votes. "
+    "Bit b of md5(word) extracted via hex-digit arithmetic (portable across "
+    "engines). Near-dup = small Hamming distance; exact-signature grouping "
+    "is the degenerate bucket join.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length(F.trim("text")) > 0))
+    )
+    words = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+    bits = words.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    # shiftleft/shiftright take only int literals in the Python API → expr()
+    bit = F.expr(
+        "shiftright(CAST(instr('0123456789abcdef',"
+        " substr(md5(CAST(w AS BINARY)), CAST(b / 4 AS INT) + 1, 1)) - 1 AS INT),"
+        " CAST(3 - b % 4 AS INT)) & 1"
+    )
+    scored = (
+        bits.select("doc_id", "b", F.when(bit == 1, 1).otherwise(-1).alias("vote"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("score"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("score") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,795 @@
+"""Relational operator inventory (SURVEY.md §2) over the driver's tables.
+
+Each op cites the reference behavior it re-expresses (path:line into
+/root/reference/pdf_extractor/) and is written DataFrame-first so Catalyst
+handles pushdown/pruning/join selection; the paired `oracle` SQL is what
+DuckDB runs for the correctness gate.
+
+Scale notes are per-op: which side broadcasts, where the shuffle lands,
+and why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pdf_extractor_spark.operators.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Global counter aggregation à la the validator's correct/incorrect/TP/FP "
+    "sums (reference: validation/model_validator.py:101-110,188-192), shaped as "
+    "the classic pricing-summary rollup. Partial+final hash agg; map-side "
+    "combine makes the shuffle carry one row per (flag,status) per task.",
+)
+def a2_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a1_distinct_keys",
+    oracle="SELECT DISTINCT event_type AS key FROM events",
+    doc="Distinct field-key collection (reference: fine_tuning/data_processor.py:"
+    "124-148 — set-union of fields[].key across docs). distinct() = hash agg, "
+    "partial per partition then one narrow exchange of unique keys only.",
+)
+def a1_distinct_keys(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(F.col("event_type").alias("key")).distinct()
+
+
+@register(
+    "a4_grouped_accuracy",
+    oracle="""
+    SELECT event_type, round(avg(value), 4) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Per-field grouped mean (reference: validation/model_validator.py:158-161,"
+    "194-197 — per-field accuracy = mean of correct flags).",
+)
+def a4_grouped_accuracy(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a5_run_counters",
+    oracle="""
+    SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="Run counters: processed / skipped / short (reference: finetune_commands/"
+    "excel2training.py:196-201,357-369 — processed/skipped counts). In the "
+    "pipeline these come from df.observe + the control table; here as a query.",
+)
+def a5_run_counters(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("short_docs"),
+    )
+
+
+@register(
+    "a6_marker_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, len(regexp_extract_all(text, 'scan')) AS n_markers
+      FROM documents
+    )
+    SELECT count(*) AS files,
+           CAST(sum(n_markers) AS BIGINT) AS total_markers,
+           round(avg(n_markers), 4) AS avg_markers,
+           CAST(sum(CASE WHEN n_markers = 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_without
+    FROM per_doc
+    """,
+    doc="Coordinate-marker coverage stats (reference: finetune_commands/train.py:"
+    "17-90 — regex findall per file, avg markers/file, files-missing count). "
+    "regexp_count stays in codegen; single final agg row.",
+)
+def a6_marker_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "n_markers", F.regexp_count("text", F.lit("scan"))
+    )
+    return d.agg(
+        F.count("*").alias("files"),
+        F.sum("n_markers").alias("total_markers"),
+        F.round(F.avg("n_markers"), 4).alias("avg_markers"),
+        F.sum(F.when(F.col("n_markers") == 0, 1).otherwise(0)).alias("files_without"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_approved_filter",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE upper(coalesce(o_orderstatus, '')) = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="APPROVED=='Y' filter with NaN→'' fill (reference: finetune_commands/"
+    "excel2training.py:150-153). Predicate pushes to the parquet scan "
+    "(PushedFilters in explain).",
+)
+def f1_approved_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .na.fill({"o_orderstatus": ""})
+        .filter(F.upper("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f3_keyword_predicate",
+    oracle=r"""
+    SELECT count(*) AS n_matching
+    FROM documents
+    WHERE regexp_matches(lower(text), 'scan|merge|salt')
+    """,
+    doc="Filename-field keyword predicate (reference: core/extractor.py:44-47 — "
+    "key contains any of N keywords, case-insensitive) as rlike.",
+)
+def f3_keyword_predicate(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.lower("text").rlike("scan|merge|salt"))
+        .agg(F.count("*").alias("n_matching"))
+    )
+
+
+@register(
+    "f7_nonempty_filter",
+    oracle="""
+    SELECT source, count(*) AS kept
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0 AND n_chars >= 50
+    GROUP BY source
+    """,
+    doc="Empty-text / missing-value doc filters (reference: excel2training.py:"
+    "205-213,272-279; data_processor.py:50-52).",
+)
+def f7_nonempty_filter(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length(F.trim("text")) > 0)
+            & (F.col("n_chars") >= 50)
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_pair_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="JSON↔PDF pairing = inner equi-join on derived key (reference: "
+    "finetune_commands/utils.py:11-28). customer is the dim side → Spark "
+    "broadcasts it (AQE confirms); no shuffle of orders.",
+)
+def j1_pair_join(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "j2_anti_dedup",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS customers_without_orders
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    GROUP BY n.n_name
+    """,
+    doc="Already-synced dedup = left anti join on the sync key (reference: "
+    "sync_to_onedrive.py:269-291,311-329 — set-membership probe of existing "
+    "rows). Anti-join build side is the orders key set; at scale the probe "
+    "stays shuffle-hash on custkey with AQE coalesce.",
+)
+def j2_anti_dedup(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("customers_without_orders"))
+    )
+
+
+@register(
+    "j3_resume_skip",
+    oracle="""
+    SELECT count(*) AS pending_lines, round(sum(l_quantity), 2) AS pending_qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    """,
+    doc="Resume skip: inputs anti-join committed outputs (reference: cli.py:45-51 "
+    "— skip doc if outputs exist; generalized in pipeline.py as the control-"
+    "table anti-join). 'Committed' here = orders with status F.",
+)
+def j3_resume_skip(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(
+            F.count("*").alias("pending_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("pending_qty"),
+        )
+    )
+
+
+@register(
+    "j4_fallback_key_join",
+    oracle="""
+    WITH wanted(brand_query) AS (VALUES ('BRAND#1'), ('brand#2'), ('Brand#3'))
+    SELECT w.brand_query, count(*) AS n_parts
+    FROM part p JOIN wanted w ON lower(p.p_brand) = lower(w.brand_query)
+    GROUP BY w.brand_query
+    """,
+    doc="Case-insensitive filename→PDF lookup with normalized key (reference: "
+    "finetune_commands/excel2training.py:220-254 — lookup on lowered name with "
+    "stem fallback). The VALUES side is tiny → broadcast.",
+)
+def j4_fallback_key_join(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    wanted = spark.createDataFrame(
+        [("BRAND#1",), ("brand#2",), ("Brand#3",)], ["brand_query"]
+    )
+    return (
+        p.join(F.broadcast(wanted), F.lower(p.p_brand) == F.lower(wanted.brand_query))
+        .groupBy("brand_query")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "j5_theta_contains",
+    oracle="""
+    WITH terms(term) AS (VALUES ('shuffle'), ('broadcast'), ('lineage'), ('glyph'))
+    SELECT t.term, count(d.doc_id) AS n_docs
+    FROM terms t LEFT JOIN documents d ON contains(d.text, t.term)
+    GROUP BY t.term
+    """,
+    doc="Value→position theta join on substring containment (reference: "
+    "services/pdf_service.py:43-73 + core/extractor.py:279-305 — first span "
+    "whose text contains the value). Cross-row form is a broadcast "
+    "nested-loop join — fine because one side is always tiny; the per-doc "
+    "form lives inside the Arrow kernel where arrays are co-located.",
+)
+def j5_theta_contains(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("shuffle",), ("broadcast",), ("lineage",), ("glyph",)], ["term"]
+    )
+    return (
+        terms.join(d, F.col("text").contains(F.col("term")), "left")
+        .groupBy("term")
+        .agg(F.count("doc_id").alias("n_docs"))
+    )
+
+
+@register(
+    "j6_full_outer_compare",
+    oracle="""
+    WITH gt AS (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'click' GROUP BY user_id),
+         ex AS (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'view'  GROUP BY user_id)
+    SELECT CASE WHEN gt.user_id IS NULL THEN 'false_positive'
+                WHEN ex.user_id IS NULL THEN 'false_negative'
+                WHEN gt.n = ex.n THEN 'correct' ELSE 'incorrect' END AS outcome,
+           count(*) AS n_users
+    FROM gt FULL OUTER JOIN ex ON gt.user_id = ex.user_id
+    GROUP BY 1
+    """,
+    doc="Ground-truth vs extracted comparison = full outer join + when() "
+    "classification into correct/incorrect/FN/FP (reference: validation/"
+    "model_validator.py:134-182).",
+)
+def j6_full_outer_compare(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    gt = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("gn"))
+    ex = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.count("*").alias("en"))
+    joined = gt.join(ex, "user_id", "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("gn").isNull(), "false_positive")
+            .when(F.col("en").isNull(), "false_negative")
+            .when(F.col("gn") == F.col("en"), "correct")
+            .otherwise("incorrect")
+            .alias("outcome")
+        )
+        .groupBy("outcome")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "j7_broadcast_dim",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Schema broadcast: every row evaluated against one small template "
+    "(reference: core/extractor.py:222-231 — the schema fetched once per doc; "
+    "our fix is fetch-once-broadcast, SURVEY §4.1). part is the dim → "
+    "broadcast hash join, zero shuffle of lineitem.",
+)
+def j7_broadcast_dim(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / ordered per-group (SURVEY §2.5) + sorts/limits (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_reading_order",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+    FROM events
+    WHERE user_id < 40
+    GROUP BY user_id
+    """,
+    doc="Reading-order reconstruction, cross-row form (reference: "
+    "excel2training.py:282-316 — group spans into lines, sort, concatenate). "
+    "array_sort over collected (ts,id,type) structs = the same "
+    "sort-within-group without a per-group Python step.",
+)
+def w1_reading_order(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    collected = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("seq")
+    )
+    return collected.select(
+        "user_id",
+        F.array_join(F.transform("seq", lambda s: s["event_type"]), ">").alias("journey"),
+    )
+
+
+@register(
+    "w2_first_match",
+    oracle="""
+    SELECT user_id, event_id AS first_event, event_type AS first_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="First-qualifying-span / first-match dedup (reference: core/extractor.py:"
+    "281-293 break-on-first; services/pdf_service.py:101-110 seen-set guard) "
+    "as row_number()==1 over (partition, order).",
+)
+def w2_first_match(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event"),
+            F.col("event_type").alias("first_type"),
+        )
+    )
+
+
+@register(
+    "w4_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-k per group (reference: train.py:186-195 — top-3 files by marker "
+    "count). Window + row_number ≤ k; Spark plans a partial top-k per "
+    "partition before the shuffle (WindowGroupLimit).",
+)
+def w4_topk_per_group(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_orderpriority").alias("priority"), "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "o4_error_limit",
+    oracle="""
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM events WHERE value < 5
+    ORDER BY event_id LIMIT 5
+    """,
+    doc="Error-example cap: collect at most N error rows (reference: validation/"
+    "model_validator.py:164-170 + error_limit param validate.py:19). "
+    "Deterministic ORDER BY before LIMIT → TakeOrderedAndProject.",
+)
+def o4_error_limit(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") < 5)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy("event_id")
+        .limit(5)
+    )
+
+
+@register(
+    "o5_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    """,
+    doc="Global top-k (reference: train.py:188-192). orderBy+limit → "
+    "TakeOrderedAndProject: per-partition heap, no full sort.",
+)
+def o5_global_topk(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_distinct",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    doc="Union of case-variant globs (reference: excel2training.py:225 — "
+    "rglob('*.pdf') + rglob('*.PDF')) → unionByName + distinct.",
+)
+def u1_union_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct().agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "u3_except_keys",
+    oracle="""
+    SELECT event_type AS unexpected_key FROM events
+    EXCEPT
+    SELECT * FROM (VALUES ('click'), ('view'), ('purchase')) AS t(event_type)
+    """,
+    doc="Keys-not-in-headers warning (reference: sync_to_onedrive.py:353-358 — "
+    "field keys ∉ sheet headers) as EXCEPT / anti-join of key sets.",
+)
+def u3_except_keys(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(F.col("event_type").alias("unexpected_key"))
+    known = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], ["unexpected_key"]
+    )
+    return ev.distinct().subtract(known)  # EXCEPT (distinct semantics)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_DIRTY_VALUES = [
+    ("a", "$1,234.50"),
+    ("b", "(1,698,064)"),
+    ("c", "  42 "),
+    ("d", "$0.99"),
+    ("e", "(12.5)"),
+    ("f", "7,000,000"),
+]
+
+
+@register(
+    "x1_format_value",
+    oracle="""
+    WITH raw(id, v) AS (VALUES
+      ('a', '$1,234.50'), ('b', '(1,698,064)'), ('c', '  42 '),
+      ('d', '$0.99'), ('e', '(12.5)'), ('f', '7,000,000'))
+    SELECT id,
+           CASE WHEN regexp_matches(trim(v), '^\\(.*\\)$')
+                THEN '-' || regexp_replace(regexp_replace(trim(v), '^\\(|\\)$', '', 'g'), '[$,]', '', 'g')
+                ELSE regexp_replace(trim(v), '[$,]', '', 'g')
+           END AS clean
+    FROM raw
+    """,
+    doc="format_value: strip $ and commas, accountant-negative (1,698,064) → "
+    "-1698064 (reference: sync_to_onedrive.py:40-55; prompt rule "
+    "gpt_service.py:119,127). Pure column expressions — codegen, no UDF.",
+)
+def x1_format_value(spark, sf_dir):
+    df = spark.createDataFrame(_DIRTY_VALUES, ["id", "v"])
+    t = F.trim("v")
+    inner = F.regexp_replace(F.regexp_replace(t, r"^\(|\)$", ""), r"[$,]", "")
+    plain = F.regexp_replace(t, r"[$,]", "")
+    return df.select(
+        "id",
+        F.when(t.rlike(r"^\(.*\)$"), F.concat(F.lit("-"), inner)).otherwise(plain).alias("clean"),
+    )
+
+
+@register(
+    "x2_normalize_key",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             translate(lower(text), '.,;:!?()[]{}"''/\\|', '                 '),
+             '\\s+', ' ', 'g')) AS norm_key
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="normalize_for_comparison: lowercase, punctuation→space, collapse "
+    "whitespace (reference: sync_to_onedrive.py:201-216). The J2 dedup key.",
+)
+def x2_normalize_key(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    punct = '.,;:!?()[]{}"\'/\\|'
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.translate(F.lower("text"), punct, " " * len(punct)), r"\s+", " "
+            )
+        ).alias("norm_key"),
+    )
+
+
+@register(
+    "x4_marker_format",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           printf('[%s]<@%d:%.1f,%.1f>', l_returnflag, l_linenumber,
+                  round(l_quantity, 1), round(l_extendedprice, 1)) AS marker
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="Coordinate-marker format [text]<@page:x,y> with %.1f coords "
+    "(reference: core/extractor.py:136; excel2training.py:296).",
+)
+def x4_marker_format(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "[%s]<@%d:%.1f,%.1f>",
+            F.col("l_returnflag"), F.col("l_linenumber"),
+            F.round("l_quantity", 1), F.round("l_extendedprice", 1),
+        ).alias("marker"),
+    )
+
+
+@register(
+    "x5_coord_parse",
+    oracle="""
+    WITH markers AS (
+      SELECT l_orderkey, l_linenumber,
+             printf('[%s]<@%d:%.1f,%.1f>', l_returnflag, l_linenumber,
+                    round(l_quantity, 1), round(l_extendedprice, 1)) AS marker
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_extract(marker, '<@(\\d+):([\\d.]+),([\\d.]+)>', 1) AS INT) AS page,
+           CAST(regexp_extract(marker, '<@(\\d+):([\\d.]+),([\\d.]+)>', 2) AS DOUBLE) AS x,
+           regexp_replace(regexp_replace(marker, '<@[^>]*>', '', 'g'), '^\\[|\\]$', '', 'g') AS stripped
+    FROM markers
+    """,
+    doc="Coordinate parse + strip: regex '<@(p):(x),(y)>' → typed fields; then "
+    "remove markers and unwrap [text] (reference: core/extractor.py:158-199, "
+    "pattern at :169; counting variant train.py:28).",
+)
+def x5_coord_parse(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    marked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string(
+            "[%s]<@%d:%.1f,%.1f>",
+            F.col("l_returnflag"), F.col("l_linenumber"),
+            F.round("l_quantity", 1), F.round("l_extendedprice", 1),
+        ).alias("marker"),
+    )
+    pat = r"<@(\d+):([\d.]+),([\d.]+)>"
+    return marked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_extract("marker", pat, 1).cast("int").alias("page"),
+        F.regexp_extract("marker", pat, 2).cast("double").alias("x"),
+        F.regexp_replace(
+            F.regexp_replace("marker", r"<@[^>]*>", ""), r"^\[|\]$", ""
+        ).alias("stripped"),
+    )
+
+
+@register(
+    "x7_filename_stem",
+    oracle="""
+    SELECT doc_id,
+           'https://host/' || source || '/doc_' || doc_id || '.pdf' AS url,
+           regexp_extract('https://host/' || source || '/doc_' || doc_id || '.pdf',
+                          '([^/]+?)(\\.[^./]*)?$', 1) AS stem
+    FROM documents WHERE doc_id < 30
+    """,
+    doc="Filename stem = Path(x).stem (reference: cli.py:42-43; core/extractor."
+    "py:61; sync_to_onedrive.py:306) as one regexp_extract.",
+)
+def x7_filename_stem(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    url = F.concat(F.lit("https://host/"), "source", F.lit("/doc_"), "doc_id", F.lit(".pdf"))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"([^/]+?)(\.[^./]*)?$", 1).alias("stem"),
+    )
+
+
+@register(
+    "x8_ws_collapse",
+    oracle="""
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed
+    FROM documents WHERE doc_id < 40
+    """,
+    doc="Whitespace collapse ' '.join(text.split()) (reference: fine_tuning/"
+    "data_processor.py:48) — the kernel's canonical text form.",
+)
+def x8_ws_collapse(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("collapsed"))
+    )
+
+
+@register(
+    "x10_json_parse",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events WHERE event_id < 200
+    """,
+    doc="JSON parse with schema (reference: services/gpt_service.py:159-180 — "
+    "json.loads + regex fallback) as from_json/get_json_object.",
+)
+def x10_json_parse(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select("event_id", F.get_json_object("props", "$.k").alias("k"))
+
+
+@register(
+    "x12_ts_format",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y%m%d_%H%M%S') AS ts_id
+    FROM events WHERE event_id < 50
+    """,
+    doc="Timestamp id yyyyMMdd_HHmmss (reference: finetune_commands/train.py:212).",
+)
+def x12_ts_format(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50)
+        .select("event_id", F.date_format("ts", "yyyyMMdd_HHmmss").alias("ts_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-equivalent) windows (SURVEY §2.9 T5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t5_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (Spark-native extension per SURVEY §2.9 T5; "
+    "absent in the reference). Same F.window works identically under "
+    "readStream + withWatermark — see streaming tests.",
+)
+def t5_tumbling_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over `embeddings` (array<float>, 64-dim).
+
+Brute-force cosine top-k as the correctness baseline, LSH sign-bucketing as
+the scale path, plus embedding-cosine near-dup. All arithmetic is forced to
+double BEFORE any sum so Spark (fold-left `aggregate`) and DuckDB
+(`list_dot_product`) accumulate identically; outputs expose ranks and
+rounded scalars, never raw floats.
+
+Scale design: brute-force is O(Q×N) — fine when Q is small and broadcast
+(query side ≤ a few thousand rows: broadcast NLJ, no shuffle of the corpus).
+For N×N similarity the only viable plan is bucketed (LSH) equi-join —
+candidate pairs form inside buckets only, like the MinHash bands in dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pdf_extractor_spark.operators.registry import load, register
+
+_N_PLANES = 8
+
+# integer hyperplane coefficients: coef(j, i) = ((1+j)*(i*i + 3*i + 7)) % 19 - 9
+# — exact integer arithmetic, portable across engines, no RNG at query time.
+_COEF_SQL = "((1 + j) * (i * i + 3 * i + 7)) % 19 - 9"
+
+
+def _with_norm(df):
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("nrm", F.sqrt(sq))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+               FROM embeddings WHERE vec_id < 5),
+         v AS (SELECT vec_id, embedding::DOUBLE[] e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+               FROM embeddings)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.e, v.e) / (q.nrm * v.nrm) DESC, v.vec_id
+             ) AS rank
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ) WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-k (the ANN ground-truth baseline). The query "
+    "side is tiny → broadcast nested-loop; corpus never shuffles. Dot product "
+    "via fold-left aggregate over zip_with — all-double accumulation.",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("qn") * F.col("vn"))
+    w = W.partitionBy("query_id").orderBy(sim.desc(), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH proj AS (
+      SELECT e.vec_id, p.j,
+             sum(e.x * ({_COEF_SQL})) AS dot
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS i
+            FROM embeddings) e
+      CROSS JOIN (SELECT unnest(range(0, {_N_PLANES})) AS j) p
+      GROUP BY e.vec_id, p.j
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM sig GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH (SimHash for vectors, Charikar '02): sign "
+    "pattern over 8 fixed integer hyperplanes → 8-bit bucket. ANN then probes "
+    "within buckets only — the equi-join scale path (corpus shuffles once on "
+    "bucket; no pairwise work across buckets).",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("j"))
+    coef = ((1 + F.col("j")) * (F.col("i") * F.col("i") + 3 * F.col("i") + 7)) % 19 - 9
+    proj = (
+        e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * coef).alias("dot"))
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+    return sig.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vectors"))
+
+
+@register(
+    "emb_near_dup",
+    oracle="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+               FROM embeddings WHERE vec_id < 120)
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.38
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.38 for the synthetic fixture) — the "
+    "embedding leg of the dedup suite. Small-window pairwise here; at scale "
+    "the same predicate runs inside ann_lsh_buckets buckets.",
+)
+def emb_near_dup(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120))
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(dot / (F.col("na") * F.col("nb")) >= 0.38)
+        .select("va", "vb")
+    )
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label L2-norm stats: array fold inside codegen (F.aggregate over "
+    "transform), one hash agg — the sanity profile a vector pipeline runs "
+    "before indexing.",
+)
+def emb_norm_stats(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    return emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )

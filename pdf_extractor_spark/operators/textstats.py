@@ -1,0 +1,162 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+Beyond the reference's own inventory (per the build brief): language-ID,
+quality scoring, token counting, document fingerprinting — all pure column
+expressions (JVM codegen, no UDF), so they cost one scan + one hash agg at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from pdf_extractor_spark.operators.registry import load, register
+
+# Same canonical normalization as the kernel / X2 (reference:
+# sync_to_onedrive.py:201-216): lowercase + collapse whitespace.
+def _norm(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# BPE-ish token classes: letter runs, digit runs, single punctuation marks.
+_TOKEN_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_TOKEN_PAT}'))) AS BIGINT) AS bpe_tokens
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+    doc="Token counting per language: whitespace tokens + a BPE-ish regex "
+    "class count. Both are regexp expressions inside whole-stage codegen; "
+    "the agg is partial+final so the shuffle carries one row per lang.",
+)
+def text_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit(_TOKEN_PAT))).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+           len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b')) AS stop_hits,
+           round(
+             ln(1 + length(text))
+             * (1 - len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b'))
+                    / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)),
+             4) AS quality
+    FROM documents
+    WHERE doc_id < 200 AND length(trim(text)) > 0
+    """,
+    doc="Quality scoring: length / stopword-ratio composite (the web-pipeline "
+    "analog of the reference's data-quality gate, train.py:17-90). "
+    "Deterministic closed-form score → reproducible filtering decisions.",
+)
+def text_quality(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length(F.trim("text")) > 0))
+    )
+    stop_pat = r"\b(data|table|row|value|query)\b"
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    stop_hits = F.regexp_count("text", F.lit(stop_pat))
+    quality = F.round(
+        F.log(1 + F.length("text")) * (1 - stop_hits / words.cast("double")), 4
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        words.alias("words"),
+        stop_hits.alias("stop_hits"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH hints(code, marker) AS (VALUES
+      ('en', ' data '), ('en', ' table '), ('fr', ' colonne '), ('es', ' fila '),
+      ('de', ' spalte '), ('en', ' query ')),
+    hits AS (
+      SELECT d.doc_id, h.code,
+             sum((length(' ' || lower(d.text) || ' ')
+                  - length(replace(' ' || lower(d.text) || ' ', h.marker, '')))
+                 // length(h.marker)) AS n_hits  -- summed below; cast at output
+      FROM documents d CROSS JOIN hints h
+      WHERE d.doc_id < 150
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, code AS predicted_lang, CAST(n_hits AS BIGINT) AS n_hits FROM (
+      SELECT doc_id, code, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, code) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+    doc="Language-ID by marker-token hits + argmax (n-gram-heuristic family). "
+    "Occurrence count = (len - len(replace))/len(marker): pure codegen "
+    "arithmetic, no regex. Hint table is a broadcast dim; argmax = "
+    "row_number()=1 with deterministic tie-break.",
+)
+def text_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    hints = spark.createDataFrame(
+        [("en", " data "), ("en", " table "), ("fr", " colonne "), ("es", " fila "),
+         ("de", " spalte "), ("en", " query ")],
+        ["code", "marker"],
+    )
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    n_hits = F.floor(
+        (F.length(padded) - F.length(F.replace(padded, F.col("marker"), F.lit(""))))
+        / F.length("marker")
+    )
+    hits = (
+        d.crossJoin(F.broadcast(hints))
+        .groupBy("doc_id", "code")
+        .agg(F.sum(n_hits).alias("n_hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("code"))
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("code").alias("predicted_lang"), "n_hits")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           substr(md5({_NORM_SQL}), 1, 16) AS fp,
+           length({_NORM_SQL}) AS norm_len
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Document fingerprinting: md5 over the canonical normalized text "
+    "(prefix-16). The content-address used by exact dedup; a rolling-hash "
+    "variant lives in dedup.py.",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n = _norm(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(n.cast("binary")), 1, 16).alias("fp"),
+        F.length(n).alias("norm_len"),
+    )

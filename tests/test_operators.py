@@ -1,0 +1,84 @@
+"""Operator-library tests: Spark vs DuckDB oracle parity on a representative
+subset (full sweep lives in tools/check_oracle.py; the driver runs it all
+at sf0.01). Runs at sf0.001 to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracle import canon_cell, value_hash  # noqa: E402
+
+from pdf_extractor_spark.operators.registry import TABLES, all_ops  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast, shape-diverse subset: agg, joins, window, set op, scalar fns,
+# dedup, similarity, text stats
+SUBSET = [
+    "a2_pricing_summary",
+    "j2_anti_dedup",
+    "j5_theta_contains",
+    "j6_full_outer_compare",
+    "w1_reading_order",
+    "w4_topk_per_group",
+    "u3_except_keys",
+    "x1_format_value",
+    "x5_coord_parse",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "text_lang_id",
+    "text_token_count",
+    "t5_tumbling_window",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(spark, duck, name):
+    op = all_ops()[name]
+    assert op.oracle, name
+
+    sdf = op.build(spark, SF_DIR)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = [c.lower() for c in sdf.columns]
+
+    rel = duck.sql(op.oracle)
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: schema mismatch"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    assert value_hash(s_cols, s_rows) == value_hash(d_cols, d_rows), (
+        f"{name}: value hash mismatch"
+    )
+
+
+def test_all_registered_ops_have_docs():
+    ops = all_ops()
+    assert len(ops) >= 40
+    for name, op in ops.items():
+        assert op.doc, f"{name} missing doc"
+
+
+def test_canon_cell_stability():
+    assert canon_cell(None) == "NULL"
+    assert canon_cell(1.0) == canon_cell(1.0000000001)  # 9-decimal rounding
+    assert canon_cell(True) == "1"
