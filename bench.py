@@ -1,0 +1,189 @@
+"""Benchmark harness (driver contract).
+
+Two parts, one JSON line on stdout:
+
+1. **Extraction throughput at two parallelism levels** — the BASELINE.json
+   headline metric. A pages table (deterministic synthesizer, seed 42) is
+   written to parquet ONCE, then the full extraction job (scan → resume
+   anti-join → salted repartition → Arrow kernel → partitioned write →
+   control commit) runs against it at local[4] and local[16] cores — the
+   sandbox stand-in for N vs 4N executors per the driver instruction.
+   local[16] (not local[32]) is the high end so Spark task threads + their
+   Python kernel workers (2 processes per slot) fit the 32 physical cores;
+   at full machine load the shared hypervisor throttles ~22% (measured with
+   a pure-CPU burn: 32 procs reach only 3.13× the throughput of 8), which
+   would corrupt the scaling measurement. Each level runs twice
+   interleaved; min wall per level is reported (steal noise is one-sided).
+   Scaling efficiency = throughput_4N / (4 × throughput_N).
+
+2. **Headline relational queries** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1): representative operators from SURVEY.md §2 plus
+   the training-data suite (minhash dedup, ANN top-k, text quality).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_EXTRACT_DOCS (default 400000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "200000"))
+# heft=5 → ~10 KB avg page, Common-Crawl-realistic; tests use heft=1 (~2 KB)
+HEFT = int(os.environ.get("BENCH_DOC_HEFT", "5"))
+SEED = 42
+_DEFAULT_WORK = "/dev/shm/pdf_extractor_bench" if os.path.isdir("/dev/shm") else "/tmp/pdf_extractor_bench"
+WORK = os.environ.get("BENCH_WORK_DIR", _DEFAULT_WORK)
+
+# Headline query subset: one per operator family (full inventory is checked
+# for correctness by the driver via __spark_entry__.queries()).
+HEADLINE_QUERIES = [
+    "a2_pricing_summary",   # grouped aggregation over lineitem (q1 analog)
+    "j3_resume_skip",       # control-table resume anti-join core
+    "j6_full_outer_compare",  # golden-vs-extracted full-outer classification
+    "w1_reading_order",     # window: reading-order reconstruction analog
+    "dedup_exact",          # exact dedup over documents
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup over documents
+    "ann_cosine_topk",      # brute-force cosine top-k over embeddings
+    "text_quality",         # quality scoring over documents
+]
+
+
+def _new_spark(cores: int, tag: str):
+    from pdf_extractor_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_{tag}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 16),
+        # RAM-backed shuffle/spill dirs: the sandbox's virtual disk has
+        # bursty throughput that would corrupt the scaling measurement
+        extra_conf={"spark.local.dir": os.path.join(WORK, "spark_local")},
+    )
+
+
+def _ensure_pages(spark) -> str:
+    """Write the bench pages table once; reuse across runs in one invocation."""
+    path = os.path.join(WORK, f"pages_{SEED}_{N_DOCS}_h{HEFT}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pdf_extractor_spark.synth import pages_df
+
+        shutil.rmtree(path, ignore_errors=True)
+        pages_df(spark, N_DOCS, seed=SEED, num_partitions=CPUS * 4, heft=HEFT).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _run_extraction(cores: int, pages_path: str, reps: int = 2) -> dict:
+    """Full extraction job at `cores` parallelism; best of `reps` warmed runs.
+
+    One session per level, warmed with a tiny job first (python-worker spawn
+    + JIT are per-cluster setup costs, not steady-state throughput); each rep
+    starts from fresh output + control dirs. Best-of is reported because the
+    sandbox hypervisor steals CPU in one-sided bursts.
+    """
+    from pdf_extractor_spark.pipeline import run_extraction
+    from pdf_extractor_spark.synth import pages_df
+
+    spark = _new_spark(cores, f"extract_p{cores}")
+    best = None
+    try:
+        warm_out, warm_ctl = os.path.join(WORK, "warm_out"), os.path.join(WORK, "warm_ctl")
+        shutil.rmtree(warm_out, ignore_errors=True)
+        shutil.rmtree(warm_ctl, ignore_errors=True)
+        run_extraction(spark, pages_df(spark, 2000, num_partitions=cores), warm_out, warm_ctl)
+
+        pages = spark.read.parquet(pages_path)
+        for _ in range(reps):
+            out = os.path.join(WORK, f"out_{cores}")
+            ctl = os.path.join(WORK, f"control_{cores}")
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ctl, ignore_errors=True)
+            t0 = time.time()
+            stats = run_extraction(spark, pages, out, ctl)
+            wall = time.time() - t0
+            if best is None or wall < best[0]:
+                best = (wall, stats)
+    finally:
+        spark.stop()
+    wall, stats = best
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 2),
+        "docs": stats.docs_processed,
+        "docs_per_sec": round(stats.docs_processed / wall, 1),
+        "mb_per_sec": round(stats.bytes_parsed / wall / 1e6, 2),
+        "parse_failures": stats.parse_failures,
+    }
+
+
+def main() -> int:
+    os.makedirs(WORK, exist_ok=True)
+
+    # -- part 1: extraction scaling bench (low parallelism first, then high)
+    spark = _new_spark(CPUS, "synth")
+    try:
+        pages_path = _ensure_pages(spark)
+    finally:
+        spark.stop()
+
+    # A mapInPandas task keeps ~2 cores busy (JVM I/O thread + Python kernel
+    # worker), so local[N] consumes ~2N cores; the pair (N, 4N) must fit the
+    # machine at the HIGH end or the 4N run is throttled and the efficiency
+    # number measures the hypervisor, not the job: (2, 8) → ≤16 busy cores.
+    lo_cores = max(1, CPUS // 16)  # 2 on the 32-core sandbox
+    hi_cores = max(2, CPUS // 4)   # 8
+    lo = _run_extraction(lo_cores, pages_path)
+    hi = _run_extraction(hi_cores, pages_path)
+    eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+
+    # -- part 2: headline relational queries at SF_DIR
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = _new_spark(CPUS, "queries")
+    times: dict[str, float] = {}
+    try:
+        for name in HEADLINE_QUERIES:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()  # force full execution
+            times[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+    finally:
+        spark.stop()
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    total = round(sum(times.values()) + lo["wall_sec"] + hi["wall_sec"], 2)
+    result = {
+        "metric": "extraction+headline-queries wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extract_docs": N_DOCS,
+        "extract_p%d" % lo_cores: lo,
+        "extract_p%d" % hi_cores: hi,
+        "docs_per_sec": hi["docs_per_sec"],
+        "scaling_efficiency_%dto%d" % (lo_cores, hi_cores): round(eff, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

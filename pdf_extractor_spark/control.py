@@ -58,18 +58,33 @@ def committed_partitions(spark: SparkSession, control_dir: str) -> DataFrame:
     )
 
 
-def append_commits(metrics_df: DataFrame, control_dir: str) -> None:
-    """Append committed rows (one per partition) with lineage metrics."""
-    (
-        metrics_df.select(
-            F.col("partition_id").cast("int"),
-            F.lit(STATUS_COMMITTED).alias("status"),
-            F.col("docs_processed").cast("long"),
-            F.col("bytes_parsed").cast("long"),
-            F.col("parse_failures").cast("long"),
-            F.current_timestamp().alias("committed_at"),
-        )
-        .coalesce(1)  # n_buckets rows at most — one tiny file per run
-        .write.mode("append")
-        .parquet(control_dir)
+def append_commits_rows(rows, control_dir: str) -> None:
+    """Append committed rows (one per partition) with lineage metrics.
+
+    `rows` is a driver-side list (≤ n_buckets entries, already collected) of
+    objects with partition_id / docs_processed / bytes_parsed /
+    parse_failures. Written directly with pyarrow — a Spark job for a ≤64-row
+    append costs ~2 s of scheduler latency per run, which at bench scale is
+    pure fixed overhead. The file layout stays spark.read.parquet-compatible;
+    on a real cluster this append targets an Iceberg control table instead.
+    """
+    import datetime as _dt
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+    table = pa.table(
+        {
+            "partition_id": pa.array([int(r.partition_id) for r in rows], pa.int32()),
+            "status": pa.array([STATUS_COMMITTED] * len(rows), pa.string()),
+            "docs_processed": pa.array([int(r.docs_processed) for r in rows], pa.int64()),
+            "bytes_parsed": pa.array([int(r.bytes_parsed or 0) for r in rows], pa.int64()),
+            "parse_failures": pa.array([int(r.parse_failures or 0) for r in rows], pa.int64()),
+            "committed_at": pa.array([now] * len(rows), pa.timestamp("us", tz="UTC")),
+        }
     )
+    os.makedirs(control_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(control_dir, f"commit-{uuid.uuid4().hex}.parquet"))

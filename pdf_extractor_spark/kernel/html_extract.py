@@ -96,7 +96,10 @@ class Block:
     total_chars: int = 0
 
     def text(self) -> str:
-        return _WS_RE.sub(" ", "".join(self.parts)).strip()
+        # equivalent to the reference's `' '.join(text.split())` whitespace
+        # canonicalization (reference: fine_tuning/data_processor.py:48) and
+        # ~2× faster than a regex sub on the hot path
+        return " ".join("".join(self.parts).split())
 
 
 def _parse_blocks(raw: bytes) -> "list[Block]":
@@ -145,10 +148,12 @@ def _parse_blocks_str(doc: str) -> list[Block]:
         nonlocal cur
         if not txt:
             return
-        txt = _htmlmod.unescape(txt)
-        # normalize NBSP to plain space for stable downstream whitespace collapse
-        txt = txt.replace("\xa0", " ")
-        stripped_len = len(_WS_RE.sub("", txt))
+        if "&" in txt:  # unescape is expensive; most fragments have no entity
+            txt = _htmlmod.unescape(txt)
+        if "\xa0" in txt:
+            # normalize NBSP to plain space for stable whitespace collapse
+            txt = txt.replace("\xa0", " ")
+        stripped_len = sum(len(w) for w in txt.split())
         if stripped_len == 0:
             if cur.parts:
                 cur.parts.append(" ")

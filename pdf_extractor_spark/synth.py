@@ -75,15 +75,19 @@ def _nav_links(rng: np.random.Generator, k: int) -> str:
     )
 
 
-def make_html(rng: np.random.Generator) -> tuple[bytes, str]:
+def make_html(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     """One HTML page. Returns (payload_bytes, golden_main_text).
 
     golden_main_text is the extraction truth BY CONSTRUCTION: headline +
     paragraphs, whitespace-collapsed, joined by '\n' — what the kernel must
     emit byte-identically.
+
+    `heft` scales document size (paragraph count) without changing the
+    structure: heft=1 → ~2 KB pages (fast tests), heft=5 → ~10 KB
+    (Common-Crawl-realistic, used by bench).
     """
     headline = _sentence(rng, 3, 7).rstrip(".")
-    paras = [_paragraph(rng) for _ in range(int(rng.integers(2, 7)))]
+    paras = [_paragraph(rng) for _ in range(int(rng.integers(2, 7)) * heft)]
     latin = rng.random() < _P_LATIN1
     if latin:
         # inject non-ascii content that differs between latin-1 and utf-8
@@ -122,14 +126,14 @@ def make_html(rng: np.random.Generator) -> tuple[bytes, str]:
     return doc.encode(enc, "replace"), golden
 
 
-def make_pdf(rng: np.random.Generator) -> tuple[bytes, str]:
+def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     """One uncompressed PDF payload. Returns (payload_bytes, golden_text).
 
     Pages of lines; each line split into 1–3 runs placed with absolute Tm
     at increasing x. Runs are emitted into the content stream in a shuffled
     order — the parser must reconstruct (page asc, y desc, x asc).
     """
-    n_pages = int(rng.integers(1, 4))
+    n_pages = int(rng.integers(1, 4)) * heft
     page_lines: list[list[str]] = []
     golden_lines: list[str] = []
     streams: list[bytes] = []
@@ -167,7 +171,7 @@ def make_pdf(rng: np.random.Generator) -> tuple[bytes, str]:
     return payload, "\n".join(golden_lines)
 
 
-def synth_row(seed: int, doc_id: int) -> dict:
+def synth_row(seed: int, doc_id: int, heft: int = 1) -> dict:
     """One pages-table row + golden extraction truth (None when degenerate)."""
     rng = _rng(seed, doc_id)
     draw = rng.random()
@@ -192,11 +196,11 @@ def synth_row(seed: int, doc_id: int) -> dict:
         url = "https://%s/empty/%d" % (host, doc_id)
     elif draw < _P_FAILED + _P_EMPTY + _P_PDF:
         kind = "pdf"
-        payload, golden = make_pdf(rng)
+        payload, golden = make_pdf(rng, heft)
         url = "https://%s/docs/report_%d.pdf" % (host, doc_id)
     else:
         kind = "html"
-        payload, golden = make_html(rng)
+        payload, golden = make_html(rng, heft)
         url = "https://%s/articles/%d/page.html" % (host, doc_id)
 
     return {
@@ -213,17 +217,18 @@ def synth_row(seed: int, doc_id: int) -> dict:
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
-def synth_pandas(seed: int, doc_ids) -> "pd.DataFrame":  # noqa: F821
+def synth_pandas(seed: int, doc_ids, heft: int = 1) -> "pd.DataFrame":  # noqa: F821
     """Vectorize synth_row over a doc_id array → pandas DataFrame (pages cols)."""
     import pandas as pd
 
-    rows = [synth_row(seed, int(d)) for d in doc_ids]
+    rows = [synth_row(seed, int(d), heft) for d in doc_ids]
     return pd.DataFrame(
         {c: [r[c] for r in rows] for c in PAGES_COLUMNS}
     )
 
 
-def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
+def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None,
+             heft: int = 1):
     """Distributed pages-table generation: spark.range → mapInPandas(synth).
 
     The generator runs on executors; nothing is collected to the driver, so
@@ -233,7 +238,7 @@ def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = No
 
     def gen(batches):
         for pdf in batches:
-            yield synth_pandas(seed, pdf["id"].to_numpy())
+            yield synth_pandas(seed, pdf["id"].to_numpy(), heft)
 
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"
     return (

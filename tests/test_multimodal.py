@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: schema, determinism, batch shape, stub boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark import multimodal as mm
+
+N = 120
+SEED = 7
+
+
+def test_synth_deterministic():
+    a = mm.synth_media_row(SEED, 5)
+    b = mm.synth_media_row(SEED, 5)
+    assert a["media"] == b["media"] and a["kind"] == b["kind"]
+    assert mm.synth_media_row(SEED, 6)["media"] != a["media"]
+
+
+def test_decode_roundtrip_all_kinds():
+    seen = set()
+    for i in range(40):
+        row = mm.synth_media_row(SEED, i)
+        kind, arr, meta = mm.decode_payload(row["media"])
+        assert kind == row["kind"]
+        seen.add(kind)
+        if kind == "image":
+            assert arr.shape == (meta["height"], meta["width"])
+        elif kind == "audio":
+            assert arr.dtype == np.int16 and len(arr) == meta["n_samples"]
+        else:
+            assert arr.shape[0] == meta["n_frames"]
+    assert seen == {"image", "audio", "video"}
+
+
+def test_real_codec_branch_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"\xff\xd8\xff\xe0" + b"JFIF-like payload")
+
+
+def test_media_df_schema_and_rows(spark):
+    df = mm.media_df(spark, N, seed=SEED, num_partitions=3)
+    assert [f.name for f in df.schema.fields] == ["media_id", "kind", "media", "meta"]
+    assert df.schema["meta"].dataType.fieldNames() == [
+        "width", "height", "sample_rate", "n_frames", "duration_ms"
+    ]
+    rows = df.collect()
+    assert len(rows) == N
+    assert {r.media_id for r in rows} == set(range(N))
+    # meta struct is populated per kind
+    for r in rows:
+        if r.kind == "image":
+            assert r.meta.width > 0 and r.meta.sample_rate is None
+        elif r.kind == "audio":
+            assert r.meta.sample_rate > 0 and r.meta.width is None
+
+
+def test_features_pipeline(spark):
+    df = mm.media_df(spark, N, seed=SEED, num_partitions=3)
+    feats = {r.media_id: r for r in mm.media_features(df).collect()}
+    assert len(feats) == N
+    for i in (0, 17, N - 1):
+        row = mm.synth_media_row(SEED, i)
+        kind, arr, _ = mm.decode_payload(row["media"])
+        got = feats[i]
+        assert got.ok and got.kind == kind
+        assert got.n_values == arr.size
+        assert got.mean_value == pytest.approx(float(arr.astype(np.float64).mean()))
+        assert len(got.features) == 16
+        assert sum(got.features) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_features_failure_is_data_not_exception(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [0], "media": [b"\x89PNG\r\n\x1a\n...."]})
+    )
+    rows = bad.mapInPandas(mm.extract_features, schema=mm.FEATURES_SCHEMA).collect()
+    assert len(rows) == 1 and rows[0].ok is False
+
+
+def test_resize_images(spark):
+    df = mm.media_df(spark, N, seed=SEED, num_partitions=3)
+    out = mm.resize_images(df, out_w=4, out_h=4).collect()
+    n_img = sum(1 for i in range(N) if mm.synth_media_row(SEED, i)["kind"] == "image")
+    assert len(out) == n_img
+    for r in out[:5]:
+        assert len(r.pixels) == 16
+        assert all(0.0 <= p <= 255.0 for p in r.pixels)
+
+
+def test_sample_frames(spark):
+    df = mm.media_df(spark, N, seed=SEED, num_partitions=3)
+    got = mm.sample_frames(df, every_n=4).collect()
+    expected = 0
+    for i in range(N):
+        row = mm.synth_media_row(SEED, i)
+        if row["kind"] == "video":
+            _, arr, _ = mm.decode_payload(row["media"])
+            expected += len(range(0, arr.shape[0], 4))
+    assert len(got) == expected
+    assert all(r.frame_idx % 4 == 0 for r in got)

@@ -38,6 +38,14 @@ SUBSET = [
     "text_lang_id",
     "text_token_count",
     "t5_tumbling_window",
+    # round-1 additions
+    "a3_quality_metrics",
+    "o3_sorted_distinct",
+    "u2_semi_membership",
+    "w3_first_qualifying",
+    "s2_suffix_scan",
+    "x14_url_parse",
+    "x16_numbered_pattern",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Structured Streaming: incremental extraction resume + watermarked windows."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pdf_extractor_spark import streaming as st
+from pdf_extractor_spark.kernel import extract_document
+from pdf_extractor_spark.synth import synth_pandas
+
+SEED = 42
+
+
+def _write_pages(spark, path: str, ids) -> None:
+    pdf = synth_pandas(SEED, list(ids))
+    spark.createDataFrame(pdf).write.mode("append").parquet(path)
+
+
+def test_stream_extract_incremental_resume(spark, tmp_path):
+    """AvailableNow + checkpoint: second run processes ONLY new files (T1)."""
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, inp, range(0, 120))
+    q = st.stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 120
+
+    # new files land; restarted query must pick up exactly the delta
+    _write_pages(spark, inp, range(120, 180))
+    q2 = st.stream_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 180
+    assert final.select("url").distinct().count() == 180
+
+    # fidelity holds through the streaming path too
+    got = {r.url: r.extracted_text for r in final.collect()}
+    for i in (0, 60, 150):
+        row = synth_pandas(SEED, [i]).iloc[0]
+        assert got[row.url] == extract_document(bytes(row.html)).extracted_text
+
+
+def test_stream_windowed_counts_vs_batch(spark, tmp_path, sf_dir):
+    """Streaming watermarked window agg == batch agg on closed windows (T5)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema_ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    inp = str(tmp_path / "events_in")
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "agg_ckpt")
+    events.write.parquet(inp)
+
+    q = st.stream_windowed_counts(spark, inp, out, ckpt, schema_ddl)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = st.windowed_event_counts(events)
+
+    # append mode emits only windows closed by the final watermark: every
+    # emitted row must match the batch result exactly
+    batch_map = {
+        (r.window_start, r.event_type): (r.n, r.total) for r in batch.collect()
+    }
+    got_rows = got.collect()
+    assert len(got_rows) > 0
+    for r in got_rows:
+        assert batch_map[(r.window_start, r.event_type)] == (r.n, r.total)
+
+
+def test_watermark_bounds_state(spark):
+    """The watermark column survives the plan (state-bounding contract)."""
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 01:05"]),
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = st.windowed_event_counts(df, window="1 hour", watermark="10 minutes")
+    rows = {(str(r.window_start), r.event_type): r.n for r in out.collect()}
+    assert len(rows) == 2  # two separate hourly windows
