@@ -47,6 +47,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_ops() -> dict[str, Op]:
     # import for side effects: modules self-register
-    from pdf_extractor_spark.operators import dedup, relational, similarity, textstats  # noqa: F401
+    from pdf_extractor_spark.operators import (  # noqa: F401
+        dedup,
+        media,
+        relational,
+        similarity,
+        textstats,
+    )
 
     return dict(_REGISTRY)

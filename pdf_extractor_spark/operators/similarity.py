@@ -180,3 +180,92 @@ def emb_norm_stats(spark, sf_dir):
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+_N_CELLS = 4
+
+# deterministic integer "centroid" planes: cent(k, i) = ((2+k)*(i*i + 5*i + 11)) % 17 - 8
+# — a stand-in for k-means centroids that both engines compute exactly.
+_CENT_SQL = "((2 + k) * (i * i + 5 * i + 11)) % 17 - 8"
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH cells AS (  -- coarse quantizer: cell = argmax_k dot(e, centroid_k)
+      SELECT e.vec_id, arg_max(c.k, e_dot) AS cell, any_value(e.nrm) AS nrm,
+             any_value(e.e) AS e
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings) e
+      CROSS JOIN LATERAL (
+        SELECT k, sum(x * ({_CENT_SQL})) AS e_dot
+        FROM (SELECT unnest(e.e) AS x, generate_subscripts(e.e, 1) - 1 AS i)
+        CROSS JOIN (SELECT unnest(range(0, {_N_CELLS})) AS k)
+        GROUP BY k
+      ) c
+      GROUP BY e.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.e, v.e) / (q.nrm * v.nrm) DESC, v.vec_id
+             ) AS rank
+      FROM cells q JOIN cells v ON q.cell = v.cell AND q.vec_id <> v.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 3
+    """,
+    doc="IVF-style ANN (coarse quantizer → probe own cell only; Jégou et al. "
+    "'11 inverted-file scheme with deterministic integer centroids instead "
+    "of trained k-means). Search cost drops from O(Q·N) to O(Q·N/cells): "
+    "cell assignment is one narrow agg, and candidate generation is an "
+    "equi-join on cell — the same bucket-join shape that scales the LSH "
+    "and MinHash paths. Recall vs ann_cosine_topk is partial by design "
+    "(single-probe); multi-probe = relax the cell equality to top-p cells.",
+)
+def ann_ivf_probe(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", "nrm", "embedding",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select("vec_id", "nrm", "embedding", "i", F.col("x").cast("double").alias("x"))
+    ks = spark.range(_N_CELLS).select(F.col("id").cast("int").alias("k"))
+    cent = ((2 + F.col("k")) * (F.col("i") * F.col("i") + 5 * F.col("i") + 11)) % 17 - 8
+    cells = (
+        e.crossJoin(F.broadcast(ks))
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum(F.col("x") * cent).alias("e_dot"),
+            F.first("nrm").alias("nrm"),
+            F.first("embedding").alias("e"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("k", "e_dot").alias("cell"),
+            F.first("nrm").alias("nrm"),
+            F.first("e").alias("e"),
+        )
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qc"),
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    v = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("vc"),
+        F.col("e").alias("ve"), F.col("nrm").alias("vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("qn") * F.col("vn"))
+    w = W.partitionBy("query_id").orderBy(sim.desc(), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(v, (F.col("qc") == F.col("vc")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,110 @@
+"""Physical-plan audits: the plans we designed are the plans Spark runs.
+
+Each assertion pins a scale property from SURVEY.md §4.2 / the pipeline
+docstring: column pruning into the scan, predicate pushdown, broadcast of
+dim sides, no shuffle before the extraction kernel, and the salted shuffle
+placed AFTER it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    # full formatted explain including scan details (ReadSchema, PushedFilters)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_kernel_scan_is_pruned(spark, tmp_path):
+    """The kernel path must read ONLY (url, html) from the pages table —
+    `text` (~half the table bytes) never leaves the parquet reader."""
+    from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+    from pdf_extractor_spark.synth import pages_df
+
+    path = str(tmp_path / "pages")
+    pages_df(spark, 50, num_partitions=1).write.parquet(path)
+    plan = _formatted(run_kernel(spark.read.parquet(path)))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_kernel_runs_before_any_shuffle(spark, tmp_path):
+    """pipeline.py stage order: no Exchange below the Arrow kernel — the
+    only shuffle moves the kernel OUTPUT to the salted write."""
+    from pdf_extractor_spark import control as ctl
+    from pdf_extractor_spark.pipeline import with_partition_id, _kernel_with_pid
+    from pdf_extractor_spark.kernel.spark_kernel import EXTRACTED_SCHEMA
+    from pdf_extractor_spark.synth import pages_df
+
+    path = str(tmp_path / "pages")
+    pages_df(spark, 50, num_partitions=1).write.parquet(path)
+    pages_b = with_partition_id(spark.read.parquet(path), 16)
+    committed = ctl.committed_partitions(spark, str(tmp_path / "none"))
+    todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
+    extracted = todo.select("partition_id", "url", "html").mapInPandas(
+        _kernel_with_pid, schema="partition_id int, " + EXTRACTED_SCHEMA
+    )
+    plan = _plan(extracted)
+    # resume anti-join is a broadcast join, never a shuffled one
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the PAGES side below the kernel (everything before the broadcast build
+    # subtree) must have no shuffle exchange; the control-table distinct
+    # inside BroadcastExchange shuffles ≤ n_buckets rows and is fine
+    pages_side = plan[plan.index("MapInPandas"): plan.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in pages_side
+    assert "FileScan parquet" in pages_side  # kernel feeds straight off the scan
+    # the salted repartition sits ABOVE the kernel
+    salted = extracted.repartition(
+        4, "partition_id", F.pmod(F.xxhash64("url"), F.lit(8)).alias("salt")
+    )
+    plan2 = _plan(salted)
+    assert plan2.index("Exchange") < plan2.index("MapInPandas")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filtered parquet read must show PushedFilters on the scan node."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_quantity") > 49
+    )
+    plan = _formatted(li)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_quantity" in pushed[0]
+
+
+def test_dim_join_broadcasts(spark):
+    """j7: the part dim side must broadcast — no shuffle of lineitem."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["j7_broadcast_dim"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """o5: global top-k must plan TakeOrderedAndProject, not a full sort."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["o5_global_topk"].build(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scalar_ops(spark):
+    """x1: pure column expressions stay inside WholeStageCodegen."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["x1_format_value"].build(spark, SF_DIR))
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan
