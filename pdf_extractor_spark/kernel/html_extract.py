@@ -84,7 +84,7 @@ def sniff_encoding(raw: bytes) -> str:
     return "utf-8"
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One candidate content block (array-encoded downstream)."""
 
@@ -153,7 +153,12 @@ def _parse_blocks_str(doc: str) -> list[Block]:
         if "\xa0" in txt:
             # normalize NBSP to plain space for stable whitespace collapse
             txt = txt.replace("\xa0", " ")
-        stripped_len = sum(len(w) for w in txt.split())
+        # non-whitespace char count at C speed (the density denominator);
+        # \xa0 is already normalized to ' ' above
+        stripped_len = (
+            len(txt) - txt.count(" ") - txt.count("\n") - txt.count("\t")
+            - txt.count("\r") - txt.count("\x0c") - txt.count("\x0b")
+        )
         if stripped_len == 0:
             if cur.parts:
                 cur.parts.append(" ")
@@ -165,6 +170,13 @@ def _parse_blocks_str(doc: str) -> list[Block]:
 
     def open_block(tag: str):
         nonlocal cur
+        if not cur.parts:
+            # current block never received text — reuse it instead of
+            # allocating (most tag boundaries open empty blocks)
+            cur.tag = tag
+            cur.depth = len(stack)
+            cur.in_chrome = chrome_depth > 0
+            return
         cur = Block(tag=tag, depth=len(stack), in_chrome=chrome_depth > 0, parts=[])
         blocks.append(cur)
 
