@@ -18,6 +18,7 @@ call — no per-span Python comparisons.
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np
 
@@ -27,7 +28,11 @@ PDF_MAGIC = b"%PDF-"
 # (the reference rounds y to integer: excel2training.py:289 `round(y0)`).
 LINE_Y_QUANTUM = 1.0
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# optional stream dictionary (for /Filter detection) + stream body
+_STREAM_RE = re.compile(
+    rb"(?:<<(.*?)>>\s*)?stream\r?\n(.*?)\r?\nendstream", re.DOTALL
+)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
 # operators inside a text object, in source order
@@ -67,7 +72,22 @@ def parse_glyph_runs(raw: bytes) -> list[dict]:
     """
     runs: list[dict] = []
     for page_no, sm in enumerate(_STREAM_RE.finditer(raw)):
-        stream = sm.group(1)
+        sdict, stream = sm.group(1), sm.group(2)
+        if sdict and b"FlateDecode" in sdict:
+            # real-world content streams are zlib-compressed (/Filter
+            # /FlateDecode). Binary data can end in bytes the
+            # `\r?\nendstream` terminator regex would swallow, so when the
+            # dict declares /Length, slice the body exactly. A corrupt
+            # stream is skipped, not fatal — the document degrades to fewer
+            # pages ('empty' status if nothing decodes).
+            mlen = _LENGTH_RE.search(sdict)
+            if mlen:
+                body_start = sm.start(2)
+                stream = raw[body_start: body_start + int(mlen.group(1))]
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                continue
         for tm in _TEXTOBJ_RE.finditer(stream):
             body = tm.group(1)
             x = y = 0.0

@@ -115,3 +115,53 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_user_totals(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+):
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (the arbitrary-state API — the shape any custom
+    stateful operator takes when windows/aggs can't express it).
+
+    State = (n_events, total_value) per user_id, persisted in the state
+    store: a restarted query (same checkpoint) CONTINUES accumulating
+    across runs, which the test asserts. Each micro-batch emits one row per
+    updated user with the cumulative snapshot (append sink).
+
+    At stream scale the state store is partitioned by the group key, so
+    this shuffles once on user_id and state lives with its partition —
+    same key-locality story as the batch url-hash design.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    events = spark.readStream.schema(schema_ddl).parquet(input_dir)
+    totals = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        totals.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

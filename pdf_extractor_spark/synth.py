@@ -164,9 +164,21 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
         streams.append(" ".join(ops).encode("latin-1"))
         page_lines.append(this_page)
         golden_lines.extend(this_page)
-    body = b"".join(
-        b"stream\n" + s + b"\nendstream\n" for s in streams
-    )
+    # ~half the streams are zlib-compressed with a /Filter /FlateDecode
+    # dict, like real-world PDFs; the rest stay raw (legacy form).
+    import zlib as _zlib
+
+    parts = []
+    for s in streams:
+        if rng.random() < 0.5:
+            z = _zlib.compress(s, 6)
+            parts.append(
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(z)
+                + z + b"\nendstream\n"
+            )
+        else:
+            parts.append(b"stream\n" + s + b"\nendstream\n")
+    body = b"".join(parts)
     payload = b"%PDF-1.4\n" + body + b"%%EOF\n"
     return payload, "\n".join(golden_lines)
 

@@ -1,0 +1,79 @@
+"""Property tests: the kernel NEVER raises and is deterministic on any bytes.
+
+The failure policy (kernel/extract.py — failures are data, never task
+failures) only holds if extract_document is total over arbitrary payloads:
+a single uncaught exception inside mapInPandas kills a task, and at 10^12
+documents every possible byte sequence WILL occur.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extractor_spark.kernel import extract_document
+from pdf_extractor_spark.kernel.extract import STATUS_EMPTY, STATUS_FAILED, STATUS_OK
+from pdf_extractor_spark.kernel.html_extract import extract_html
+from pdf_extractor_spark.kernel.pdf_extract import extract_pdf
+
+STATUSES = {STATUS_OK, STATUS_EMPTY, STATUS_FAILED}
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096))
+def test_total_on_arbitrary_bytes(payload):
+    r1 = extract_document(payload)
+    r2 = extract_document(payload)
+    assert r1.parse_status in STATUSES
+    assert r1.extracted_text == r2.extracted_text  # deterministic
+    assert r1.parse_status == r2.parse_status
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_total_on_pdf_prefixed_bytes(payload):
+    r = extract_document(b"%PDF-" + payload)
+    assert r.parse_status in STATUSES
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=2048))
+def test_total_on_html_ish_text(text):
+    payload = ("<html><body>" + text).encode("utf-8", "replace")
+    r = extract_document(payload)
+    assert r.parse_status in STATUSES
+    # span offsets always index into extracted_text
+    for s in r.span_offsets:
+        assert 0 <= s["start"] <= s["end"] <= len(r.extracted_text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<nav>",
+             "</nav>", "<script>", "</script>", "<!--", "-->", "text chunk ",
+             "&amp;", "&bogus;", "<", ">", "<br/>", "<h1>", "</h1>", "\xa0",
+             "<meta charset=latin-1>", "caf\xe9 "]
+        ),
+        max_size=60,
+    )
+)
+def test_total_on_adversarial_tag_soup(parts):
+    payload = "".join(parts).encode("latin-1", "replace")
+    text, spans = extract_html(payload)
+    assert isinstance(text, str)
+    off = 0
+    for a, b in spans:
+        assert a == off and b >= a
+        off = b + 1  # blocks joined by single '\n'
+
+
+def test_truncated_flate_stream_is_skipped_not_fatal():
+    import zlib
+
+    good = b"stream\nBT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (hello world) Tj ET\nendstream\n"
+    z = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72.0 680.0 Tm (gone) Tj ET")[:10]
+    bad = b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream\n" % (len(z), z)
+    payload = b"%PDF-1.4\n" + good + bad + b"%%EOF\n"
+    text, spans = extract_pdf(payload)
+    assert text == "hello world"  # corrupt page dropped, good page kept

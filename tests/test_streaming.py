@@ -85,3 +85,36 @@ def test_watermark_bounds_state(spark):
     out = st.windowed_event_counts(df, window="1 hour", watermark="10 minutes")
     rows = {(str(r.window_start), r.event_type): r.n for r in out.collect()}
     assert len(rows) == 2  # two separate hourly windows
+
+
+def test_stateful_totals_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: state survives the checkpoint across runs."""
+    import pandas as pd
+
+    schema_ddl = "user_id long, value double, ts timestamp"
+    inp = str(tmp_path / "ev_in")
+    out = str(tmp_path / "tot_out")
+    ckpt = str(tmp_path / "tot_ckpt")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "value"])
+        pdf["ts"] = pd.Timestamp("2024-01-01")
+        spark.createDataFrame(pdf).write.mode("append").parquet(inp)
+
+    write([(1, 10.0), (1, 5.0), (2, 7.0)])
+    q = st.stateful_user_totals(spark, inp, out, ckpt, schema_ddl)
+    q.awaitTermination(120)
+
+    write([(1, 1.0), (3, 2.0)])
+    q2 = st.stateful_user_totals(spark, inp, out, ckpt, schema_ddl)
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    # latest snapshot per user: user 1 accumulated across BOTH runs
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].total_value == 16.0
+    assert latest[2].n_events == 1 and latest[2].total_value == 7.0
+    assert latest[3].n_events == 1 and latest[3].total_value == 2.0
