@@ -76,7 +76,11 @@ _KNOWN_ENCODINGS = {
 
 
 def sniff_encoding(raw: bytes) -> str:
-    """Meta-charset sniff on the first 2048 bytes; utf-8 fallback."""
+    """BOM, then meta-charset sniff on the first 2048 bytes; utf-8 fallback."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"      # strips the BOM char on decode
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        return "utf-16"         # endianness from the BOM itself
     m = _CHARSET_RE.search(raw[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()

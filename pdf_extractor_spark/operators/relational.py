@@ -1017,3 +1017,47 @@ def x16_numbered_pattern(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+@register(
+    "t6_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Session window (30-min inactivity gap) — Spark-native extension "
+    "(SURVEY §2.9 T5 notes sessions absent in the reference). Spark plans "
+    "F.session_window as a single shuffle on user_id + in-partition merge; "
+    "the DuckDB oracle derives identical sessions via lag + running sum. "
+    "Same expression works under readStream + watermark for true streams.",
+)
+def t6_session_window(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -76,6 +76,9 @@ def run_extraction(
     pages_b = with_partition_id(pages, n_buckets)
 
     committed = ctl.committed_partitions(spark, control_dir)
+    # committed ids are also needed driver-side (≤ n_buckets rows) to prune
+    # the metrics read-back after the write
+    committed_ids = {r.partition_id for r in committed.collect()}
     todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
 
     # Kernel first, on scan splits: parallelism = input bytes / split size,
@@ -107,13 +110,17 @@ def run_extraction(
     )
 
     # Lineage from the files just written (read-back = what actually
-    # committed). Newly-written partitions = on-disk partitions minus the
-    # already-committed set; the read-back projects only the partition
-    # column + two small metric columns, never the text payload.
+    # committed). The uncommitted id set is driver-enumerable
+    # ([0, n_buckets) minus committed), so an isin filter on the hive
+    # partition column STATICALLY prunes the scan to the new directories —
+    # an anti-join here would list and scan every partition ever written,
+    # which at 10^12 docs makes each resume pay a full-table read-back.
+    new_ids = [p for p in range(n_buckets) if p not in committed_ids]
+    if not new_ids:
+        return RunStats(0, 0, 0, 0)
     try:
-        written = (
-            spark.read.parquet(out_dir)
-            .join(F.broadcast(committed), "partition_id", "left_anti")
+        written = spark.read.parquet(out_dir).filter(
+            F.col("partition_id").isin(new_ids)
         )
     except Exception:  # nothing ever written (empty input) → nothing to commit
         return RunStats(0, 0, 0, 0)

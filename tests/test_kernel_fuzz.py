@@ -77,3 +77,13 @@ def test_truncated_flate_stream_is_skipped_not_fatal():
     payload = b"%PDF-1.4\n" + good + bad + b"%%EOF\n"
     text, spans = extract_pdf(payload)
     assert text == "hello world"  # corrupt page dropped, good page kept
+
+
+def test_bom_encodings_decode():
+    body = "<html><body><p>Straße café content paragraph with enough chars here.</p></body></html>"
+    for enc, bom in (("utf-8", b"\xef\xbb\xbf"), ("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        payload = bom + body.encode(enc)
+        r = extract_document(payload)
+        assert r.parse_status == STATUS_OK, enc
+        assert "Straße café" in r.extracted_text, enc
+        assert "﻿" not in r.extracted_text, enc  # BOM never leaks into text

@@ -46,6 +46,8 @@ SUBSET = [
     "s2_suffix_scan",
     "x14_url_parse",
     "x16_numbered_pattern",
+    "t6_session_window",
+    "ann_ivf_probe",
 ]
 
 
