@@ -21,6 +21,12 @@ STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
 STATUS_FAILED = "failed"
 
+# Executor-memory guard (SURVEY §4.2 "spill-aware"): span arrays are
+# bounded per document; a pathological page with more blocks keeps its FULL
+# extracted_text but only the first MAX_SPANS_PER_DOC span records, with
+# `truncated=True` so the cap is data, never silent.
+MAX_SPANS_PER_DOC = 10_000
+
 
 @dataclass
 class ExtractResult:
@@ -35,6 +41,7 @@ class ExtractResult:
     extracted_text: str = ""
     span_offsets: list = field(default_factory=list)  # [{start,end,page,bbox}]
     parse_status: str = STATUS_OK
+    truncated: bool = False  # span list hit MAX_SPANS_PER_DOC
 
 
 def extract_document(raw: bytes | None) -> ExtractResult:
@@ -58,6 +65,14 @@ def extract_document(raw: bytes | None) -> ExtractResult:
             ]
         if not text:
             return ExtractResult(parse_status=STATUS_EMPTY)
-        return ExtractResult(extracted_text=text, span_offsets=spans, parse_status=STATUS_OK)
+        truncated = len(spans) > MAX_SPANS_PER_DOC
+        if truncated:
+            spans = spans[:MAX_SPANS_PER_DOC]
+        return ExtractResult(
+            extracted_text=text,
+            span_offsets=spans,
+            parse_status=STATUS_OK,
+            truncated=truncated,
+        )
     except Exception:
         return ExtractResult(parse_status=STATUS_FAILED)

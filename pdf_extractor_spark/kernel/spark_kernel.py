@@ -26,7 +26,7 @@ from pdf_extractor_spark.kernel.extract import extract_document
 EXTRACTED_SCHEMA = (
     "url string, extracted_text string, "
     "span_offsets array<struct<start: int, end: int, page: int, bbox: array<float>>>, "
-    "parse_status string, n_bytes long"
+    "parse_status string, truncated boolean, n_bytes long"
 )
 
 # Columns the kernel needs — select these before mapInPandas so Catalyst
@@ -42,6 +42,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         texts: list[str] = []
         spans: list[list[tuple]] = []
         statuses: list[str] = []
+        truncs: list[bool] = []
         n_bytes: list[int] = []
         for raw in payloads:
             b = bytes(raw) if raw is not None else None
@@ -52,6 +53,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 [(s["start"], s["end"], s["page"], s["bbox"]) for s in res.span_offsets]
             )
             statuses.append(res.parse_status)
+            truncs.append(res.truncated)
             n_bytes.append(len(b) if b is not None else 0)
         yield pd.DataFrame(
             {
@@ -59,6 +61,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "extracted_text": texts,
                 "span_offsets": spans,
                 "parse_status": statuses,
+                "truncated": truncs,
                 "n_bytes": n_bytes,
             }
         )

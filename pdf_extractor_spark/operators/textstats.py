@@ -160,3 +160,58 @@ def text_fingerprint(spark, sf_dir):
         F.substring(F.md5(n.cast("binary")), 1, 16).alias("fp"),
         F.length(n).alias("norm_len"),
     )
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars,
+             length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) >= 30
+    ),
+    hashed AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM scored
+    ),
+    deduped AS (
+      SELECT * FROM hashed
+      WHERE doc_id = (SELECT min(doc_id) FROM hashed h2 WHERE h2.h = hashed.h)
+    )
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM deduped
+    GROUP BY lang
+    """,
+    doc="Composite training-data pipeline: quality filter → exact dedup "
+    "(keep min doc_id per content hash) → per-language corpus stats. The "
+    "chain a real pretraining corpus build runs, expressed as one Catalyst "
+    "plan: the filter pushes to the scan, the dedup is one hash shuffle "
+    "(window min over h), the stats reuse the same shuffle-free projection. "
+    "At 10^12 docs each stage stays a single exchange.",
+)
+def training_corpus_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) >= 30)
+    )
+    t = F.trim("text")
+    scored = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).alias("n_tokens"),
+    )
+    hashed = scored.withColumn(
+        "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).cast("binary"))
+    )
+    keep = hashed.withColumn("min_id", F.min("doc_id").over(W.partitionBy("h"))).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    return keep.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

@@ -87,3 +87,20 @@ def test_bom_encodings_decode():
         assert r.parse_status == STATUS_OK, enc
         assert "Straße café" in r.extracted_text, enc
         assert "﻿" not in r.extracted_text, enc  # BOM never leaks into text
+
+
+def test_span_cap_truncates_metadata_not_text(monkeypatch):
+    from pdf_extractor_spark.kernel import extract as ex
+
+    html = "<html><body>" + "".join(
+        f"<p>paragraph number {i} with sufficient characters to be kept.</p>"
+        for i in range(40)
+    ) + "</body></html>"
+    full = extract_document(html.encode())
+    assert len(full.span_offsets) == 40 and not full.truncated
+
+    monkeypatch.setattr(ex, "MAX_SPANS_PER_DOC", 10)
+    capped = ex.extract_document(html.encode())
+    assert capped.truncated
+    assert len(capped.span_offsets) == 10
+    assert capped.extracted_text == full.extracted_text  # text NEVER truncated
