@@ -255,3 +255,90 @@ def dedup_simhash(spark, sf_dir):
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, unnest(range(0, 12)) AS kk(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 3 AS INT) AS band,
+             md5(string_agg(mh, '|' ORDER BY k)) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION ALL SELECT db, da FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
+      ) SELECT * FROM r
+    )
+    SELECT CAST(min(root) AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(node) AS BIGINT) AS keep_doc
+    FROM (SELECT node, min(root) AS root FROM reach GROUP BY node)
+    GROUP BY root
+    """,
+    doc="Near-dup CLUSTERS from MinHash-LSH candidate pairs via iterative "
+    "min-label propagation (the Spark form of connected components; cf. "
+    "large-star/small-star, Kiveris et al. 2014). Pairwise candidates alone "
+    "don't dedup a corpus — transitive groups do: each cluster keeps "
+    "min(doc_id) as canonical. The driver loop joins labels to symmetric "
+    "edges and takes per-node min until fixpoint (bounded by cluster "
+    "diameter, ~log n rounds); each round is one shuffle on node id. "
+    "DuckDB oracle = recursive CTE transitive closure.",
+)
+def dedup_components(spark, sf_dir):
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("da AS a", "db AS b")
+        .unionAll(pairs.selectExpr("db AS a", "da AS b"))
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "root", F.col("node")
+    ).cache()
+
+    for _ in range(20):  # >> diameter of any near-dup cluster
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("root").alias("nroot"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("root", F.coalesce("nroot", "root")).alias("root"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.groupBy("root").agg(
+        F.min("root").cast("long").alias("component"),
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min("node").cast("long").alias("keep_doc"),
+    ).drop("root")
