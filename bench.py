@@ -3,25 +3,27 @@
 Two parts, one JSON line on stdout:
 
 1. **Extraction throughput at two parallelism levels** — the BASELINE.json
-   headline metric. A pages table (deterministic synthesizer, seed 42) is
-   written to parquet ONCE, then the full extraction job (scan → resume
-   anti-join → salted repartition → Arrow kernel → partitioned write →
-   control commit) runs against it at local[4] and local[16] cores — the
-   sandbox stand-in for N vs 4N executors per the driver instruction.
-   local[16] (not local[32]) is the high end so Spark task threads + their
-   Python kernel workers (2 processes per slot) fit the 32 physical cores;
-   at full machine load the shared hypervisor throttles ~22% (measured with
-   a pure-CPU burn: 32 procs reach only 3.13× the throughput of 8), which
-   would corrupt the scaling measurement. Each level runs twice
-   interleaved; min wall per level is reported (steal noise is one-sided).
-   Scaling efficiency = throughput_4N / (4 × throughput_N).
+   headline metric. A pages table (deterministic synthesizer, seed 42,
+   heft-5 ≈ 10 KB pages) is written to parquet ONCE, then the full
+   extraction job (scan → resume anti-join → Arrow kernel on scan splits →
+   salted repartition → partitioned write → control commit) runs against it
+   at local[2] and local[8] — the sandbox stand-in for N vs 4N executors
+   per the driver instruction. The pair sits low because a mapInPandas
+   task keeps ~2 cores busy (JVM I/O + Python kernel worker) and the
+   shared hypervisor throttles ~22% at full machine load (pure-CPU burn:
+   32 procs reach only 3.13× the throughput of 8), which would corrupt the
+   scaling measurement at higher pairs. Each level runs `reps` warmed
+   back-to-back runs; min wall per level is reported (steal noise is
+   one-sided). Scaling efficiency = throughput_4N / (4 × throughput_N).
+   A separate peak run at half the machine's slots reports max throughput.
 
 2. **Headline relational queries** at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1): representative operators from SURVEY.md §2 plus
    the training-data suite (minhash dedup, ANN top-k, text quality).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_EXTRACT_DOCS (default 400000).
+BENCH_EXTRACT_DOCS (default 200000), BENCH_DOC_HEFT (default 5),
+BENCH_WORK_DIR (default /dev/shm/pdf_extractor_bench).
 """
 
 from __future__ import annotations
@@ -145,9 +147,10 @@ def main() -> int:
     # number measures the hypervisor, not the job: (2, 8) → ≤16 busy cores.
     lo_cores = max(1, CPUS // 16)  # 2 on the 32-core sandbox
     hi_cores = max(2, CPUS // 4)   # 8
-    lo = _run_extraction(lo_cores, pages_path)
+    ratio = hi_cores / lo_cores    # 4 on the sandbox; the max() clamps can
+    lo = _run_extraction(lo_cores, pages_path)   # shrink it on small boxes
     hi = _run_extraction(hi_cores, pages_path)
-    eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
+    eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     # peak throughput: half the machine's slots (= all cores busy with the
     # 2-process-per-task model); not part of the efficiency pair
     peak_cores = max(hi_cores, CPUS // 2)
@@ -171,7 +174,10 @@ def main() -> int:
     finally:
         spark.stop()
 
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:  # SF dir without an sf<number> name
+        sf = 0.0
     total = round(sum(times.values()) + lo["wall_sec"] + hi["wall_sec"], 2)
     result = {
         "metric": "extraction+headline-queries wall clock",

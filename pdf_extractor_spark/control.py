@@ -70,10 +70,40 @@ def append_commits_rows(rows, control_dir: str) -> None:
     """
     import datetime as _dt
     import os
+    import re as _re
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # pyarrow writes through the LOCAL filesystem; a remote control_dir
+    # (hdfs://, s3a://, …) must go through Spark's Hadoop FS layer or the
+    # commit lands on the driver's disk and resume silently re-runs
+    # everything. file:// and bare paths stay on the fast local path.
+    if _re.match(r"^[a-z0-9]+://", control_dir) and not control_dir.startswith("file://"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        (
+            spark.createDataFrame(
+                [
+                    (
+                        int(r.partition_id),
+                        STATUS_COMMITTED,
+                        int(r.docs_processed),
+                        int(r.bytes_parsed or 0),
+                        int(r.parse_failures or 0),
+                        _dt.datetime.now(_dt.timezone.utc),
+                    )
+                    for r in rows
+                ],
+                CONTROL_SCHEMA,
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(control_dir)
+        )
+        return
 
     now = _dt.datetime.now(_dt.timezone.utc)
     table = pa.table(

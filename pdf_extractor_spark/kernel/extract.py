@@ -57,17 +57,21 @@ def extract_document(raw: bytes | None) -> ExtractResult:
     try:
         if raw.startswith(PDF_MAGIC):
             text, spans = extract_pdf(raw)
+            truncated = len(spans) > MAX_SPANS_PER_DOC
+            if truncated:
+                spans = spans[:MAX_SPANS_PER_DOC]
         else:
             text, pairs = extract_html(raw)
+            # cap BEFORE building the per-span dicts so the dict list (the
+            # dominant span memory) never exceeds the bound; the upstream
+            # (start,end) tuples are ~5× smaller per entry
+            truncated = len(pairs) > MAX_SPANS_PER_DOC
             spans = [
                 {"start": s, "end": e, "page": None, "bbox": None}
-                for s, e in pairs
+                for s, e in (pairs[:MAX_SPANS_PER_DOC] if truncated else pairs)
             ]
         if not text:
             return ExtractResult(parse_status=STATUS_EMPTY)
-        truncated = len(spans) > MAX_SPANS_PER_DOC
-        if truncated:
-            spans = spans[:MAX_SPANS_PER_DOC]
         return ExtractResult(
             extracted_text=text,
             span_offsets=spans,

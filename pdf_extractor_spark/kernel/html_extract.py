@@ -157,12 +157,17 @@ def _parse_blocks_str(doc: str) -> list[Block]:
         if "\xa0" in txt:
             # normalize NBSP to plain space for stable whitespace collapse
             txt = txt.replace("\xa0", " ")
-        # non-whitespace char count at C speed (the density denominator);
-        # \xa0 is already normalized to ' ' above
-        stripped_len = (
-            len(txt) - txt.count(" ") - txt.count("\n") - txt.count("\t")
-            - txt.count("\r") - txt.count("\x0c") - txt.count("\x0b")
-        )
+        # non-whitespace char count (the density denominator). ASCII fast
+        # path counts at C speed; non-ascii fragments take the split() path
+        # so Unicode whitespace (  &ensp;, 　, NEL…) is never
+        # counted as content — consistent with Block.text()'s collapse.
+        if txt.isascii():
+            stripped_len = (
+                len(txt) - txt.count(" ") - txt.count("\n") - txt.count("\t")
+                - txt.count("\r") - txt.count("\x0c") - txt.count("\x0b")
+            )
+        else:
+            stripped_len = sum(map(len, txt.split()))
         if stripped_len == 0:
             if cur.parts:
                 cur.parts.append(" ")

@@ -32,7 +32,10 @@ LINE_Y_QUANTUM = 1.0
 _STREAM_RE = re.compile(
     rb"(?:<<(.*?)>>\s*)?stream\r?\n(.*?)\r?\nendstream", re.DOTALL
 )
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only: '/Length 7 0 R' is an INDIRECT object reference whose
+# first number is an object id, not a byte count — slicing by it would
+# destroy the stream. Indirect refs fall back to the regex-matched body.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R\b)")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
 # operators inside a text object, in source order

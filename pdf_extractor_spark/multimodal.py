@@ -175,7 +175,10 @@ def resize_images(media, out_w: int = 8, out_h: int = 8):
         for pdf in batches:
             ids, pixels = [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
-                kind, arr, _ = decode_payload(bytes(payload))
+                try:
+                    kind, arr, _ = decode_payload(bytes(payload))
+                except Exception:  # corrupt payload: skip row, never fail task
+                    continue
                 h, w = arr.shape
                 ys = (np.arange(out_h + 1) * h // out_h)
                 xs = (np.arange(out_w + 1) * w // out_w)
@@ -218,7 +221,10 @@ def sample_frames(media, every_n: int = 4):
         for pdf in batches:
             ids, idxs, means = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
-                kind, arr, _ = decode_payload(bytes(payload))
+                try:
+                    kind, arr, _ = decode_payload(bytes(payload))
+                except Exception:  # corrupt payload: skip row, never fail task
+                    continue
                 for fi in range(0, arr.shape[0], every_n):
                     ids.append(mid)
                     idxs.append(fi)

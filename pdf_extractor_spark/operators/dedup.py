@@ -314,7 +314,11 @@ def dedup_components(spark, sf_dir):
         "root", F.col("node")
     ).cache()
 
-    for _ in range(20):  # >> diameter of any near-dup cluster
+    # loop to FIXPOINT (changed == 0), not a fixed round count: a chain of
+    # sequentially-edited near-dups has diameter ~cluster size, and exiting
+    # early silently splits one real cluster into several. The cap is only
+    # a runaway backstop far above any plausible diameter.
+    for it in range(1000):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -325,6 +329,10 @@ def dedup_components(spark, sf_dir):
             .select("node", F.least("root", F.coalesce("nroot", "root")).alias("root"))
             .cache()
         )
+        if it % 8 == 7:
+            # truncate lineage periodically or the iterated plan grows
+            # without bound on long chains
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -33,7 +33,7 @@ from pdf_extractor_spark.kernel.spark_kernel import (
     extract_batches,
 )
 
-PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL as PAGES_DDL
 
 
 def stream_extract(

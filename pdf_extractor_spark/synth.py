@@ -228,6 +228,10 @@ def synth_row(seed: int, doc_id: int, heft: int = 1) -> dict:
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
+# single source of truth for the pages-table schema (BASELINE.json
+# input_hint); streaming.py and pages_df both read it from here
+PAGES_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
 
 def synth_pandas(seed: int, doc_ids, heft: int = 1) -> "pd.DataFrame":  # noqa: F821
     """Vectorize synth_row over a doc_id array → pandas DataFrame (pages cols)."""
@@ -252,8 +256,7 @@ def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = No
         for pdf in batches:
             yield synth_pandas(seed, pdf["id"].to_numpy(), heft)
 
-    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
     return (
         spark.range(0, n_docs, numPartitions=num_partitions)
-        .mapInPandas(gen, schema=schema)
+        .mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
     )

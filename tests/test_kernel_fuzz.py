@@ -104,3 +104,28 @@ def test_span_cap_truncates_metadata_not_text(monkeypatch):
     assert capped.truncated
     assert len(capped.span_offsets) == 10
     assert capped.extracted_text == full.extracted_text  # text NEVER truncated
+
+
+def test_indirect_length_ref_not_used_for_slicing():
+    """'/Length 7 0 R' is an indirect object ref — its first number must not
+    slice the stream body."""
+    import zlib
+
+    body = b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (hello world) Tj ET"
+    z = zlib.compress(body)
+    payload = (
+        b"%PDF-1.4\n<< /Filter /FlateDecode /Length 7 0 R >>\nstream\n"
+        + z + b"\nendstream\n%%EOF\n"
+    )
+    text, _ = extract_pdf(payload)
+    assert text == "hello world"
+
+
+def test_unicode_whitespace_not_counted_as_content():
+    """A block of en-spaces around 2 chars must stay below MIN_BLOCK_CHARS."""
+    payload = ("<html><body><p>hi" + " " * 30 + "</p>"
+               "<p>real paragraph with plenty of visible characters here.</p>"
+               "</body></html>").encode()
+    text, _ = extract_html(payload)
+    assert "hi" not in text.split("\n")[0] or len(text.split("\n")) == 1
+    assert text == "real paragraph with plenty of visible characters here."
