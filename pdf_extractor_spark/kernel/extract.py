@@ -44,6 +44,28 @@ class ExtractResult:
     truncated: bool = False  # span list hit MAX_SPANS_PER_DOC
 
 
+# well-known non-text magics seen in crawl payloads
+_BINARY_MAGICS = (
+    b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF", b"\x1f\x8b", b"PK\x03\x04",
+    b"BM", b"\x00\x00\x01\x00", b"OggS", b"fLaC", b"ID3",
+)
+_UTF_BOMS = (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
+
+
+def _is_non_text_binary(raw: bytes) -> bool:
+    """Cheap content sniff: known binary magic, or NUL bytes in the head
+    without a UTF BOM (utf-16 text legitimately contains NULs)."""
+    head = raw[:16]
+    if head.startswith(PDF_MAGIC):  # PDF streams legitimately contain NULs
+        return False
+    for magic in _BINARY_MAGICS:
+        if head.startswith(magic):
+            return True
+    if raw[:3] in _UTF_BOMS or raw[:2] in _UTF_BOMS:
+        return False  # utf-16 text legitimately contains NULs
+    return b"\x00" in raw[:1024]
+
+
 def extract_document(raw: bytes | None) -> ExtractResult:
     """Extract main content from one raw payload. NEVER raises.
 
@@ -55,6 +77,11 @@ def extract_document(raw: bytes | None) -> ExtractResult:
     if raw is None or len(raw) == 0:
         return ExtractResult(parse_status=STATUS_FAILED)
     try:
+        if _is_non_text_binary(raw):
+            # images / archives / NUL-ridden payloads in the html column
+            # (inevitable in crawl data) must be flagged, not decoded into
+            # mojibake 'ok' rows that pollute the corpus
+            return ExtractResult(parse_status=STATUS_FAILED)
         if raw.startswith(PDF_MAGIC):
             text, spans = extract_pdf(raw)
             truncated = len(spans) > MAX_SPANS_PER_DOC

@@ -142,8 +142,8 @@ def _parse_blocks_str(doc: str) -> list[Block]:
     cur = Block(tag="body", depth=0, in_chrome=False, parts=[])
     blocks.append(cur)
 
-    chrome_depth = 0      # >0 → inside a chrome subtree
-    anchor_depth = 0      # >0 → inside <a>
+    chrome_stack: list = []   # open chrome tags; non-empty → inside chrome
+    anchor_depth = 0          # >0 → inside <a>
     stack: list[str] = []
     pos = 0
     n = len(doc)
@@ -184,9 +184,9 @@ def _parse_blocks_str(doc: str) -> list[Block]:
             # allocating (most tag boundaries open empty blocks)
             cur.tag = tag
             cur.depth = len(stack)
-            cur.in_chrome = chrome_depth > 0
+            cur.in_chrome = bool(chrome_stack)
             return
-        cur = Block(tag=tag, depth=len(stack), in_chrome=chrome_depth > 0, parts=[])
+        cur = Block(tag=tag, depth=len(stack), in_chrome=bool(chrome_stack), parts=[])
         blocks.append(cur)
 
     while pos < n:
@@ -201,8 +201,15 @@ def _parse_blocks_str(doc: str) -> list[Block]:
         close_tag, open_tag = m.group(1), m.group(2)
         if close_tag is not None:
             tag = close_tag.lower()
-            if tag in CHROME_TAGS and chrome_depth > 0:
-                chrome_depth -= 1
+            if tag in CHROME_TAGS:
+                # pop only a MATCHING open chrome element — a stray close
+                # tag (routine in crawl HTML) must not zero the chrome
+                # context and leak boilerplate into extracted_text
+                if tag in chrome_stack:
+                    while chrome_stack and chrome_stack[-1] != tag:
+                        chrome_stack.pop()
+                    if chrome_stack:
+                        chrome_stack.pop()
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
             if stack and tag in stack:
@@ -211,6 +218,12 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                 if stack:
                     stack.pop()
             if tag in BLOCK_TAGS or tag in CHROME_TAGS:
+                # closing a block element implicitly closes any unclosed
+                # inline <a> (browser-style recovery: an anchor never spans
+                # block CLOSES; one unclosed <a> must not flag the rest of
+                # the document as link text)
+                if tag != "a":
+                    anchor_depth = 0
                 # closing a block/chrome subtree ends it; following text
                 # belongs to a fresh block at the parent's chrome level
                 open_block(stack[-1] if stack else "div")
@@ -224,12 +237,14 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                 continue
             if tag in CHROME_TAGS:
                 if not self_closing:
-                    chrome_depth += 1
+                    chrome_stack.append(tag)
                 open_block(tag)  # chrome block: collected but never kept
                 continue
             if tag == "a":
                 if not self_closing:
-                    anchor_depth += 1
+                    # nested <a> is invalid HTML — browsers implicitly close
+                    # the previous anchor, so depth is capped at 1
+                    anchor_depth = 1
                 continue
             if tag in BLOCK_TAGS:
                 open_block(tag)

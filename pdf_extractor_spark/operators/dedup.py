@@ -23,11 +23,11 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators.registry import load, register
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
 
 def _norm(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\r\f\x0B]+", " "))
 
 
 # --- exact ---------------------------------------------------------------
@@ -117,7 +117,10 @@ def _shingles(spark, sf_dir):
     "oracle path; the scale path is dedup_minhash_lsh below.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles(spark, sf_dir).cache()
+    # no .cache(): pinned storage would leak across the driver's full query
+    # sweep (nothing ever unpersists); recomputing the shingles inside one
+    # job is cheaper than shrinking executor memory for every later query
+    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -202,7 +205,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     oracle="""
     WITH words AS (
       SELECT DISTINCT doc_id, w
-      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')) AS w
             FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0)
     ),
     bits AS (
@@ -230,7 +233,7 @@ def dedup_simhash(spark, sf_dir):
         .filter((F.col("doc_id") < 100) & (F.length(F.trim("text")) > 0))
     )
     words = (
-        d.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        d.select("doc_id", F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")).alias("w"))
         .distinct()
     )
     bits = words.select(

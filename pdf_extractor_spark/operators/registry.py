@@ -29,6 +29,11 @@ class Op:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp-sensitive ops (string→timestamp casts, date_format, window)
+    # must agree with DuckDB's naive-timestamp semantics regardless of the
+    # DRIVER's session timezone — the external harness builds its own
+    # SparkSession, so pin UTC here (runtime-settable, idempotent)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

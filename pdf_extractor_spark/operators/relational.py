@@ -607,8 +607,8 @@ def x1_format_value(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            trim(regexp_replace(
-             translate(lower(text), '.,;:!?()[]{}"''/\\|', '                 '),
-             '\\s+', ' ', 'g')) AS norm_key
+             translate(lower(text), '.,;:!?()[]{}"''/\|', '                 '),
+             '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm_key
     FROM documents WHERE doc_id < 50
     """,
     doc="normalize_for_comparison: lowercase, punctuation→space, collapse "
@@ -621,7 +621,7 @@ def x2_normalize_key(spark, sf_dir):
         "doc_id",
         F.trim(
             F.regexp_replace(
-                F.translate(F.lower("text"), punct, " " * len(punct)), r"\s+", " "
+                F.translate(F.lower("text"), punct, " " * len(punct)), r"[ \t\n\r\f\x0B]+", " "
             )
         ).alias("norm_key"),
     )
@@ -718,7 +718,7 @@ def x7_filename_stem(spark, sf_dir):
 @register(
     "x8_ws_collapse",
     oracle="""
-    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed
+    SELECT doc_id, trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS collapsed
     FROM documents WHERE doc_id < 40
     """,
     doc="Whitespace collapse ' '.join(text.split()) (reference: fine_tuning/"
@@ -728,7 +728,7 @@ def x8_ws_collapse(spark, sf_dir):
     return (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
-        .select("doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("collapsed"))
+        .select("doc_id", F.trim(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")).alias("collapsed"))
     )
 
 

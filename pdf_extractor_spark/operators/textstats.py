@@ -16,10 +16,10 @@ from pdf_extractor_spark.operators.registry import load, register
 # Same canonical normalization as the kernel / X2 (reference:
 # sync_to_onedrive.py:201-216): lowercase + collapse whitespace.
 def _norm(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\r\f\x0B]+", " "))
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
 # BPE-ish token classes: letter runs, digit runs, single punctuation marks.
 _TOKEN_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -30,7 +30,7 @@ _TOKEN_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     oracle=f"""
     SELECT lang,
            count(*) AS docs,
-           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))) AS BIGINT) AS ws_tokens,
            CAST(sum(len(regexp_extract_all(text, '{_TOKEN_PAT}'))) AS BIGINT) AS bpe_tokens
     FROM documents
     WHERE length(trim(text)) > 0
@@ -44,7 +44,7 @@ def text_token_count(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return d.groupBy("lang").agg(
         F.count("*").alias("docs"),
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws_tokens"),
+        F.sum(F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))).alias("ws_tokens"),
         F.sum(F.regexp_count("text", F.lit(_TOKEN_PAT))).alias("bpe_tokens"),
     )
 
@@ -54,12 +54,12 @@ def text_token_count(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            length(text) AS chars,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+           len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS words,
            len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b')) AS stop_hits,
            round(
              ln(1 + length(text))
              * (1 - len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b'))
-                    / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)),
+                    / CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE)),
              4) AS quality
     FROM documents
     WHERE doc_id < 200 AND length(trim(text)) > 0
@@ -74,7 +74,7 @@ def text_quality(spark, sf_dir):
         .filter((F.col("doc_id") < 200) & (F.length(F.trim("text")) > 0))
     )
     stop_pat = r"\b(data|table|row|value|query)\b"
-    words = F.size(F.split(F.trim("text"), r"\s+"))
+    words = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
     stop_hits = F.regexp_count("text", F.lit(stop_pat))
     quality = F.round(
         F.log(1 + F.length("text")) * (1 - stop_hits / words.cast("double")), 4
@@ -172,7 +172,7 @@ def text_fingerprint(spark, sf_dir):
       WHERE text IS NOT NULL AND length(trim(text)) >= 30
     ),
     hashed AS (
-      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      SELECT *, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS h
       FROM scored
     ),
     deduped AS (
@@ -205,7 +205,7 @@ def training_corpus_pipeline(spark, sf_dir):
         (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1).alias("n_tokens"),
     )
     hashed = scored.withColumn(
-        "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).cast("binary"))
+        "h", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\r\f\x0B]+", " ")).cast("binary"))
     )
     keep = hashed.withColumn("min_id", F.min("doc_id").over(W.partitionBy("h"))).filter(
         F.col("doc_id") == F.col("min_id")

@@ -71,6 +71,11 @@ def run_extraction(
     shuffle_partitions: int | None = None,
 ) -> RunStats:
     """Run (or resume) the extraction job. Returns lineage totals for this run."""
+    # the overwrite below is only safe under DYNAMIC partition overwrite —
+    # static mode would truncate ALREADY-COMMITTED partitions while the
+    # control table still lists them, silently losing their documents on
+    # resume. Enforce it here rather than trusting the caller's session.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     shuffle_n = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     pages_b = with_partition_id(pages, n_buckets)

@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # effective only when THIS builder starts the JVM (tests/bench/
+        # embedded use); under spark-submit the driver JVM already exists —
+        # pass --driver-memory there instead
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

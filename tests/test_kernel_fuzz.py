@@ -129,3 +129,20 @@ def test_unicode_whitespace_not_counted_as_content():
     text, _ = extract_html(payload)
     assert "hi" not in text.split("\n")[0] or len(text.split("\n")) == 1
     assert text == "real paragraph with plenty of visible characters here."
+
+
+def test_binary_payloads_flagged_failed_not_ok():
+    for payload in (
+        b"\x89PNG\r\n\x1a\n" + bytes(range(256)),
+        b"\xff\xd8\xff\xe0JFIF" + bytes(64),
+        b"\x1f\x8b\x08\x00" + bytes(64),
+        b"PK\x03\x04" + bytes(64),
+        b"plain text with an embedded \x00 NUL byte " * 10,
+    ):
+        assert extract_document(payload).parse_status == STATUS_FAILED, payload[:8]
+    # PDFs with NUL-bearing compressed streams must still parse
+    import zlib
+    z = zlib.compress(b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (ok text) Tj ET")
+    pdf = (b"%PDF-1.4\n<< /Filter /FlateDecode /Length " + str(len(z)).encode()
+           + b" >>\nstream\n" + z + b"\nendstream\n%%EOF\n")
+    assert extract_document(pdf).parse_status == STATUS_OK
