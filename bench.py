@@ -88,7 +88,7 @@ def _ensure_pages(spark) -> str:
     return path
 
 
-def _run_extraction(cores: int, pages_path: str, reps: int = 2) -> dict:
+def _run_extraction(cores: int, pages_path: str, reps: int = 3) -> dict:
     """Full extraction job at `cores` parallelism; best of `reps` warmed runs.
 
     One session per level, warmed with a tiny job first (python-worker spawn
