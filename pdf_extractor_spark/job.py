@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--control", required=True, help="control-table parquet dir (checkpoint/lineage)")
     p.add_argument("--n-buckets", type=int, default=64, help="url-hash partition count")
     p.add_argument("--salt-factor", type=int, default=8, help="skew salt fan-out per bucket")
+    p.add_argument("--enrich", metavar="DIR", default=None,
+                   help="also write quality-enriched output (lang/tokens/quality_ok) to DIR")
     p.add_argument("--master", default=None, help="override spark master (default: env/local)")
     args = p.parse_args(argv)
 
@@ -66,6 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         salt_factor=args.salt_factor,
     )
+    if args.enrich:
+        from pdf_extractor_spark.enrich import enrich_extracted
+
+        # one extra codegen projection over the written output — quality
+        # columns for the corpus-filter step, no second UDF pass
+        enrich_extracted(spark.read.parquet(args.output)).write.mode("overwrite").parquet(
+            args.enrich
+        )
+
     wall = time.time() - t0
     print(
         json.dumps(
