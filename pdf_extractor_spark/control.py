@@ -80,10 +80,11 @@ def append_commits_rows(rows, control_dir: str) -> None:
     # (hdfs://, s3a://, …) must go through Spark's Hadoop FS layer or the
     # commit lands on the driver's disk and resume silently re-runs
     # everything. file:// and bare paths stay on the fast local path.
-    if _re.match(r"^[a-z0-9]+://", control_dir) and not control_dir.startswith("file://"):
+    scheme_m = _re.match(r"^[a-z0-9+.-]+://", control_dir, _re.IGNORECASE)
+    if scheme_m and not control_dir.lower().startswith("file://"):
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         (
             spark.createDataFrame(
                 [

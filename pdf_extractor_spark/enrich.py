@@ -35,9 +35,17 @@ MAX_PUNCT_RATIO = 0.25
 MAX_UPPER_RATIO = 0.5
 
 
+_WS = r"[ \t\n\r\f\x0B]"  # same explicit class as the rest of the engine
+
+
 def _count_word(col, word: str):
-    # word-boundary count, codegen-friendly
-    return F.size(F.split(F.concat(F.lit(" "), col, F.lit(" ")), rf"\s{word}\s")) - 1
+    # lookaround boundaries so the shared separator between adjacent
+    # occurrences ("the the the") isn't consumed — a split-based count
+    # collapses each adjacent pair and undercounts the vote
+    return F.regexp_count(
+        F.concat(F.lit(" "), col, F.lit(" ")),
+        F.lit(rf"(?<={_WS}){word}(?={_WS})"),
+    )
 
 
 def enrich_extracted(extracted: DataFrame, text_col: str = "extracted_text") -> DataFrame:

@@ -44,10 +44,13 @@ class ExtractResult:
     truncated: bool = False  # span list hit MAX_SPANS_PER_DOC
 
 
-# well-known non-text magics seen in crawl payloads
+# well-known non-text magics seen in crawl payloads. Only unambiguous
+# prefixes: short ASCII magics (BM, ID3, RIFF, OggS, fLaC) collide with
+# ordinary text ("BMW announced…", "ID3 tags are…") — those containers are
+# caught by the NUL-in-head check below instead.
 _BINARY_MAGICS = (
-    b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF", b"\x1f\x8b", b"PK\x03\x04",
-    b"BM", b"\x00\x00\x01\x00", b"OggS", b"fLaC", b"ID3",
+    b"\x89PNG", b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"\x1f\x8b",
+    b"PK\x03\x04", b"\x00\x00\x01\x00",
 )
 _UTF_BOMS = (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff")
 

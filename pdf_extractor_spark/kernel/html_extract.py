@@ -144,6 +144,7 @@ def _parse_blocks_str(doc: str) -> list[Block]:
 
     chrome_stack: list = []   # open chrome tags; non-empty → inside chrome
     anchor_depth = 0          # >0 → inside <a>
+    anchor_start_depth = 0    # len(stack) when the open <a> was seen
     stack: list[str] = []
     pos = 0
     n = len(doc)
@@ -210,6 +211,9 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                         chrome_stack.pop()
                     if chrome_stack:
                         chrome_stack.pop()
+                    # leaving a chrome subtree also ends any anchor opened
+                    # inside it
+                    anchor_depth = 0
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
             if stack and tag in stack:
@@ -217,13 +221,15 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                     stack.pop()
                 if stack:
                     stack.pop()
-            if tag in BLOCK_TAGS or tag in CHROME_TAGS:
-                # closing a block element implicitly closes any unclosed
-                # inline <a> (browser-style recovery: an anchor never spans
-                # block CLOSES; one unclosed <a> must not flag the rest of
-                # the document as link text)
-                if tag != "a":
+                # closing a block that CONTAINS the open <a> implicitly
+                # closes the anchor (one unclosed <a> must not flag the rest
+                # of the document as link text) — but an anchor that itself
+                # WRAPS block children (HTML5-legal promo cards:
+                # <a><div>…</div>more</a>) survives its children's closes,
+                # so their text still counts as link text.
+                if anchor_depth > 0 and len(stack) < anchor_start_depth:
                     anchor_depth = 0
+            if tag in BLOCK_TAGS or tag in CHROME_TAGS:
                 # closing a block/chrome subtree ends it; following text
                 # belongs to a fresh block at the parent's chrome level
                 open_block(stack[-1] if stack else "div")
@@ -245,6 +251,7 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                     # nested <a> is invalid HTML — browsers implicitly close
                     # the previous anchor, so depth is capped at 1
                     anchor_depth = 1
+                    anchor_start_depth = len(stack)
                 continue
             if tag in BLOCK_TAGS:
                 open_block(tag)

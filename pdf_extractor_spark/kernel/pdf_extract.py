@@ -34,8 +34,10 @@ _STREAM_RE = re.compile(
 )
 # direct /Length only: '/Length 7 0 R' is an INDIRECT object reference whose
 # first number is an object id, not a byte count — slicing by it would
-# destroy the stream. Indirect refs fall back to the regex-matched body.
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R\b)")
+# destroy the stream. (?!\d) pins the capture to the FULL number first;
+# without it, backtracking shrinks '70' to '7' so the R-lookahead passes
+# and a prefix of the object id is misread as the length.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R\b)")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
 # operators inside a text object, in source order

@@ -320,8 +320,10 @@ def dedup_components(spark, sf_dir):
     # loop to FIXPOINT (changed == 0), not a fixed round count: a chain of
     # sequentially-edited near-dups has diameter ~cluster size, and exiting
     # early silently splits one real cluster into several. The cap is only
-    # a runaway backstop far above any plausible diameter.
-    for it in range(1000):
+    # a runaway backstop far above any plausible diameter. Each round's
+    # labels are eagerly localCheckpoint-ed: lineage stays O(1) per round
+    # and no cached handles pile up across iterations.
+    for _ in range(1000):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -330,12 +332,8 @@ def dedup_components(spark, sf_dir):
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select("node", F.least("root", F.coalesce("nroot", "root")).alias("root"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        if it % 8 == 7:
-            # truncate lineage periodically or the iterated plan grows
-            # without bound on long chains
-            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -348,8 +346,15 @@ def dedup_components(spark, sf_dir):
         if changed == 0:
             break
 
-    return labels.groupBy("root").agg(
+    result = labels.groupBy("root").agg(
         F.min("root").cast("long").alias("component"),
         F.count("*").cast("long").alias("cluster_size"),
         F.min("node").cast("long").alias("keep_doc"),
     ).drop("root")
+    # materialize (≤ clusters rows) so every pinned block — edges cache,
+    # final checkpoint — can be released before returning
+    rows = result.collect()
+    schema = result.schema
+    edges.unpersist()
+    labels.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -29,12 +29,24 @@ class Op:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # timestamp-sensitive ops (string→timestamp casts, date_format, window)
-    # must agree with DuckDB's naive-timestamp semantics regardless of the
-    # DRIVER's session timezone — the external harness builds its own
-    # SparkSession, so pin UTC here (runtime-settable, idempotent)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap an op builder so the session runs it under UTC.
+
+    Timestamp-sensitive ops (string→timestamp casts, date_format, window)
+    must agree with DuckDB's naive-timestamp semantics; the external
+    harness builds its OWN SparkSession with an arbitrary timezone. The
+    pin lives here at the operator boundary — not inside load() — so plain
+    table reads don't mutate the caller's session as a side effect.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 _REGISTRY: dict[str, Op] = {}
@@ -44,7 +56,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: @register("q1", oracle="SELECT ...")."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Op(name=name, build=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Op(name=name, build=_pin_utc(fn), oracle=oracle, doc=doc)
         return fn
 
     return wrap

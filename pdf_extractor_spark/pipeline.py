@@ -81,9 +81,14 @@ def run_extraction(
     pages_b = with_partition_id(pages, n_buckets)
 
     committed = ctl.committed_partitions(spark, control_dir)
-    # committed ids are also needed driver-side (≤ n_buckets rows) to prune
-    # the metrics read-back after the write
+    # committed ids are also needed driver-side (≤ n_buckets rows): to skip
+    # the job entirely when everything is committed, and to prune the
+    # metrics read-back after the write
     committed_ids = {r.partition_id for r in committed.collect()}
+    if len(committed_ids) >= n_buckets:
+        # fully-committed resume: return WITHOUT building the plan — the
+        # anti-join would still scan the whole input to write nothing
+        return RunStats(0, 0, 0, 0)
     todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
 
     # Kernel first, on scan splits: parallelism = input bytes / split size,

@@ -146,3 +146,25 @@ def test_binary_payloads_flagged_failed_not_ok():
     pdf = (b"%PDF-1.4\n<< /Filter /FlateDecode /Length " + str(len(z)).encode()
            + b" >>\nstream\n" + z + b"\nendstream\n%%EOF\n")
     assert extract_document(pdf).parse_status == STATUS_OK
+
+
+def test_multidigit_indirect_length_ref():
+    """'/Length 70 0 R': backtracking must not shrink the capture to '7'."""
+    import zlib
+
+    body = b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (hello world) Tj ET"
+    z = zlib.compress(body)
+    payload = (b"%PDF-1.4\n<< /Filter /FlateDecode /Length 70 0 R >>\nstream\n"
+               + z + b"\nendstream\n%%EOF\n")
+    text, _ = extract_pdf(payload)
+    assert text == "hello world"
+
+
+def test_short_ascii_magics_are_not_binary():
+    for text in (b"BMW announced a new electric vehicle today in a press release.",
+                 b"ID3 tags are metadata containers used in audio files and more.",
+                 b"RIFF on this idea: plain text that starts with a container name.",
+                 b"GIF8 is not a full magic; GIF87a/GIF89a are the real ones okay."):
+        payload = b"<html><body><p>" + text + b"</p></body></html>"
+        r = extract_document(payload)
+        assert r.parse_status == STATUS_OK, payload[:12]

@@ -48,6 +48,8 @@ SUBSET = [
     "x16_numbered_pattern",
     "t6_session_window",
     "ann_ivf_probe",
+    "dedup_components",
+    "training_corpus_pipeline",
 ]
 
 
