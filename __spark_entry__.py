@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: op.build for name, op in sorted(all_ops().items())
     }
     out["extract_pages"] = _extract_pages_query
+    out["extract_enrich_quality"] = _extract_enrich_query
     return out
 
 
@@ -67,4 +68,26 @@ def _extract_pages_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_df(spark, 300, seed=42)
     return run_kernel(pages).select(
         "url", "extracted_text", "parse_status", F.size("span_offsets").alias("n_spans")
+    )
+
+
+def _extract_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction → quality enrichment, aggregated (rows-only: the Arrow
+    kernel feeding it is not SQL-expressible; enrichment itself is pure
+    column expressions gated by tests/test_enrich.py)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.enrich import enrich_extracted
+    from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+    from pdf_extractor_spark.synth import pages_df
+
+    enriched = enrich_extracted(run_kernel(pages_df(spark, 300, seed=42)))
+    return (
+        enriched.groupBy("parse_status", "quality_ok")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+        )
+        .orderBy("parse_status", "quality_ok")
     )
