@@ -1061,3 +1061,49 @@ def t6_session_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@register(
+    "g1_grouped_trend",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(regr_slope(value, epoch(ts)), 6) AS slope
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+    doc="Per-group regression slope via applyInPandas (grouped-map Pandas "
+    "UDF — the API shape for per-group numpy/scipy logic that column "
+    "expressions can't reach; reference analog: per-document python loops "
+    "like validation/model_validator.py:144-182 re-expressed per GROUP). "
+    "One shuffle on the group key; each group is a single in-memory pandas "
+    "frame, so group cardinality must be bounded (events-per-user here). "
+    "Cross-checked against DuckDB's closed-form regr_slope: the kernel "
+    "computes cov(x,y)/var(x) in float64 — same formula, same rounding.",
+)
+def g1_grouped_trend(spark, sf_dir):
+    import pandas as pd
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        y = pdf["value"].to_numpy(dtype="float64")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"user_id": [], "n": [], "slope": []})
+        xm, ym = x.mean(), y.mean()
+        varx = ((x - xm) ** 2).sum()
+        slope = (((x - xm) * (y - ym)).sum() / varx) if varx != 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "slope": [round(slope, 6) if slope is not None else None],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return ev.groupBy("user_id").applyInPandas(
+        trend, schema="user_id long, n long, slope double"
+    )

@@ -50,6 +50,7 @@ SUBSET = [
     "ann_ivf_probe",
     "dedup_components",
     "training_corpus_pipeline",
+    "g1_grouped_trend",
 ]
 
 
