@@ -56,8 +56,12 @@ HEADLINE_QUERIES = [
     "w1_reading_order",     # window: reading-order reconstruction analog
     "dedup_exact",          # exact dedup over documents
     "dedup_minhash_lsh",    # MinHash+LSH near-dup over documents
+    "dedup_components",     # LSH pairs → transitive clusters (iterative)
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
+    "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
     "text_quality",         # quality scoring over documents
+    "training_corpus_pipeline",  # filter → dedup → stats chain
+    "t6_session_window",    # gap-based sessionization
 ]
 
 
