@@ -168,3 +168,22 @@ def test_short_ascii_magics_are_not_binary():
         payload = b"<html><body><p>" + text + b"</p></body></html>"
         r = extract_document(payload)
         assert r.parse_status == STATUS_OK, payload[:12]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.sampled_from(["nav", "footer", "header", "aside", "form"]),
+    st.integers(0, 3),
+)
+def test_chrome_text_never_leaks(chrome_tag, n_links):
+    """Well-formed chrome subtrees NEVER contribute to extracted_text."""
+    marker = "ZZCHROMEMARKERZZ boilerplate navigation words everywhere here"
+    links = "".join(f"<a href='/{i}'>link {i}</a>" for i in range(n_links))
+    payload = (
+        f"<html><body><{chrome_tag}><p>{marker}</p>{links}</{chrome_tag}>"
+        f"<p>Genuine article content paragraph with plenty of characters.</p>"
+        f"</body></html>"
+    ).encode()
+    text, _ = extract_html(payload)
+    assert "ZZCHROMEMARKERZZ" not in text
+    assert "Genuine article content" in text
