@@ -2,7 +2,16 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
+
+# bare `pytest` puts only tests/ on sys.path; bootstrap the repo root like
+# every other entry point so the suite loads under any invocation
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pdf_extractor_spark.session import get_spark
 

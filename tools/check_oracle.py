@@ -13,12 +13,13 @@ Usage: python tools/check_oracle.py [sf_dir] [only_name_substr]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_extractor_spark.operators.registry import TABLES  # noqa: E402
 from pdf_extractor_spark.session import get_spark  # noqa: E402
@@ -41,13 +42,14 @@ def canon_cell(v) -> str:
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon_rows = sorted(
-        "|".join(canon_cell(r[i]) for i in order) for r in rows
-    )
+    return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
     h = hashlib.sha256()
-    for line in canon_rows:
+    for line in canon_rows(cols, rows):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
@@ -107,11 +109,9 @@ def main() -> int:
             hd = value_hash(d_cols, d_rows)
             if hs != hd:
                 problems.append(f"valuehash spark={hs} duck={hd}")
-                # show a sample diff
-                order_s = sorted(range(len(s_cols_l)), key=lambda i: s_cols_l[i])
-                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                ss = sorted("|".join(canon_cell(r[i]) for i in order_s) for r in s_rows)
-                dd = sorted("|".join(canon_cell(r[i]) for i in order_d) for r in d_rows)
+                # show a sample diff (same canonicalization as the hash)
+                ss = canon_rows(s_cols_l, s_rows)
+                dd = canon_rows(d_cols, d_rows)
                 for a, b in zip(ss, dd):
                     if a != b:
                         problems.append(f"  first diff:\n   spark: {a[:200]}\n   duck : {b[:200]}")

@@ -20,7 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def build(out_path: str) -> str:
     pkg = os.path.join(REPO, "pdf_extractor_spark")
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
+        for root, dirs, files in os.walk(pkg):
+            dirs.sort()  # deterministic archive bytes across filesystems
             if "__pycache__" in root:
                 continue
             for fn in sorted(files):
