@@ -63,15 +63,18 @@ _CHARSET_RE = re.compile(
 
 _WS_RE = re.compile(r"\s+")
 
+# WHATWG encoding rule: latin-1 / iso-8859-1 / ascii labels decode as
+# windows-1252 (browsers do this; real pages labelled latin-1 routinely
+# carry cp1252 smart quotes / dashes in 0x80-0x9F)
 _KNOWN_ENCODINGS = {
     "utf-8": "utf-8",
     "utf8": "utf-8",
-    "latin-1": "latin-1",
-    "latin1": "latin-1",
-    "iso-8859-1": "latin-1",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "iso-8859-1": "cp1252",
     "windows-1252": "cp1252",
     "cp1252": "cp1252",
-    "ascii": "ascii",
+    "ascii": "cp1252",
 }
 
 
@@ -272,6 +275,11 @@ def extract_html(raw: bytes) -> tuple[str, list[tuple[int, int]]]:
     blocks = _parse_blocks(raw)
 
     kept: list[str] = []
+    # Headings are DEFERRED: a heading earns its place only if body content
+    # follows it before the next heading — otherwise it's the title of a
+    # dropped boilerplate section ("Related stories", "Comments",
+    # "Customers also bought") and must fall with its section.
+    pending_headings: list[str] = []
     for b in blocks:
         if b.in_chrome or b.total_chars == 0:
             continue
@@ -280,13 +288,20 @@ def extract_html(raw: bytes) -> tuple[str, list[tuple[int, int]]]:
             continue
         link_density = b.anchor_chars / b.total_chars
         if link_density > MAX_LINK_DENSITY:
+            # a link-dense block right after a pending heading marks it as
+            # the title OF that link section — content appearing later must
+            # not rescue it
+            pending_headings = []
             continue
         if b.tag in HEADING_TAGS:
             if b.total_chars >= MIN_HEADING_CHARS:
-                kept.append(txt)
+                pending_headings = [txt]  # a newer heading supersedes
             continue
         if b.total_chars >= MIN_BLOCK_CHARS:
+            kept.extend(pending_headings)
+            pending_headings = []
             kept.append(txt)
+    # trailing headings with no section body are dropped
 
     extracted = "\n".join(kept)
     spans: list[tuple[int, int]] = []

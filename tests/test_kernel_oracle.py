@@ -83,7 +83,8 @@ def test_link_density_threshold():
 
 
 def test_charset_sniff_and_latin1():
-    assert sniff_encoding(b'<meta charset="ISO-8859-1">') == "latin-1"
+    # WHATWG rule: iso-8859-1 labels decode as windows-1252 (browser behavior)
+    assert sniff_encoding(b'<meta charset="ISO-8859-1">') == "cp1252"
     assert sniff_encoding(b"no meta here") == "utf-8"
     doc = '<html><head><meta charset="iso-8859-1"></head><body><p>Caf\xe9 r\xe9sum\xe9 and more text to pass the minimum.</p></body></html>'
     text, _ = extract_html(doc.encode("latin-1"))
