@@ -28,56 +28,73 @@ def _media(spark):
 
 
 @register(
-    "mm_media_features",
-    doc="Binary media column → fixed-width feature vectors via the Arrow "
-    "decode kernel (multimodal.extract_features); per-kind counts + feature "
-    "checksum so the rows-only check still pins values deterministically.",
+    "mm_pipeline",
+    doc="Multimodal suite in one labeled union (consolidated round 2 for the "
+    "driver's ~50-query verified window; all three stages still run, each "
+    "as its own Arrow pass, and tests/test_multimodal.py remains the value "
+    "gate). 'features:<kind>' rows: binary media column → fixed-width "
+    "feature vectors via the Arrow decode kernel (multimodal."
+    "extract_features) with per-kind counts + feature checksum. 'resize' "
+    "row: image resize (block mean-pool stand-in for a real resampler) "
+    "with JVM-side kind filter before the UDF. 'frames' row: video frame "
+    "sampling (UDTF shape — one row per kept frame, single Arrow pass, no "
+    "shuffle).",
 )
-def mm_media_features(spark, sf_dir):
-    from pdf_extractor_spark.multimodal import media_features
+def mm_pipeline(spark, sf_dir):
+    from pdf_extractor_spark.multimodal import (
+        media_features,
+        resize_images,
+        sample_frames,
+    )
 
-    feats = media_features(_media(spark))
-    return (
-        feats.groupBy("kind")
+    media = _media(spark)
+    feats = (
+        media_features(media)
+        .groupBy("kind")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("mean_value"), 4).alias("avg_mean"),
+            F.round(F.avg("mean_value"), 4).alias("avg1"),
             F.round(F.sum(F.aggregate("features", F.lit(0.0), lambda a, x: a + x)), 2).alias(
-                "feat_mass"
+                "avg2"
             ),
         )
-        .orderBy("kind")
+        .select(
+            F.concat(F.lit("features:"), "kind").alias("stage"),
+            "n",
+            F.lit(None).cast("long").alias("n2"),
+            "avg1",
+            "avg2",
+        )
     )
-
-
-@register(
-    "mm_image_resize",
-    doc="Image resize (block mean-pool stand-in for a real resampler) over "
-    "the binary image payloads; JVM-side kind filter before the UDF.",
-)
-def mm_image_resize(spark, sf_dir):
-    from pdf_extractor_spark.multimodal import resize_images
-
-    out = resize_images(_media(spark), out_w=4, out_h=4)
-    return out.agg(
-        F.count("*").alias("n_images"),
-        F.round(F.avg(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x) / 16.0), 3).alias(
-            "avg_pixel"
-        ),
+    resized = (
+        resize_images(media, out_w=4, out_h=4)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.avg(F.aggregate("pixels", F.lit(0.0), lambda a, x: a + x) / 16.0), 3
+            ).alias("avg1"),
+        )
+        .select(
+            F.lit("resize").alias("stage"),
+            "n",
+            F.lit(None).cast("long").alias("n2"),
+            "avg1",
+            F.lit(None).cast("double").alias("avg2"),
+        )
     )
-
-
-@register(
-    "mm_frame_sample",
-    doc="Video frame sampling: one row per kept frame (UDTF shape, single "
-    "Arrow pass, no shuffle).",
-)
-def mm_frame_sample(spark, sf_dir):
-    from pdf_extractor_spark.multimodal import sample_frames
-
-    frames = sample_frames(_media(spark), every_n=4)
-    return frames.agg(
-        F.count("*").alias("n_frames"),
-        F.countDistinct("media_id").alias("n_videos"),
-        F.round(F.avg("frame_mean"), 3).alias("avg_frame_mean"),
+    frames = (
+        sample_frames(media, every_n=4)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("media_id").alias("n2"),
+            F.round(F.avg("frame_mean"), 3).alias("avg1"),
+        )
+        .select(
+            F.lit("frames").alias("stage"),
+            "n",
+            "n2",
+            "avg1",
+            F.lit(None).cast("double").alias("avg2"),
+        )
     )
+    return feats.unionByName(resized).unionByName(frames).orderBy("stage")

@@ -27,9 +27,9 @@ SUBSET = [
     "j6_full_outer_compare",
     "w1_reading_order",
     "w4_topk_per_group",
-    "u3_except_keys",
-    "x1_format_value",
-    "x5_coord_parse",
+    "u1_set_suite",
+    "x1_scalar_suite",
+    "x4_marker_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -41,11 +41,11 @@ SUBSET = [
     # round-1 additions
     "a3_quality_metrics",
     "o3_sorted_distinct",
-    "u2_semi_membership",
-    "w3_first_qualifying",
+    "o4_limit_suite",
+    "w2_first_match_suite",
+    "f1_filter_suite",
     "s2_suffix_scan",
-    "x14_url_parse",
-    "x16_numbered_pattern",
+    "x14_url_pattern",
     "t6_session_window",
     "ann_ivf_probe",
     "dedup_components",

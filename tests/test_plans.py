@@ -94,17 +94,18 @@ def test_dim_join_broadcasts(spark):
 
 
 def test_topk_is_take_ordered(spark):
-    """o5: global top-k must plan TakeOrderedAndProject, not a full sort."""
+    """o4 suite: both limit legs must plan TakeOrderedAndProject, not a full
+    sort."""
     from pdf_extractor_spark.operators.registry import all_ops
 
-    plan = _plan(all_ops()["o5_global_topk"].build(spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan
+    plan = _plan(all_ops()["o4_limit_suite"].build(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2
 
 
 def test_whole_stage_codegen_covers_scalar_ops(spark):
-    """x1: pure column expressions stay inside WholeStageCodegen."""
+    """x1 suite: pure column expressions stay inside WholeStageCodegen."""
     from pdf_extractor_spark.operators.registry import all_ops
 
-    plan = _plan(all_ops()["x1_format_value"].build(spark, SF_DIR))
+    plan = _plan(all_ops()["x1_scalar_suite"].build(spark, SF_DIR))
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(1)" in plan
