@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-factor", type=int, default=8, help="skew salt fan-out per bucket")
     p.add_argument("--enrich", metavar="DIR", default=None,
                    help="also write quality-enriched output (lang/tokens/quality_ok) to DIR")
+    p.add_argument("--training-out", metavar="DIR", default=None,
+                   help="also write chat-format JSONL training examples to DIR")
+    p.add_argument("--min-examples", type=int, default=10,
+                   help="fail if fewer training examples than this (with --training-out)")
     p.add_argument("--master", default=None, help="override spark master (default: env/local)")
     args = p.parse_args(argv)
 
@@ -76,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
         enrich_extracted(spark.read.parquet(args.output)).write.mode("overwrite").parquet(
             args.enrich
         )
+
+    if args.training_out:
+        from pdf_extractor_spark.pipeline import TooFewExamplesError, write_training_examples
+
+        try:
+            write_training_examples(
+                spark, args.output, args.training_out, min_examples=args.min_examples
+            )
+        except TooFewExamplesError as exc:
+            # A9 gate (reference: finetune_commands/train.py:276-281)
+            print(f"error: {exc}", file=sys.stderr)
+            return 3
 
     wall = time.time() - t0
     print(

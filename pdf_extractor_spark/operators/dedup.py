@@ -351,10 +351,15 @@ def dedup_components(spark, sf_dir):
         F.count("*").cast("long").alias("cluster_size"),
         F.min("node").cast("long").alias("keep_doc"),
     ).drop("root")
-    # materialize (≤ clusters rows) so every pinned block — edges cache,
-    # final checkpoint — can be released before returning
-    rows = result.collect()
-    schema = result.schema
+    # Materialize DISTRIBUTED (executor block storage), never on the driver:
+    # cluster count is O(corpus) — at 10^12 docs the final cluster table is
+    # billions of rows, so a collect() here would be the scale-killer in an
+    # otherwise shuffle-per-round plan. localCheckpoint(eager=True) cuts the
+    # lineage at the aggregated result with one distributed job, after which
+    # every upstream pinned block (edges cache, per-round label checkpoints)
+    # can be released before returning. No action in this operator ever
+    # returns more than the 0/1 rows of the convergence probes to the driver.
+    out = result.localCheckpoint(eager=True)
     edges.unpersist()
     labels.unpersist()
-    return spark.createDataFrame(rows, schema)
+    return out

@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_ops() -> dict[str, Op]:
     # import for side effects: modules self-register
+    from pdf_extractor_spark import annotate  # noqa: F401
     from pdf_extractor_spark.operators import (  # noqa: F401
         dedup,
         media,

@@ -163,6 +163,59 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "training_examples",
+    oracle=r"""
+    SELECT doc_id, CAST(to_json(struct_pack(messages := list_value(
+      struct_pack(role := 'user',
+                  content := 'Extract the fields from:' || chr(10) ||
+                             trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))),
+      struct_pack(role := 'assistant',
+                  content := CAST(to_json(struct_pack(doc_id := doc_id, lang := lang)) AS VARCHAR))
+    ))) AS VARCHAR) AS example
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) >= 30
+    """,
+    doc="Chat-format training examples (S9/X11): one JSON object per kept "
+    "document — messages = [user prompt + whitespace-collapsed content, "
+    "assistant = JSON of the extracted fields] exactly as the reference "
+    "builds fine-tune rows (reference: fine_tuning/data_processor.py:"
+    "104-116, prompt assembly :150-199; whitespace collapse :48). "
+    "to_json(struct(array(struct...))) is byte-identical between Spark and "
+    "DuckDB's to_json(struct_pack(list_value(...))) — verified as part of "
+    "the value-hash gate. Structural-validity filter = F8 (reference: "
+    "train.py:142-159). The JSONL sink (write.text) + the min-10-examples "
+    "gate (A9, reference: train.py:276-281) live in job.py "
+    "--training-out; gated by tests/test_pipeline.py.",
+)
+def training_examples(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) >= 30)
+    )
+    fields = F.struct(F.col("doc_id").alias("doc_id"), F.col("lang").alias("lang"))
+    return d.select("doc_id", build_training_example(F.col("text"), fields).alias("example"))
+
+
+def build_training_example(text_col, assistant_fields_struct):
+    """Chat-format example column expr (shared by the query and the job sink).
+
+    Pure column expressions — codegen, no UDF; the reference's per-doc
+    json.dumps loop (data_processor.py:202-230) becomes one projection.
+    `assistant_fields_struct` is an F.struct of aliased columns serialized
+    as the assistant's JSON answer.
+    """
+    collapsed = F.trim(F.regexp_replace(text_col, r"[ \t\n\r\f\x0B]+", " "))
+    user = F.struct(
+        F.lit("user").alias("role"),
+        F.concat(F.lit("Extract the fields from:\n"), collapsed).alias("content"),
+    )
+    assistant = F.struct(
+        F.lit("assistant").alias("role"),
+        F.to_json(assistant_fields_struct).alias("content"),
+    )
+    return F.to_json(F.struct(F.array(user, assistant).alias("messages")))
+
+
+@register(
     "training_corpus_pipeline",
     oracle="""
     WITH scored AS (

@@ -157,6 +157,42 @@ def run_extraction(
     )
 
 
+class TooFewExamplesError(RuntimeError):
+    """Raised when the training sink has fewer examples than the gate allows."""
+
+
+def write_training_examples(
+    spark: SparkSession, extracted_dir: str, training_dir: str, min_examples: int = 10
+) -> int:
+    """S9/X11/A9: chat-format JSONL training sink over the extraction output.
+
+    One JSON object per line (reference: fine_tuning/data_processor.py:
+    104-116 chat pairs, :202-230 JSONL writer, :232-249 stale-file cleanup →
+    overwrite mode), built as one codegen projection (to_json(struct(...)))
+    and written with write.text — no driver-side loop, no UDF. The
+    min-examples gate mirrors reference train.py:276-281 and fails BEFORE
+    any file is written. Returns the number of examples written.
+    """
+    from pdf_extractor_spark.operators.textstats import build_training_example
+
+    examples = (
+        spark.read.parquet(extracted_dir)
+        .filter((F.col("parse_status") == "ok") & (F.length("extracted_text") > 0))
+        .select(
+            build_training_example(
+                F.col("extracted_text"), F.struct(F.col("url").alias("url"))
+            ).alias("value")
+        )
+    )
+    n_examples = examples.count()
+    if n_examples < min_examples:
+        raise TooFewExamplesError(
+            f"only {n_examples} training examples (< {min_examples} required)"
+        )
+    examples.write.mode("overwrite").text(training_dir)
+    return n_examples
+
+
 def _kernel_with_pid(batches):
     """Kernel wrapper that carries partition_id through the Arrow boundary."""
     for pdf in batches:

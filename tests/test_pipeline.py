@@ -110,6 +110,42 @@ def test_partial_commit_resume(spark, tmp_path):
     assert out.select("url").distinct().count() == 400
 
 
+def test_training_examples_sink(spark, out_dirs, tmp_path):
+    """S9/X11/A9: JSONL sink emits one parseable chat-format object per kept
+    doc, round-trips the extracted text byte-exactly, and the min-examples
+    gate fails fast without writing."""
+    import json
+
+    from pdf_extractor_spark.pipeline import TooFewExamplesError, write_training_examples
+
+    out_dir, _ = out_dirs  # written by test_end_to_end_with_control
+    train_dir = str(tmp_path / "training")
+    n = write_training_examples(spark, out_dir, train_dir, min_examples=10)
+
+    ok_rows = {
+        r.url: r.extracted_text
+        for r in spark.read.parquet(out_dir)
+        .filter((F.col("parse_status") == "ok") & (F.length("extracted_text") > 0))
+        .collect()
+    }
+    lines = [r.value for r in spark.read.text(train_dir).collect()]
+    assert n == len(lines) == len(ok_rows)
+    ex = json.loads(lines[0])
+    assert [m["role"] for m in ex["messages"]] == ["user", "assistant"]
+    url = json.loads(ex["messages"][1]["content"])["url"]
+    # user content carries the whitespace-collapsed extracted text verbatim
+    collapsed = " ".join(ok_rows[url].split())
+    assert ex["messages"][0]["content"] == "Extract the fields from:\n" + collapsed
+
+    # A9 gate: demanding more examples than exist fails WITHOUT writing
+    gate_dir = str(tmp_path / "training_gate")
+    with pytest.raises(TooFewExamplesError):
+        write_training_examples(spark, out_dir, gate_dir, min_examples=len(ok_rows) + 1)
+    import os
+
+    assert not os.path.exists(gate_dir)
+
+
 def test_skew_spread(spark):
     """Heavy-hitter hosts must not serialize onto one task: with salting,
     the max task share of the hot partition stays bounded."""

@@ -102,6 +102,20 @@ def test_topk_is_take_ordered(spark):
     assert plan.count("TakeOrderedAndProject") >= 2
 
 
+def test_dedup_components_result_is_distributed(spark):
+    """dedup_components must never materialize clusters on the driver:
+    cluster count is O(corpus), so the returned plan must be a distributed
+    (checkpointed) scan — not a LocalTableScan re-parallelized from a
+    driver-side collect()."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["dedup_components"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    # localCheckpoint scans executor block storage
+    assert "ExistingRDD" in plan or "Scan" in plan
+
+
 def test_whole_stage_codegen_covers_scalar_ops(spark):
     """x1 suite: pure column expressions stay inside WholeStageCodegen."""
     from pdf_extractor_spark.operators.registry import all_ops
