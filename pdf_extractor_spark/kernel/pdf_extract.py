@@ -1,15 +1,28 @@
 """PDF layout parse: positioned glyph runs → reading-order text.
 
-A from-scratch parser for uncompressed PDF content streams (the kind our
-deterministic synthesizer emits and the kind any pre-inflated WARC payload
-yields). It extracts positioned text runs from `BT ... ET` text objects —
-`Tf` (font size), `Td`/`TD`/`Tm` (positioning), `Tj`/`TJ`/`'` (show text) —
-then reconstructs reading order exactly like the reference does for PyMuPDF
+A from-scratch parser for PDF content streams (uncompressed or FlateDecode,
+as found in pre-inflated WARC payloads). It extracts positioned text runs
+from `BT ... ET` text objects — `Tf` (font size), `Td`/`TD`/`Tm`
+(positioning), `TL` (leading), `Tj`/`'` (show string), `TJ` (array show
+with kerning adjustments), literal `(...)` and hex `<...>` strings — then
+reconstructs reading order exactly like the reference does for PyMuPDF
 span dicts: group runs into visual lines by (page, rounded y), sort lines
 top-to-bottom, runs within a line left-to-right, join pages with '\n'
 (reference: finetune_commands/excel2training.py:282-316 for the line
 grouping/sorting; services/pdf_service.py:38 for the '\n' page join;
 span dict shape at services/pdf_service.py:21-36).
+
+Document structure: when the payload carries a real page tree
+(`N 0 obj << /Type /Page /Contents ... >>`), pages come from walking
+Catalog → /Pages → /Kids in order and each page's /Contents refs (one page
+may concatenate several streams). Legacy payloads without an object
+structure fall back to one-content-stream-per-page in byte order.
+
+Out of scope (documented boundary, not silent loss): font encodings /
+CMaps — string bytes decode as latin-1, which is exact for the synthetic
+fixtures and the common WinAnsi range; a subset-embedded font with a
+custom CMap would need the /ToUnicode table the reference gets free from
+PyMuPDF (reference services/pdf_service.py:16).
 
 Numpy lexsort does the ordering so the whole page sorts in one vectorized
 call — no per-span Python comparisons.
@@ -28,6 +41,11 @@ PDF_MAGIC = b"%PDF-"
 # (the reference rounds y to integer: excel2training.py:289 `round(y0)`).
 LINE_Y_QUANTUM = 1.0
 
+# TJ kerning adjustments are in -1/1000 em units; a gap wider than this is
+# a word break (space), anything smaller is intra-word kerning. 180/1000 em
+# is the conventional word-gap threshold text extractors use.
+TJ_SPACE_THRESHOLD = 180.0
+
 # optional stream dictionary (for /Filter detection) + stream body
 _STREAM_RE = re.compile(
     rb"(?:<<(.*?)>>\s*)?stream\r?\n(.*?)\r?\nendstream", re.DOTALL
@@ -38,16 +56,35 @@ _STREAM_RE = re.compile(
 # without it, backtracking shrinks '70' to '7' so the R-lookahead passes
 # and a prefix of the object id is misread as the length.
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R\b)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
-# operators inside a text object, in source order
+# indirect objects: page tree, content streams, stream-length objects
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:[^\[\]])*)\]", re.DOTALL)
+_CONTENTS_RE = re.compile(
+    rb"/Contents\s*(?:\[((?:[^\[\]])*)\]|(\d+)\s+\d+\s+R)", re.DOTALL
+)
+
+# operators inside a text object, in source order (named groups — the
+# alternation is too wide for positional indices to stay readable)
+_PDF_NUM = rb"[\d.+-]+"
+_LIT_STR = rb"\((?:[^()\\]|\\.)*\)"
+_HEX_STR = rb"<[0-9A-Fa-f\s]*>"
 _OP_RE = re.compile(
-    rb"/(\w+)\s+([\d.+-]+)\s+Tf"                          # font + size    (g1,g2)
-    rb"|([\d.+-]+)\s+([\d.+-]+)\s+T[dD]"                   # move           (g3,g4)
-    rb"|([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+Tm"  # matrix (g5..g10)
-    rb"|\(((?:[^()\\]|\\.)*)\)\s*(Tj|')"                   # show string    (g11,g12)
-    rb"|([\d.+-]+)\s+TL",                                   # leading        (g13)
+    rb"/(?P<fname>\w+)\s+(?P<fsize>" + _PDF_NUM + rb")\s+Tf"
+    rb"|(?P<tdx>" + _PDF_NUM + rb")\s+(?P<tdy>" + _PDF_NUM + rb")\s+T(?P<tdop>[dD])"
+    rb"|(?P<tm>(?:" + _PDF_NUM + rb"\s+){5}" + _PDF_NUM + rb")\s+Tm"
+    rb"|(?P<show>" + _LIT_STR + rb"|" + _HEX_STR + rb")\s*(?P<showop>Tj|')"
+    rb"|\[(?P<tjarr>(?:" + _LIT_STR + rb"|" + _HEX_STR + rb"|" + _PDF_NUM + rb"|\s)*)\]\s*TJ"
+    rb"|(?P<tl>" + _PDF_NUM + rb")\s+TL",
     re.DOTALL,
+)
+
+# elements of a TJ array: literal string, hex string, or kerning number
+_TJ_ELEM_RE = re.compile(
+    rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>|(?P<adj>" + _PDF_NUM + rb")"
 )
 
 _ESCAPES = {
@@ -67,65 +104,271 @@ def _unescape_pdf_string(s: bytes) -> str:
     return _ESC_RE.sub(sub, s).decode("latin-1")
 
 
+def _decode_string_token(tok: bytes) -> str:
+    """One string token — '(lit)' or '<hex>' — to text."""
+    if tok.startswith(b"("):
+        return _unescape_pdf_string(tok[1:-1])
+    hx = re.sub(rb"\s+", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"  # PDF spec: odd-length hex strings pad a trailing 0
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+
+
+def _nearest_dict(sdict: bytes) -> bytes:
+    """Innermost balanced dict ending at the tail of the captured region.
+
+    _STREAM_RE's optional dict group is leftmost-anchored, so when multiple
+    dicts precede a stream the capture can span unrelated earlier dicts —
+    an earlier object's /Length or /Filter would then win over the
+    stream's own (round-1 ADVICE finding). The stream's dict is the one
+    whose closing '>>' sits immediately before `stream`, i.e. the last
+    balanced '<< ... >>' of the region; scan backwards with depth counting
+    (nested dicts like /DecodeParms << ... >> stay inside).
+    """
+    s = sdict + b">>"
+    depth = 0
+    i = len(s)
+    while i >= 2:
+        pair = s[i - 2 : i]
+        if pair == b">>":
+            depth += 1
+            i -= 2
+        elif pair == b"<<":
+            depth -= 1
+            if depth == 0:
+                return s[i : len(s) - 2]
+            i -= 2
+        else:
+            i -= 1
+    return sdict
+
+
+def _resolve_length(sdict: bytes, objects: "dict[int, bytes] | None") -> int | None:
+    """Declared stream length: direct int, or indirect via the object table."""
+    matches = _LENGTH_RE.findall(sdict)
+    if matches:
+        return int(matches[-1])  # last match = the stream's own dict wins
+    if objects is not None:
+        ref = _LENGTH_REF_RE.search(sdict)
+        if ref:
+            body = objects.get(int(ref.group(1)))
+            if body is not None:
+                num = re.search(rb"\d+", body)
+                if num:
+                    return int(num.group(0))
+    return None
+
+
+def _decode_stream_at(
+    raw: bytes,
+    sdict: bytes | None,
+    body_start: int,
+    body_fallback: bytes,
+    objects: "dict[int, bytes] | None" = None,
+) -> bytes | None:
+    """Stream body → decoded bytes (None when a corrupt stream must be
+    skipped — the document degrades to fewer pages, never a task failure)."""
+    if not sdict:
+        return body_fallback
+    nd = _nearest_dict(sdict)
+    if b"FlateDecode" not in nd:
+        return body_fallback
+    # real-world content streams are zlib-compressed (/Filter /FlateDecode).
+    # Binary data can end in bytes the `\r?\nendstream` terminator regex
+    # would swallow, so when the dict declares /Length, slice the body
+    # exactly.
+    stream = body_fallback
+    length = _resolve_length(nd, objects)
+    if length is not None:
+        stream = raw[body_start : body_start + length]
+    try:
+        return zlib.decompress(stream)
+    except zlib.error:
+        return None
+
+
+def _parse_objects(raw: bytes) -> "dict[int, tuple[int, bytes]]":
+    """obj_num → (body_offset_in_raw, body_bytes) for every indirect object."""
+    return {
+        int(m.group(1)): (m.start(2), m.group(2)) for m in _OBJ_RE.finditer(raw)
+    }
+
+
+def _object_stream_bytes(
+    raw: bytes, obj_body: bytes, obj_off: int, objects_bodies: "dict[int, bytes]"
+) -> bytes | None:
+    """Decoded stream content of one object (None if it has no stream)."""
+    sm = _STREAM_RE.search(obj_body)
+    if sm is None:
+        return None
+    return _decode_stream_at(
+        raw, sm.group(1), obj_off + sm.start(2), sm.group(2), objects_bodies
+    )
+
+
+def _page_content_streams(raw: bytes) -> "list[bytes] | None":
+    """Walk the page tree → one decoded content-stream blob per page.
+
+    Page order: Catalog → /Pages → /Kids, depth-first (the PDF's declared
+    reading order); objects not reachable from a /Kids array but marked
+    /Type /Page are appended in document order (tolerates truncated
+    catalogs in crawl data). Returns None when the payload has no page
+    objects — the caller then falls back to stream-per-page.
+    """
+    objects = _parse_objects(raw)
+    if not objects:
+        return None
+    bodies = {n: b for n, (_, b) in objects.items()}
+
+    page_ids: list[int] = []
+    pages_nodes = []
+    for num, (_, body) in objects.items():
+        head = body.split(b"stream", 1)[0]
+        if re.search(rb"/Type\s*/Page\b(?!s)", head):
+            page_ids.append(num)
+        elif re.search(rb"/Type\s*/Pages\b", head):
+            pages_nodes.append(num)
+    if not page_ids:
+        return None
+    page_set = set(page_ids)
+
+    # depth-first Kids order when a tree exists
+    ordered: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        _, body = objects[num]
+        head = body.split(b"stream", 1)[0]
+        if num in page_set:
+            ordered.append(num)
+            return
+        km = _KIDS_RE.search(head)
+        if km:
+            for rm in _REF_RE.finditer(km.group(1)):
+                walk(int(rm.group(1)))
+
+    for root in pages_nodes:
+        walk(root)
+    for num in page_ids:  # orphans (truncated tree) in document order
+        if num not in seen:
+            ordered.append(num)
+
+    pages: list[bytes] = []
+    for num in ordered:
+        off, body = objects[num]
+        head = body.split(b"stream", 1)[0]
+        cm = _CONTENTS_RE.search(head)
+        if not cm:
+            continue
+        refs = (
+            [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
+            if cm.group(1) is not None
+            else [int(cm.group(2))]
+        )
+        parts: list[bytes] = []
+        for ref in refs:
+            if ref not in objects:
+                continue
+            o_off, o_body = objects[ref]
+            decoded = _object_stream_bytes(raw, o_body, o_off, bodies)
+            if decoded:
+                parts.append(decoded)
+        if parts:
+            # multiple /Contents streams form ONE logical stream (PDF spec:
+            # concatenated with whitespace between)
+            pages.append(b"\n".join(parts))
+    return pages if pages else None
+
+
+def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
+    """Extract positioned runs from one page's content stream into `runs`."""
+    for tm in _TEXTOBJ_RE.finditer(stream):
+        body = tm.group(1)
+        x = y = 0.0
+        font_size = 12.0
+        leading = 14.0
+
+        def emit(text: str) -> None:
+            nonlocal x
+            if not text:
+                return
+            # width estimate: Helvetica-ish 0.5em average advance
+            w = 0.5 * font_size * len(text)
+            runs.append(
+                {
+                    "page": page_no,
+                    "bbox": (x, y, x + w, y + font_size),
+                    "text": text,
+                    "origin": (x, y),
+                    "font_size": font_size,
+                }
+            )
+            x += w
+
+        for om in _OP_RE.finditer(body):
+            if om.group("fsize") is not None:  # Tf
+                font_size = float(om.group("fsize"))
+            elif om.group("tdx") is not None:  # Td / TD
+                x += float(om.group("tdx"))
+                ty = float(om.group("tdy"))
+                y += ty
+                if om.group("tdop") == b"D":
+                    # TD sets leading to -ty (PDF 32000 §9.4.2)
+                    leading = -ty
+            elif om.group("tm") is not None:  # Tm — absolute placement
+                nums = om.group("tm").split()
+                x = float(nums[4])
+                y = float(nums[5])
+            elif om.group("show") is not None:  # Tj or ' (literal or hex)
+                if om.group("showop") == b"'":
+                    y -= leading
+                emit(_decode_string_token(om.group("show")))
+            elif om.group("tjarr") is not None:  # TJ array show
+                # Elements concatenate into ONE run: kerning numbers adjust
+                # the estimated advance; a gap wider than TJ_SPACE_THRESHOLD
+                # (in -1/1000 em) is a word break and becomes a space —
+                # the same heuristic PyMuPDF-family extractors apply when
+                # splitting TJ arrays into words.
+                parts: list[str] = []
+                for em in _TJ_ELEM_RE.finditer(om.group("tjarr")):
+                    if em.group("adj") is not None:
+                        if float(em.group("adj")) < -TJ_SPACE_THRESHOLD:
+                            parts.append(" ")
+                        continue
+                    tok = (
+                        b"(" + em.group("lit") + b")"
+                        if em.group("lit") is not None
+                        else b"<" + em.group("hex") + b">"
+                    )
+                    parts.append(_decode_string_token(tok))
+                emit("".join(parts))
+            elif om.group("tl") is not None:  # TL
+                leading = float(om.group("tl"))
+
+
 def parse_glyph_runs(raw: bytes) -> list[dict]:
-    """Parse positioned text runs from an uncompressed PDF byte payload.
+    """Parse positioned text runs from a PDF byte payload.
 
     Returns the reference's span-record shape (services/pdf_service.py:30-36):
     [{page, bbox: (x0, y0, x1, y1), text, origin: (x, y), font_size}, ...]
-    One content stream == one page (our synthesizer's layout; multi-stream
-    pages would need the page tree, which the fixtures don't exercise).
+    Pages come from the page tree when present (/Type /Page objects with
+    /Contents refs, Kids order); payloads without an object structure fall
+    back to one content stream == one page, in byte order.
     """
     runs: list[dict] = []
+    pages = _page_content_streams(raw)
+    if pages is not None:
+        for page_no, stream in enumerate(pages):
+            _parse_text_ops(stream, page_no, runs)
+        return runs
     for page_no, sm in enumerate(_STREAM_RE.finditer(raw)):
-        sdict, stream = sm.group(1), sm.group(2)
-        if sdict and b"FlateDecode" in sdict:
-            # real-world content streams are zlib-compressed (/Filter
-            # /FlateDecode). Binary data can end in bytes the
-            # `\r?\nendstream` terminator regex would swallow, so when the
-            # dict declares /Length, slice the body exactly. A corrupt
-            # stream is skipped, not fatal — the document degrades to fewer
-            # pages ('empty' status if nothing decodes).
-            mlen = _LENGTH_RE.search(sdict)
-            if mlen:
-                body_start = sm.start(2)
-                stream = raw[body_start: body_start + int(mlen.group(1))]
-            try:
-                stream = zlib.decompress(stream)
-            except zlib.error:
-                continue
-        for tm in _TEXTOBJ_RE.finditer(stream):
-            body = tm.group(1)
-            x = y = 0.0
-            font_size = 12.0
-            leading = 14.0
-            for om in _OP_RE.finditer(body):
-                if om.group(2) is not None:  # Tf
-                    font_size = float(om.group(2))
-                elif om.group(3) is not None:  # Td / TD
-                    x += float(om.group(3))
-                    y += float(om.group(4))
-                elif om.group(5) is not None:  # Tm — absolute placement
-                    x = float(om.group(9))
-                    y = float(om.group(10))
-                elif om.group(11) is not None:  # Tj or '
-                    if om.group(12) == b"'":
-                        y -= leading
-                    text = _unescape_pdf_string(om.group(11))
-                    if text:
-                        # width estimate: Helvetica-ish 0.5em average advance
-                        w = 0.5 * font_size * len(text)
-                        runs.append(
-                            {
-                                "page": page_no,
-                                "bbox": (x, y, x + w, y + font_size),
-                                "text": text,
-                                "origin": (x, y),
-                                "font_size": font_size,
-                            }
-                        )
-                        x += w
-                elif om.group(13) is not None:  # TL
-                    leading = float(om.group(13))
+        stream = _decode_stream_at(raw, sm.group(1), sm.start(2), sm.group(2))
+        if stream is None:
+            continue
+        _parse_text_ops(stream, page_no, runs)
     return runs
 
 

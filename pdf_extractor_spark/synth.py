@@ -126,59 +126,161 @@ def make_html(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     return doc.encode(enc, "replace"), golden
 
 
-def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
-    """One uncompressed PDF payload. Returns (payload_bytes, golden_text).
+def _esc_pdf(t: str) -> str:
+    return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    Pages of lines; each line split into 1–3 runs placed with absolute Tm
-    at increasing x. Runs are emitted into the content stream in a shuffled
-    order — the parser must reconstruct (page asc, y desc, x asc).
+
+def _show_token(rng: np.random.Generator, t: str) -> str:
+    """A literal '(...)' or (25% of the time) hex '<...>' show string."""
+    if rng.random() < 0.25:
+        return "<%s>" % t.encode("latin-1").hex()
+    return "(%s)" % _esc_pdf(t)
+
+
+def _tj_array(rng: np.random.Generator, words: list[str]) -> str:
+    """A TJ array for one line: word gaps become large negative kerning
+    (< -180/1000 em → space), and ~half the words are split into two
+    chunks joined by a SMALL kern (no space) — the form real PDFs use."""
+    elems: list[str] = []
+    for wi, w in enumerate(words):
+        if wi > 0:
+            elems.append("%d" % -int(rng.integers(200, 400)))  # word gap
+        if len(w) >= 4 and rng.random() < 0.5:
+            cut = int(rng.integers(1, len(w)))
+            elems.append(_show_token(rng, w[:cut]))
+            elems.append("%d" % -int(rng.integers(5, 120)))  # kern, no space
+            elems.append(_show_token(rng, w[cut:]))
+        else:
+            elems.append(_show_token(rng, w))
+    return "[%s] TJ" % " ".join(elems)
+
+
+def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
+    """One PDF payload. Returns (payload_bytes, golden_text).
+
+    Pages of lines; each line is either 1–3 absolute-Tm runs (shuffled into
+    the content stream so reading-order reconstruction is exercised) or a
+    single TJ array show with kerning adjustments; show strings mix literal
+    and hex forms. ~Half the payloads carry a real page tree (Catalog →
+    /Pages /Kids → /Type /Page → /Contents refs, page objects emitted in
+    shuffled file order so Kids order is authoritative; some pages split
+    their content across TWO streams, some stream lengths are indirect
+    `N 0 R` references); the rest are legacy bare streams in byte order.
+    ~Half the content streams are FlateDecode-compressed either way.
     """
     n_pages = int(rng.integers(1, 4)) * heft
-    page_lines: list[list[str]] = []
     golden_lines: list[str] = []
-    streams: list[bytes] = []
+    page_streams: list[list[bytes]] = []  # per page: 1..2 content streams
     for p in range(n_pages):
         n_lines = int(rng.integers(3, 8))
-        runs = []  # (y, x, text)
+        runs = []  # (y, x, op_text) in Tm form
         this_page: list[str] = []
         for li in range(n_lines):
             y = 720.0 - 16.0 * li
             words = _sentence(rng, 4, 9).rstrip(".").split()
+            if rng.random() < 0.35:
+                # whole line as one TJ array at the line origin
+                runs.append((y, 72.0, _tj_array(rng, words)))
+                this_page.append(" ".join(words))
+                continue
             n_runs = min(len(words), int(rng.integers(1, 4)))
             chunks = np.array_split(np.array(words, dtype=object), n_runs)
             x = 72.0
             line_txts = []
             for ch in chunks:
                 t = " ".join(ch.tolist())
-                runs.append((y, x, t))
+                runs.append((y, x, "%s Tj" % _show_token(rng, t)))
                 line_txts.append(t)
                 x += 0.5 * 12.0 * len(t) + 18.0
             this_page.append(" ".join(line_txts))
         order = rng.permutation(len(runs))
-        ops = ["BT /F1 12 Tf"]
+        ops = []
         for i in order:
-            y, x, t = runs[int(i)]
-            esc = t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-            ops.append("1 0 0 1 %.1f %.1f Tm (%s) Tj" % (x, y, esc))
-        ops.append("ET")
-        streams.append(" ".join(ops).encode("latin-1"))
-        page_lines.append(this_page)
+            y, x, op = runs[int(i)]
+            ops.append("1 0 0 1 %.1f %.1f Tm %s" % (x, y, op))
+        # a page's ops may split across two content streams (page-tree mode
+        # concatenates them); each fragment is a complete BT..ET text object
+        if len(ops) >= 2 and rng.random() < 0.3:
+            cut = int(rng.integers(1, len(ops)))
+            frags = [ops[:cut], ops[cut:]]
+        else:
+            frags = [ops]
+        page_streams.append(
+            [
+                ("BT /F1 12 Tf %s ET" % " ".join(f)).encode("latin-1")
+                for f in frags
+            ]
+        )
         golden_lines.extend(this_page)
-    # ~half the streams are zlib-compressed with a /Filter /FlateDecode
-    # dict, like real-world PDFs; the rest stay raw (legacy form).
+
     import zlib as _zlib
 
-    parts = []
-    for s in streams:
+    def body_of(s: bytes, indirect_len_obj: int | None) -> tuple[bytes, int | None]:
+        """(stream body with dict, compressed length if /Length is indirect).
+
+        ~Half the streams compress with /Filter /FlateDecode; of those, the
+        caller may route /Length through an indirect `N 0 R` integer object
+        (returned so the caller can emit it).
+        """
         if rng.random() < 0.5:
             z = _zlib.compress(s, 6)
-            parts.append(
+            if indirect_len_obj is not None:
+                return (
+                    b"<< /Filter /FlateDecode /Length %d 0 R >>\nstream\n"
+                    % indirect_len_obj + z + b"\nendstream"
+                ), len(z)
+            return (
                 b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(z)
-                + z + b"\nendstream\n"
+                + z + b"\nendstream"
+            ), None
+        return b"stream\n" + s + b"\nendstream", None
+
+    if rng.random() < 0.5:
+        # page-tree form: number objects, shuffle page-object file order
+        objs: dict[int, bytes] = {}
+        next_num = 3
+        page_obj_nums: list[int] = []
+        for streams in page_streams:
+            refs = []
+            for s in streams:
+                snum = next_num
+                next_num += 1
+                use_indirect = rng.random() < 0.25
+                len_obj = next_num if use_indirect else None
+                body, zlen = body_of(s, len_obj)
+                objs[snum] = body
+                if zlen is not None and len_obj is not None:
+                    objs[len_obj] = b"%d" % zlen
+                    next_num += 1
+                refs.append(snum)
+            pnum = next_num
+            next_num += 1
+            contents = (
+                b"/Contents %d 0 R" % refs[0]
+                if len(refs) == 1
+                else b"/Contents [%s]" % b" ".join(b"%d 0 R" % r for r in refs)
             )
-        else:
-            parts.append(b"stream\n" + s + b"\nendstream\n")
-    body = b"".join(parts)
+            objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s >>" % contents
+            page_obj_nums.append(pnum)
+        objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+        objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+            b" ".join(b"%d 0 R" % n for n in page_obj_nums),
+            len(page_obj_nums),
+        )
+        emit_order = [1, 2] + [int(i) for i in rng.permutation(sorted(set(objs) - {1, 2}))]
+        body = b"".join(
+            b"%d 0 obj %s endobj\n" % (n, objs[n]) for n in emit_order
+        )
+    else:
+        # legacy form: bare streams in byte order = page order
+        parts = []
+        for streams in page_streams:
+            # legacy mode has no page tree to regroup split streams —
+            # emit each page as ONE stream
+            merged = b" ".join(streams) if len(streams) > 1 else streams[0]
+            body_bytes, _ = body_of(merged, None)
+            parts.append(body_bytes + b"\n")
+        body = b"".join(parts)
     payload = b"%PDF-1.4\n" + body + b"%%EOF\n"
     return payload, "\n".join(golden_lines)
 

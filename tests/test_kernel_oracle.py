@@ -152,3 +152,94 @@ def test_pdf_escapes_and_td():
     assert runs[0]["text"] == "paren ( close ) back\\slash"
     assert runs[0]["font_size"] == 10.0
     assert runs[0]["origin"] == (72.0, 700.0)
+
+
+def test_pdf_tj_array_show():
+    """TJ: string elements concatenate; kerning < -180 is a word gap
+    (space), smaller adjustments are intra-word and add nothing."""
+    pdf = (
+        b"%PDF-1.4\nstream\nBT /F1 12 Tf 72 700 Td "
+        b"[(Hel) -40 (lo) -250 (world) -10 (!)] TJ ET\nendstream\n%%EOF"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert len(runs) == 1
+    assert runs[0]["text"] == "Hello world!"
+
+
+def test_pdf_hex_strings():
+    """<48656c6c6f> Tj shows 'Hello'; odd-length hex pads a trailing 0;
+    hex works inside TJ arrays too."""
+    pdf = (
+        b"%PDF-1.4\nstream\nBT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm <48656c6c6f> Tj "
+        b"1 0 0 1 72 650 Tm [<776f726c64> -300 <4142432>] TJ "
+        b"ET\nendstream\n%%EOF"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert runs[0]["text"] == "Hello"
+    # 4142432 pads to 41424320 = 'ABC '
+    assert runs[1]["text"] == "world ABC "
+    text, _ = reading_order_text(runs)
+    assert text == "Hello\nworld ABC"  # trailing ws collapsed per canon form
+
+
+def test_pdf_page_tree_kids_order():
+    """Pages come from Kids order, not file order; multi-stream /Contents
+    concatenate into one page; indirect /Length resolves."""
+    import zlib
+
+    s1 = b"BT /F1 12 Tf 72 700 Td (first page) Tj ET"
+    s2a = b"BT /F1 12 Tf 72 700 Td (second) Tj ET"
+    s2b = b"BT /F1 12 Tf 150 700 Td (page) Tj ET"
+    z1 = zlib.compress(s1)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [5 0 R 6 0 R] /Count 2 >> endobj\n"
+        # page objects and streams emitted in NON-page order
+        b"6 0 obj << /Type /Page /Parent 2 0 R /Contents [8 0 R 9 0 R] >> endobj\n"
+        + (b"7 0 obj %d endobj\n" % len(z1))
+        + b"5 0 obj << /Type /Page /Parent 2 0 R /Contents 3 0 R >> endobj\n"
+        b"3 0 obj << /Filter /FlateDecode /Length 7 0 R >> stream\n"
+        + z1
+        + b"\nendstream endobj\n"
+        b"8 0 obj stream\n" + s2a + b"\nendstream endobj\n"
+        b"9 0 obj stream\n" + s2b + b"\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    runs = parse_glyph_runs(pdf)
+    text, spans = reading_order_text(runs)
+    assert text == "first page\nsecond page"
+    assert [s["page"] for s in spans] == [0, 1, 1]
+
+
+def test_pdf_nearest_dict_wins():
+    """An earlier object's dict must not hijack /Length or /Filter for a
+    later stream (round-1 ADVICE: leftmost-anchored dict capture)."""
+    import zlib
+
+    body = b"BT /F1 12 Tf 72 700 Td (real content here) Tj ET"
+    z = zlib.compress(body)
+    pdf = (
+        b"%PDF-1.4\n"
+        # unrelated earlier dict with a WRONG /Length and no endstream-safe body
+        b"<< /Length 5 /Whatever true >>\n"
+        + (b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(z))
+        + z
+        + b"\nendstream\n%%EOF\n"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert len(runs) == 1 and runs[0]["text"] == "real content here"
+
+
+def test_pdf_uncompressed_not_hijacked_by_earlier_filter():
+    """A plain stream preceded by an unrelated /FlateDecode dict must stay
+    raw — sniffing the earlier dict would zlib-fail and drop the page."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"<< /Filter /FlateDecode /Length 99 >>\n"
+        b"% a comment, then a RAW stream with no dict of its own\n"
+        b"stream\nBT /F1 12 Tf 72 700 Td (kept plain) Tj ET\nendstream\n%%EOF\n"
+    )
+    runs = parse_glyph_runs(pdf)
+    assert len(runs) == 1 and runs[0]["text"] == "kept plain"
