@@ -31,10 +31,18 @@ CONTROL_SCHEMA = T.StructType(
         T.StructField("bytes_parsed", T.LongType(), True),
         T.StructField("parse_failures", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
+        # bucketing under which the partition ids were computed: a control
+        # dir reused with a DIFFERENT n_buckets silently mismaps committed
+        # work (round-1 ADVICE) — recorded so resume can fail fast instead
+        T.StructField("n_buckets", T.IntegerType(), True),
     ]
 )
 
 STATUS_COMMITTED = "committed"
+
+
+class BucketingMismatchError(RuntimeError):
+    """Control dir was written under a different n_buckets than the run's."""
 
 
 def read_control(spark: SparkSession, control_dir: str) -> DataFrame:
@@ -45,20 +53,37 @@ def read_control(spark: SparkSession, control_dir: str) -> DataFrame:
         return spark.createDataFrame([], CONTROL_SCHEMA)
 
 
-def committed_partitions(spark: SparkSession, control_dir: str) -> DataFrame:
+def committed_partitions(
+    spark: SparkSession, control_dir: str, n_buckets: int | None = None
+) -> DataFrame:
     """Distinct committed partition ids — the anti-join build side (J3).
 
-    Small by construction (≤ n_buckets rows) → always broadcast.
+    Small by construction (≤ n_buckets rows) → always broadcast. When the
+    caller's `n_buckets` is given, rows committed under a DIFFERENT
+    bucketing raise BucketingMismatchError: their partition ids were
+    computed with another modulus, so honoring them would skip uncommitted
+    work (or re-run committed work) undetectably. Rows with a null
+    n_buckets (pre-upgrade control dirs) are accepted as-is.
     """
-    return (
-        read_control(spark, control_dir)
-        .filter(F.col("status") == STATUS_COMMITTED)
-        .select("partition_id")
-        .distinct()
-    )
+    ctl = read_control(spark, control_dir).filter(F.col("status") == STATUS_COMMITTED)
+    if n_buckets is not None:
+        # ≤ a handful of distinct values — driver-side check is O(1)
+        stamped = [
+            r.n_buckets
+            for r in ctl.select("n_buckets").distinct().collect()
+            if r.n_buckets is not None
+        ]
+        bad = [b for b in stamped if b != n_buckets]
+        if bad:
+            raise BucketingMismatchError(
+                f"control dir {control_dir} was committed with n_buckets="
+                f"{sorted(set(bad))}, current run uses {n_buckets}; refusing "
+                "to resume with a mismatched bucketing"
+            )
+    return ctl.select("partition_id").distinct()
 
 
-def append_commits_rows(rows, control_dir: str) -> None:
+def append_commits_rows(rows, control_dir: str, n_buckets: int | None = None) -> None:
     """Append committed rows (one per partition) with lineage metrics.
 
     `rows` is a driver-side list (≤ n_buckets entries, already collected) of
@@ -95,6 +120,7 @@ def append_commits_rows(rows, control_dir: str) -> None:
                         int(r.bytes_parsed or 0),
                         int(r.parse_failures or 0),
                         _dt.datetime.now(_dt.timezone.utc),
+                        n_buckets,
                     )
                     for r in rows
                 ],
@@ -115,6 +141,7 @@ def append_commits_rows(rows, control_dir: str) -> None:
             "bytes_parsed": pa.array([int(r.bytes_parsed or 0) for r in rows], pa.int64()),
             "parse_failures": pa.array([int(r.parse_failures or 0) for r in rows], pa.int64()),
             "committed_at": pa.array([now] * len(rows), pa.timestamp("us", tz="UTC")),
+            "n_buckets": pa.array([n_buckets] * len(rows), pa.int32()),
         }
     )
     os.makedirs(control_dir, exist_ok=True)

@@ -54,8 +54,10 @@ def enrich_extracted(extracted: DataFrame, text_col: str = "extracted_text") -> 
     lower = F.lower(t)
     n_chars = F.length(t)
     n_tokens = F.when(n_chars > 0, F.size(F.split(F.trim(t), r"[ \t\n\r\f\x0B]+"))).otherwise(0)
-    letters = F.length(F.regexp_replace(t, r"[^A-Za-zÀ-ÿ]", ""))
-    uppers = F.length(F.regexp_replace(t, r"[^A-ZÀ-Þ]", ""))
+    # À-ÿ minus × (U+00D7) and ÷ (U+00F7): the two non-letters inside the
+    # Latin-1 letter range would otherwise skew the ratios
+    letters = F.length(F.regexp_replace(t, r"[^A-Za-zÀ-ÖØ-öø-ÿ]", ""))
+    uppers = F.length(F.regexp_replace(t, r"[^A-ZÀ-ÖØ-Þ]", ""))
     punct = F.length(t) - F.length(F.regexp_replace(t, r"""[.,;:!?()\[\]{}"'/\\|@#$%^&*_+=~`<>-]""", ""))
 
     votes = [

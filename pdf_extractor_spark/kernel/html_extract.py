@@ -148,6 +148,7 @@ def _parse_blocks_str(doc: str) -> list[Block]:
     chrome_stack: list = []   # open chrome tags; non-empty → inside chrome
     anchor_depth = 0          # >0 → inside <a>
     anchor_start_depth = 0    # len(stack) when the open <a> was seen
+    anchor_chrome_depth = 0   # len(chrome_stack) when the open <a> was seen
     stack: list[str] = []
     pos = 0
     n = len(doc)
@@ -214,9 +215,12 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                         chrome_stack.pop()
                     if chrome_stack:
                         chrome_stack.pop()
-                    # leaving a chrome subtree also ends any anchor opened
-                    # inside it
-                    anchor_depth = 0
+                    # leaving a chrome subtree ends any anchor opened INSIDE
+                    # it — but an anchor opened before the chrome subtree
+                    # survives (<a>text <nav>..</nav> more</a>: the trailing
+                    # text is still link text and must count toward density)
+                    if anchor_depth > 0 and anchor_chrome_depth > len(chrome_stack):
+                        anchor_depth = 0
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
             if stack and tag in stack:
@@ -255,6 +259,7 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                     # the previous anchor, so depth is capped at 1
                     anchor_depth = 1
                     anchor_start_depth = len(stack)
+                    anchor_chrome_depth = len(chrome_stack)
                 continue
             if tag in BLOCK_TAGS:
                 open_block(tag)

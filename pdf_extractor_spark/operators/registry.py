@@ -33,18 +33,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]):
-    """Wrap an op builder so the session runs it under UTC.
+    """Wrap an op builder so its PLAN is analyzed under UTC, then restore.
 
     Timestamp-sensitive ops (string→timestamp casts, date_format, window)
     must agree with DuckDB's naive-timestamp semantics; the external
-    harness builds its OWN SparkSession with an arbitrary timezone. The
-    pin lives here at the operator boundary — not inside load() — so plain
-    table reads don't mutate the caller's session as a side effect.
+    harness builds its OWN SparkSession with an arbitrary timezone. Spark
+    resolves a DataFrame eagerly at construction (ResolveTimeZone bakes the
+    session zone into the analyzed expressions), so pinning for the
+    duration of fn() and restoring afterwards leaves the returned plan UTC
+    while the caller's session keeps its own zone for everything else —
+    round-1 ADVICE flagged the permanent mutation. A regression test pins
+    this eager-analysis assumption (tests/test_operators.py).
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return fn(spark, sf_dir)
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
 
     return wrapped
 

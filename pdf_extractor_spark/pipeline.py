@@ -80,11 +80,17 @@ def run_extraction(
 
     pages_b = with_partition_id(pages, n_buckets)
 
-    committed = ctl.committed_partitions(spark, control_dir)
+    # fails fast on a control dir committed under a different n_buckets —
+    # its partition ids were computed with another modulus (round-1 ADVICE)
+    committed = ctl.committed_partitions(spark, control_dir, n_buckets=n_buckets)
     # committed ids are also needed driver-side (≤ n_buckets rows): to skip
     # the job entirely when everything is committed, and to prune the
-    # metrics read-back after the write
-    committed_ids = {r.partition_id for r in committed.collect()}
+    # metrics read-back after the write. Ids outside [0, n_buckets) can only
+    # come from a pre-stamp control dir — drop them so the fully-committed
+    # check and the metrics pruning stay keyed to the CURRENT bucketing.
+    committed_ids = {
+        r.partition_id for r in committed.collect() if 0 <= r.partition_id < n_buckets
+    }
     if len(committed_ids) >= n_buckets:
         # fully-committed resume: return WITHOUT building the plan — the
         # anti-join would still scan the whole input to write nothing
@@ -147,7 +153,7 @@ def run_extraction(
     )
     if not metrics_rows:
         return RunStats(0, 0, 0, 0)
-    ctl.append_commits_rows(metrics_rows, control_dir)
+    ctl.append_commits_rows(metrics_rows, control_dir, n_buckets=n_buckets)
 
     return RunStats(
         len(metrics_rows),

@@ -82,6 +82,29 @@ def test_link_density_threshold():
     assert "ordinary prose" in text2
 
 
+def test_anchor_survives_inner_chrome_subtree():
+    """<a>text <nav>..</nav> more link text</a>: text after the inner chrome
+    subtree is STILL anchor text — it must count toward link density so the
+    link-dense block is dropped (round-1 ADVICE: chrome close was zeroing
+    the outer anchor)."""
+    html = (
+        b"<body><p><a href='/x'>clickable start <nav>menu</nav> "
+        b"more clickable link text that is quite long indeed here</a></p>"
+        b"<p>Real main content paragraph with plenty of ordinary prose text.</p></body>"
+    )
+    text, _ = extract_html(html)
+    assert "more clickable" not in text
+    assert "Real main content" in text
+    # and the inverse: an anchor opened INSIDE chrome ends with the subtree
+    html2 = (
+        b"<body><nav><a href='/y'>navlink</a></nav>"
+        b"<p>After the nav this plain prose paragraph is not link text at all, "
+        b"so it must be kept as ordinary body content.</p></body>"
+    )
+    text2, _ = extract_html(html2)
+    assert "plain prose paragraph" in text2
+
+
 def test_charset_sniff_and_latin1():
     # WHATWG rule: iso-8859-1 labels decode as windows-1252 (browser behavior)
     assert sniff_encoding(b'<meta charset="ISO-8859-1">') == "cp1252"

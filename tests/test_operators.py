@@ -92,6 +92,24 @@ def test_all_registered_ops_have_docs():
         assert op.doc, f"{name} missing doc"
 
 
+def test_pin_utc_restores_session_timezone(spark, duck):
+    """Ops analyze under UTC but must NOT leave the session mutated; the
+    already-built plan keeps UTC semantics after restore (Spark analyzes
+    eagerly at DataFrame construction)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        op = all_ops()["x12_ts_format"]  # date_format: timezone-sensitive
+        sdf = op.build(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        s_rows = [tuple(r) for r in sdf.collect()]  # collected AFTER restore
+        d_rows = duck.sql(op.oracle).fetchall()
+        cols = [c.lower() for c in sdf.columns]
+        assert value_hash(cols, s_rows) == value_hash(cols, d_rows)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_canon_cell_stability():
     assert canon_cell(None) == "NULL"
     assert canon_cell(1.0) == canon_cell(1.0000000001)  # 9-decimal rounding

@@ -146,6 +146,22 @@ def test_training_examples_sink(spark, out_dirs, tmp_path):
     assert not os.path.exists(gate_dir)
 
 
+def test_resume_rejects_mismatched_bucketing(spark, tmp_path):
+    """A control dir committed under n_buckets=16 must not silently resume
+    a run with n_buckets=8 — the partition ids mean different things."""
+    from pdf_extractor_spark.control import BucketingMismatchError
+
+    out_dir = str(tmp_path / "out")
+    control_dir = str(tmp_path / "control")
+    pages = pages_df(spark, 100, seed=SEED, num_partitions=2)
+    run_extraction(spark, pages, out_dir, control_dir, n_buckets=16)
+    with pytest.raises(BucketingMismatchError):
+        run_extraction(spark, pages, out_dir, control_dir, n_buckets=8)
+    # same bucketing still resumes cleanly
+    stats = run_extraction(spark, pages, out_dir, control_dir, n_buckets=16)
+    assert stats.partitions_committed == 0
+
+
 def test_skew_spread(spark):
     """Heavy-hitter hosts must not serialize onto one task: with salting,
     the max task share of the hot partition stays bounded."""
