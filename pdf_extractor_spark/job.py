@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write chat-format JSONL training examples to DIR")
     p.add_argument("--min-examples", type=int, default=10,
                    help="fail if fewer training examples than this (with --training-out)")
+    p.add_argument("--verify-readback", action="store_true",
+                   help="audit mode: re-read written partitions and require exact "
+                        "agreement with the kernel-side lineage counters")
     p.add_argument("--master", default=None, help="override spark master (default: env/local)")
     args = p.parse_args(argv)
 
@@ -71,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         args.control,
         n_buckets=args.n_buckets,
         salt_factor=args.salt_factor,
+        verify_readback=args.verify_readback,
     )
     if args.enrich:
         from pdf_extractor_spark.enrich import enrich_extracted

@@ -111,8 +111,19 @@ def ann_cosine_topk(spark, sf_dir):
     "bucket; no pairwise work across buckets).",
 )
 def ann_lsh_buckets(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
+    sig = assign_buckets_explode(load(spark, sf_dir, "embeddings"))
+    return sig.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vectors"))
+
+
+def assign_buckets_explode(emb_df):
+    """SQL-parity LSH bucket assignment: posexplode × broadcast(planes).
+
+    DuckDB-mirrorable (the oracle form), but inflates ×(dim × _N_PLANES)
+    rows through the groupBy; assign_buckets_vectorized below is the
+    zero-inflation numpy-matmul twin for production use.
+    """
+    spark = emb_df.sparkSession
+    e = emb_df.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
     planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("j"))
@@ -122,14 +133,13 @@ def ann_lsh_buckets(spark, sf_dir):
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * coef).alias("dot"))
     )
-    sig = proj.groupBy("vec_id").agg(
+    return proj.groupBy("vec_id").agg(
         F.sum(
             F.when(
                 F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
             ).otherwise(F.lit(0).cast("long"))
         ).alias("bucket")
     )
-    return sig.groupBy("bucket").agg(F.count("*").cast("long").alias("n_vectors"))
 
 
 @register(
@@ -267,6 +277,86 @@ _N_CELLS = 4
 # deterministic integer "centroid" planes: cent(k, i) = ((2+k)*(i*i + 5*i + 11)) % 17 - 8
 # — a stand-in for k-means centroids that both engines compute exactly.
 _CENT_SQL = "((2 + k) * (i * i + 5 * i + 11)) % 17 - 8"
+
+
+def _plane_matrix(dim: int):
+    """The _COEF_SQL hyperplanes as a numpy [_N_PLANES, dim] int matrix."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    j = np.arange(_N_PLANES, dtype=np.int64)[:, None]
+    return (1 + j) * (i * i + 3 * i + 7) % 19 - 9
+
+
+def _cent_matrix(dim: int):
+    """The _CENT_SQL centroids as a numpy [_N_CELLS, dim] int matrix."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    k = np.arange(_N_CELLS, dtype=np.int64)[:, None]
+    return (2 + k) * (i * i + 5 * i + 11) % 17 - 8
+
+
+def assign_buckets_vectorized(emb_df):
+    """LSH bucket assignment via one numpy matmul per Arrow batch.
+
+    The SQL-parity form (ann_lsh_buckets) expands every vector through
+    posexplode × broadcast(planes) — ×(dim × _N_PLANES) intermediate rows
+    through a groupBy before re-collapsing. Linear and single-exchange, but
+    at 10^12 vectors that constant is 10^14-10^15 transient rows. Here the
+    whole plane-projection is E @ P.T inside the Arrow batch: ZERO row
+    inflation, no shuffle at all (assignment is per-row), output is just
+    (vec_id, bucket). Kept as a separate physical strategy for the same
+    logical op — tests/test_operators.py asserts row-for-row equality with
+    the explode form, bench.py times both.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None or planes.shape[1] != E.shape[1]:
+                planes = _plane_matrix(E.shape[1]).astype(np.float64)
+            dots = E @ planes.T  # [n, planes]
+            bits = np.left_shift(
+                (dots > 0).astype(np.int64), np.arange(_N_PLANES, dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "bucket": bits.sum(axis=1)}
+            )
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, bucket long"
+    )
+
+
+def assign_cells_vectorized(emb_df):
+    """IVF coarse-quantizer cell assignment via numpy matmul (argmax over
+    centroid dots) — the zero-inflation twin of ann_ivf_probe's explode
+    form; equality pinned by tests/test_operators.py."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        cents = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if cents is None or cents.shape[1] != E.shape[1]:
+                cents = _cent_matrix(E.shape[1]).astype(np.float64)
+            dots = E @ cents.T  # [n, cells]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": np.argmax(dots, axis=1).astype(np.int64)}
+            )
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell long"
+    )
 
 
 @register(

@@ -34,8 +34,10 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from collections import namedtuple
 from dataclasses import dataclass
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +46,26 @@ from pdf_extractor_spark.kernel.spark_kernel import extract_batches, EXTRACTED_S
 
 DEFAULT_N_BUCKETS = 64
 DEFAULT_SALT_FACTOR = 8
+
+_MetricsRow = namedtuple(
+    "_MetricsRow", ["partition_id", "docs_processed", "bytes_parsed", "parse_failures"]
+)
+
+
+class _PerPartitionMetricsParam(AccumulatorParam):
+    """Merge {partition_id: (docs, bytes, failures)} dicts."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for pid, (d, by, f) in b.items():
+            if pid in a:
+                ad, aby, af = a[pid]
+                a[pid] = (ad + d, aby + by, af + f)
+            else:
+                a[pid] = (d, by, f)
+        return a
 
 
 def with_partition_id(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -69,8 +91,20 @@ def run_extraction(
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt_factor: int = DEFAULT_SALT_FACTOR,
     shuffle_partitions: int | None = None,
+    verify_readback: bool = False,
 ) -> RunStats:
-    """Run (or resume) the extraction job. Returns lineage totals for this run."""
+    """Run (or resume) the extraction job. Returns lineage totals for this run.
+
+    Lineage metrics (docs/bytes/failures per partition) are counted INSIDE
+    the kernel via a per-partition accumulator and harvested after the
+    write action — zero extra scans. The previous design re-read every
+    newly-written partition (O(new output) per run — ~an extra full-table
+    read per 100 TB pass). `verify_readback=True` keeps that read-back as
+    an audit mode and fails if the two disagree: accumulator updates from
+    speculatively re-executed tasks can overcount on a real cluster (Spark
+    guarantees exactly-once accumulation only for actions, not
+    transformations), so audit-grade lineage should re-verify.
+    """
     # the overwrite below is only safe under DYNAMIC partition overwrite —
     # static mode would truncate ALREADY-COMMITTED partitions while the
     # control table still lists them, silently losing their documents on
@@ -99,9 +133,13 @@ def run_extraction(
 
     # Kernel first, on scan splits: parallelism = input bytes / split size,
     # uniform by construction, so no key skew can serialize the compute.
+    metrics_acc = spark.sparkContext.accumulator({}, _PerPartitionMetricsParam())
     extracted = (
         todo.select("partition_id", "url", "html")
-        .mapInPandas(_kernel_with_pid, schema="partition_id int, " + EXTRACTED_SCHEMA)
+        .mapInPandas(
+            _make_kernel_with_pid(metrics_acc),
+            schema="partition_id int, " + EXTRACTED_SCHEMA,
+        )
     )
 
     # Salted spread of the WRITE: partition_id alone would map each url-hash
@@ -125,34 +163,45 @@ def run_extraction(
         .parquet(out_dir)
     )
 
-    # Lineage from the files just written (read-back = what actually
-    # committed). The uncommitted id set is driver-enumerable
-    # ([0, n_buckets) minus committed), so an isin filter on the hive
-    # partition column STATICALLY prunes the scan to the new directories —
-    # an anti-join here would list and scan every partition ever written,
-    # which at 10^12 docs makes each resume pay a full-table read-back.
-    new_ids = [p for p in range(n_buckets) if p not in committed_ids]
-    if not new_ids:
-        return RunStats(0, 0, 0, 0)
-    try:
-        written = spark.read.parquet(out_dir).filter(
-            F.col("partition_id").isin(new_ids)
-        )
-    except Exception:  # nothing ever written (empty input) → nothing to commit
-        return RunStats(0, 0, 0, 0)
-    metrics_rows = (
-        written.groupBy("partition_id")
-        .agg(
-            F.count("*").alias("docs_processed"),
-            F.sum("n_bytes").alias("bytes_parsed"),
-            F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
-                "parse_failures"
-            ),
-        )
-        .collect()  # ≤ n_buckets rows — one job instead of three
-    )
+    # Lineage from the kernel-side accumulator: the write action above is
+    # what materialized the plan, so by now the accumulator holds per-pid
+    # (docs, bytes, failures) for everything that went through the kernel —
+    # no second scan of the output. Ids outside the current uncommitted set
+    # cannot appear (the anti-join removed them before the kernel).
+    acc_metrics = dict(metrics_acc.value)
+    metrics_rows = [
+        _MetricsRow(pid, d, by, f)
+        for pid, (d, by, f) in sorted(acc_metrics.items())
+    ]
     if not metrics_rows:
         return RunStats(0, 0, 0, 0)
+
+    if verify_readback:
+        # audit mode: re-read ONLY the newly-written partitions (isin on the
+        # hive partition column statically prunes the scan) and require
+        # exact agreement with the accumulator — catches overcounts from
+        # speculatively re-executed kernel tasks.
+        new_ids = [p for p in range(n_buckets) if p not in committed_ids]
+        readback = {
+            r.partition_id: (r.docs_processed, r.bytes_parsed, r.parse_failures)
+            for r in spark.read.parquet(out_dir)
+            .filter(F.col("partition_id").isin(new_ids))
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("docs_processed"),
+                F.sum("n_bytes").alias("bytes_parsed"),
+                F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
+                    "parse_failures"
+                ),
+            )
+            .collect()
+        }
+        if readback != acc_metrics:
+            raise RuntimeError(
+                "lineage mismatch: kernel accumulator %r != written output %r"
+                % (acc_metrics, readback)
+            )
+
     ctl.append_commits_rows(metrics_rows, control_dir, n_buckets=n_buckets)
 
     return RunStats(
@@ -199,10 +248,31 @@ def write_training_examples(
     return n_examples
 
 
-def _kernel_with_pid(batches):
-    """Kernel wrapper that carries partition_id through the Arrow boundary."""
-    for pdf in batches:
-        pids = pdf["partition_id"]
-        out = next(extract_batches(iter([pdf[["url", "html"]]])))
-        out.insert(0, "partition_id", pids.to_numpy())
-        yield out
+def _make_kernel_with_pid(metrics_acc):
+    """Kernel wrapper: carries partition_id through the Arrow boundary and
+    counts per-partition lineage (docs, bytes, failures) into the
+    accumulator as a side effect of the same pass — metrics cost zero extra
+    scans. `metrics_acc=None` runs the kernel without counting (plan
+    tests)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            pids = pdf["partition_id"]
+            out = next(extract_batches(iter([pdf[["url", "html"]]])))
+            out.insert(0, "partition_id", pids.to_numpy())
+            if metrics_acc is not None:
+                failed = (out["parse_status"] == "failed").astype("int64")
+                grouped = (
+                    out.assign(_failed=failed)
+                    .groupby("partition_id", sort=False)
+                    .agg(docs=("url", "size"), by=("n_bytes", "sum"), f=("_failed", "sum"))
+                )
+                metrics_acc.add(
+                    {
+                        int(pid): (int(r.docs), int(r.by), int(r.f))
+                        for pid, r in grouped.iterrows()
+                    }
+                )
+            yield out
+
+    return kernel

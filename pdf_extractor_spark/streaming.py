@@ -67,6 +67,50 @@ def stream_extract(
     )
 
 
+def stream_extract_merge(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """T2: at-least-once upstream → exactly-once-per-url sink via
+    foreachBatch dedup-merge.
+
+    The reference guards its at-least-once Excel append with in-run seen
+    sets (reference: sync_to_onedrive.py:269-291,369-371). The Spark form
+    is MERGE INTO on url; without Iceberg in-sandbox, foreachBatch performs
+    the same merge against a parquet dir: dropDuplicates within the batch,
+    anti-join against the existing output's urls, append the remainder.
+    Re-delivered documents (duplicate files, restarted checkpoints) can
+    never produce duplicate urls in the sink. On a real deployment the body
+    of merge_batch is one `MERGE INTO out USING batch ON url WHEN NOT
+    MATCHED THEN INSERT` — same semantics, and the anti-join's full scan of
+    existing urls becomes an index-backed merge.
+    """
+    reader = spark.readStream.schema(PAGES_DDL)
+    pages = reader.parquet(input_dir)
+    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["url"])
+        try:
+            existing = sess.read.parquet(out_dir).select("url")
+            batch = batch.join(existing, "url", "left_anti")
+        except Exception:  # first batch: nothing written yet
+            pass
+        batch.write.mode("append").parquet(out_dir)
+
+    return (
+        extracted.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -92,6 +92,59 @@ def test_all_registered_ops_have_docs():
         assert op.doc, f"{name} missing doc"
 
 
+def test_vectorized_assignment_matches_explode_form(spark):
+    """The numpy-matmul bucket/cell assignment must agree row-for-row with
+    the SQL-parity posexplode form — two physical strategies, one logical
+    op."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.similarity import (
+        _N_PLANES,
+        assign_buckets_vectorized,
+        assign_cells_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # explode-form buckets (same expression as ann_lsh_buckets, pre-agg)
+    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id", "i", F.col("x").cast("double").alias("x")
+    )
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("j"))
+    coef = ((1 + F.col("j")) * (F.col("i") * F.col("i") + 3 * F.col("i") + 7)) % 19 - 9
+    sql_buckets = {
+        r.vec_id: r.bucket
+        for r in e.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * coef).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+        .collect()
+    }
+    vec_buckets = {r.vec_id: r.bucket for r in assign_buckets_vectorized(emb).collect()}
+    assert vec_buckets == sql_buckets
+
+    # explode-form cells (same expression as ann_ivf_probe's quantizer)
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    cent = ((2 + F.col("k")) * (F.col("i") * F.col("i") + 5 * F.col("i") + 11)) % 17 - 8
+    sql_cells = {
+        r.vec_id: r.cell
+        for r in e.crossJoin(F.broadcast(ks))
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("x") * cent).alias("e_dot"))
+        .groupBy("vec_id")
+        .agg(F.max_by("k", "e_dot").cast("long").alias("cell"))
+        .collect()
+    }
+    vec_cells = {r.vec_id: r.cell for r in assign_cells_vectorized(emb).collect()}
+    assert vec_cells == sql_cells
+
+
 def test_pin_utc_restores_session_timezone(spark, duck):
     """Ops analyze under UTC but must NOT leave the session mutated; the
     already-built plan keeps UTC semantics after restore (Spark analyzes

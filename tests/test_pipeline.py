@@ -49,7 +49,11 @@ def test_end_to_end_with_control(spark, out_dirs):
     shutil.rmtree(control_dir, ignore_errors=True)
 
     pages = pages_df(spark, N_DOCS, seed=SEED, num_partitions=4)
-    stats = run_extraction(spark, pages, out_dir, control_dir, n_buckets=16)
+    # verify_readback: the kernel-side lineage counters must agree exactly
+    # with what was actually written (the audit path raises on mismatch)
+    stats = run_extraction(
+        spark, pages, out_dir, control_dir, n_buckets=16, verify_readback=True
+    )
     assert stats.partitions_committed == 16
     assert stats.docs_processed == N_DOCS
     assert stats.parse_failures > 0  # fixture includes broken payloads

@@ -44,7 +44,7 @@ def test_kernel_runs_before_any_shuffle(spark, tmp_path):
     """pipeline.py stage order: no Exchange below the Arrow kernel — the
     only shuffle moves the kernel OUTPUT to the salted write."""
     from pdf_extractor_spark import control as ctl
-    from pdf_extractor_spark.pipeline import with_partition_id, _kernel_with_pid
+    from pdf_extractor_spark.pipeline import with_partition_id, _make_kernel_with_pid
     from pdf_extractor_spark.kernel.spark_kernel import EXTRACTED_SCHEMA
     from pdf_extractor_spark.synth import pages_df
 
@@ -54,7 +54,7 @@ def test_kernel_runs_before_any_shuffle(spark, tmp_path):
     committed = ctl.committed_partitions(spark, str(tmp_path / "none"))
     todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
     extracted = todo.select("partition_id", "url", "html").mapInPandas(
-        _kernel_with_pid, schema="partition_id int, " + EXTRACTED_SCHEMA
+        _make_kernel_with_pid(None), schema="partition_id int, " + EXTRACTED_SCHEMA
     )
     plan = _plan(extracted)
     # resume anti-join is a broadcast join, never a shuffled one

@@ -16,6 +16,36 @@ def _write_pages(spark, path: str, ids) -> None:
     spark.createDataFrame(pdf).write.mode("append").parquet(path)
 
 
+def test_stream_merge_sink_no_duplicate_urls(spark, tmp_path):
+    """T2: overlapping redelivery (fresh checkpoint = everything replayed)
+    must not duplicate urls in the sink — foreachBatch dedup-merge."""
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+
+    _write_pages(spark, inp, range(0, 80))
+    q = st.stream_extract_merge(spark, inp, out, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 80
+
+    # redelivery: 40 overlapping docs land again as NEW files, plus 20 new
+    # docs; a SECOND checkpoint replays all files — at-least-once upstream
+    _write_pages(spark, inp, range(40, 100))
+    q2 = st.stream_extract_merge(spark, inp, out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 100
+    assert final.select("url").distinct().count() == 100
+
+    # merged rows are still byte-faithful
+    sample = {r.url: r.extracted_text for r in final.limit(200).collect()}
+    from pdf_extractor_spark.synth import synth_row
+
+    for i in range(100):
+        r = synth_row(SEED, i)
+        if r["url"] in sample:
+            assert sample[r["url"]] == extract_document(r["html"]).extracted_text
+
+
 def test_stream_extract_incremental_resume(spark, tmp_path):
     """AvailableNow + checkpoint: second run processes ONLY new files (T1)."""
     inp = str(tmp_path / "pages")
