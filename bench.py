@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "dedup_components",     # LSH pairs → transitive clusters (iterative)
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
     "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
+    "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
     "text_quality",         # quality scoring over documents
     "training_corpus_pipeline",  # filter → dedup → stats chain
     "t6_session_window",    # gap-based sessionization

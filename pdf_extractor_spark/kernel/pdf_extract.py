@@ -232,26 +232,26 @@ def _page_content_streams(raw: bytes) -> "list[bytes] | None":
         return None
     page_set = set(page_ids)
 
-    # depth-first Kids order when a tree exists
+    # depth-first Kids order when a tree exists — explicit stack, not
+    # recursion: a crafted payload with a 10^5-deep Kids chain must degrade
+    # to data, not blow the Python stack inside an executor
     ordered: list[int] = []
     seen: set[int] = set()
-
-    def walk(num: int) -> None:
+    stack: list[int] = list(reversed(pages_nodes))
+    while stack:
+        num = stack.pop()
         if num in seen or num not in objects:
-            return
+            continue
         seen.add(num)
         _, body = objects[num]
         head = body.split(b"stream", 1)[0]
         if num in page_set:
             ordered.append(num)
-            return
+            continue
         km = _KIDS_RE.search(head)
         if km:
-            for rm in _REF_RE.finditer(km.group(1)):
-                walk(int(rm.group(1)))
-
-    for root in pages_nodes:
-        walk(root)
+            kids = [int(rm.group(1)) for rm in _REF_RE.finditer(km.group(1))]
+            stack.extend(reversed(kids))
     for num in page_ids:  # orphans (truncated tree) in document order
         if num not in seen:
             ordered.append(num)

@@ -322,27 +322,32 @@ def dedup_components(spark, sf_dir):
     # early silently splits one real cluster into several. The cap is only
     # a runaway backstop far above any plausible diameter. Each round's
     # labels are eagerly localCheckpoint-ed: lineage stays O(1) per round
-    # and no cached handles pile up across iterations.
+    # and no cached handles pile up across iterations. The convergence flag
+    # is computed IN the same projection and checkpointed with the labels,
+    # so the probe is a limit(1) scan of in-memory blocks — one job per
+    # round total for the update+checkpoint, one cheap probe, no extra join
+    # (the round-1 form paid a second join job per round for the probe).
+    pinned = labels  # handle holding the current round's pinned blocks
     for _ in range(1000):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("root").alias("nroot"))
         )
+        new_root = F.least("root", F.coalesce("nroot", "root"))
         new_labels = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("root", F.coalesce("nroot", "root")).alias("root"))
+            .select(
+                "node",
+                new_root.alias("root"),
+                (new_root != F.col("root")).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        pinned.unpersist()
+        pinned = new_labels
+        labels = new_labels.select("node", "root")
         if changed == 0:
             break
 
@@ -361,5 +366,5 @@ def dedup_components(spark, sf_dir):
     # returns more than the 0/1 rows of the convergence probes to the driver.
     out = result.localCheckpoint(eager=True)
     edges.unpersist()
-    labels.unpersist()
+    pinned.unpersist()
     return out

@@ -35,6 +35,37 @@ def test_total_on_pdf_prefixed_bytes(payload):
     assert r.parse_status in STATUSES
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_total_on_object_structured_pdf_bytes(payload):
+    """Arbitrary bytes inside an object/page-tree skeleton never raise."""
+    r = extract_document(
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" + payload
+    )
+    assert r.parse_status in STATUSES
+
+
+def test_deep_kids_chain_does_not_blow_stack():
+    """A 50k-deep /Pages chain walks iteratively (no RecursionError path)."""
+    depth = 50_000
+    parts = [b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"]
+    for i in range(2, depth):
+        parts.append(
+            b"%d 0 obj << /Type /Pages /Kids [%d 0 R] >> endobj\n" % (i, i + 1)
+        )
+    parts.append(
+        b"%d 0 obj << /Type /Page /Contents %d 0 R >> endobj\n" % (depth, depth + 1)
+    )
+    parts.append(
+        b"%d 0 obj stream\nBT /F1 12 Tf 72 700 Td (deep page) Tj ET\nendstream endobj\n"
+        % (depth + 1)
+    )
+    text, _ = extract_pdf(b"".join(parts) + b"%%EOF\n")
+    assert text == "deep page"
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=2048))
 def test_total_on_html_ish_text(text):
