@@ -508,14 +508,20 @@ def w4_topk_per_group(spark, sf_dir):
     SELECT 'global_topk' AS op, o_orderkey AS id, NULL AS k, round(o_totalprice, 2) AS num
     FROM (SELECT o_orderkey, o_totalprice FROM orders
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+    UNION ALL
+    SELECT 'next_append_row' AS op, NULL AS id, NULL AS k,
+           CAST(greatest(4, count(*) + 1) AS DOUBLE) AS num
+    FROM events WHERE event_id < 20
     """,
-    doc="Limit family O4+O5 in one labeled union (consolidated round 2 for "
-    "the driver's verified window). 'error_limit': collect at most N error "
-    "rows (reference: validation/model_validator.py:164-170 + error_limit "
-    "param validate.py:19), deterministic ORDER BY before LIMIT. "
-    "'global_topk': global top-k (reference: train.py:188-192) — both legs "
-    "plan TakeOrderedAndProject (per-partition heap, no full sort); see "
-    "tests/test_plans.py.",
+    doc="Limit family O4+O5+A8 in one labeled union (consolidated round 2 "
+    "for the driver's verified window). 'error_limit': collect at most N "
+    "error rows (reference: validation/model_validator.py:164-170 + "
+    "error_limit param validate.py:19), deterministic ORDER BY before "
+    "LIMIT. 'global_topk': global top-k (reference: train.py:188-192) — "
+    "both legs plan TakeOrderedAndProject (per-partition heap, no full "
+    "sort); see tests/test_plans.py. 'next_append_row': A8 next-append-"
+    "position = max(4, rows+1) (reference: sync_to_onedrive.py:296) — "
+    "unnecessary in our append-only table design but kept for parity.",
 )
 def o4_limit_suite(spark, sf_dir):
     errors = (
@@ -543,7 +549,18 @@ def o4_limit_suite(spark, sf_dir):
             F.round("o_totalprice", 2).alias("num"),
         )
     )
-    return errors.unionByName(topk)
+    next_row = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20)
+        .agg(F.greatest(F.lit(4), F.count("*") + 1).cast("double").alias("num"))
+        .select(
+            F.lit("next_append_row").alias("op"),
+            F.lit(None).cast("long").alias("id"),
+            F.lit(None).cast("long").alias("k"),
+            "num",
+        )
+    )
+    return errors.unionByName(topk).unionByName(next_row)
 
 
 # ---------------------------------------------------------------------------
@@ -928,6 +945,15 @@ def s2_suffix_scan(spark, sf_dir):
                  THEN 1 END) AS n
     FROM tpl t CROSS JOIN keys
     GROUP BY t.key
+    UNION ALL
+    SELECT 'excel_col' AS kind, CAST(doc_id AS BIGINT) AS id,
+           CAST(doc_id * 13 % 700 + 1 AS VARCHAR) AS k,
+           CASE WHEN doc_id * 13 % 700 + 1 <= 26
+                THEN chr(CAST(64 + doc_id * 13 % 700 + 1 AS INT))
+                ELSE chr(CAST(64 + (doc_id * 13 % 700) // 26 AS INT))
+                  || chr(CAST(65 + (doc_id * 13 % 700) % 26 AS INT)) END AS v,
+           CAST(NULL AS BIGINT) AS n
+    FROM documents WHERE doc_id < 30
     """,
     doc="X14+X16 in one labeled union (consolidated round 2 for the driver's "
     "verified window; both were pass(L) in round 1). 'url' rows: host + "
@@ -936,7 +962,9 @@ def s2_suffix_scan(spark, sf_dir):
     "URLs; oracle mirrors with regexp). 'pattern' rows: numbered-field "
     "pattern expansion KEY_1 → KEY_\\d+, skip _n placeholders (reference: "
     "core/models.py:15-35 — dead code there, live here); cross join vs the "
-    "tiny template side → broadcast NLJ.",
+    "tiny template side → broadcast NLJ. 'excel_col' rows: X13 bijective "
+    "base-26 Excel column letters (reference: sync_to_onedrive.py:169-176) "
+    "as pure chr() arithmetic for widths ≤ 2 letters — no UDF.",
 )
 def x14_url_pattern(spark, sf_dir):
     d60 = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
@@ -980,7 +1008,22 @@ def x14_url_pattern(spark, sf_dir):
             "n",
         )
     )
-    return url_rows.unionByName(pattern_rows)
+    d30 = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    ncol = (F.col("doc_id") * 13 % 700 + 1).cast("int")
+    letters = F.when(ncol <= 26, F.char(ncol + 64)).otherwise(
+        F.concat(
+            F.char(F.floor((ncol - 1) / 26).cast("int") + 64),
+            F.char((ncol - 1) % 26 + 65),
+        )
+    )
+    excel_rows = d30.select(
+        F.lit("excel_col").alias("kind"),
+        F.col("doc_id").cast("long").alias("id"),
+        ncol.cast("string").alias("k"),
+        letters.alias("v"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return url_rows.unionByName(pattern_rows).unionByName(excel_rows)
 
 
 @register(
