@@ -116,6 +116,24 @@ def test_dedup_components_result_is_distributed(spark):
     assert "ExistingRDD" in plan or "Scan" in plan
 
 
+def test_bucketed_near_dup_pairs_join_on_bucket(spark):
+    """emb_near_dup_bucketed's PAIR join must be a hash join on the bucket
+    key (cosine + va<vb as residual condition) — the only nested-loop join
+    allowed in the plan is the 8-row hyperplane broadcast cross."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["emb_near_dup_bucketed"].build(spark, SF_DIR))
+    # pair join: hash join keyed on the bucket aliases
+    assert re.search(r"BroadcastHashJoin \[ba#\d+L?\], \[bb#\d+L?\]", plan) or re.search(
+        r"ShuffledHashJoin \[ba#\d+L?\], \[bb#\d+L?\]", plan
+    ) or re.search(r"SortMergeJoin \[ba#\d+L?\], \[bb#\d+L?\]", plan)
+    # any NLJ present must be the tiny planes cross-broadcast, never Inner
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) == "Cross"
+
+
 def test_whole_stage_codegen_covers_scalar_ops(spark):
     """x1 suite: pure column expressions stay inside WholeStageCodegen."""
     from pdf_extractor_spark.operators.registry import all_ops
