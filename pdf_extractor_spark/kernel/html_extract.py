@@ -194,18 +194,25 @@ def _parse_blocks_str(doc: str) -> list[Block]:
         cur = Block(tag=tag, depth=len(stack), in_chrome=bool(chrome_stack), parts=[])
         blocks.append(cur)
 
+    search = _TOKEN_RE_S.search  # bound method: the loop runs per tag
     while pos < n:
-        m = _TOKEN_RE_S.search(doc, pos)
+        m = search(doc, pos)
         if m is None:
             flush_text(doc[pos:])
             break
-        if m.start() > pos:
-            flush_text(doc[pos : m.start()])
+        start = m.start()
+        if start > pos:
+            flush_text(doc[pos:start])
         pos = m.end()
 
-        close_tag, open_tag = m.group(1), m.group(2)
-        if close_tag is not None:
-            tag = close_tag.lower()
+        # lastindex dispatch: None = comment/doctype/PI (no groups), 1 =
+        # close tag, >=2 = open tag (attrs group always participates) —
+        # one attribute read instead of two group() probes per token
+        li = m.lastindex
+        if li is None:
+            continue  # comments/doctype/pi: skipped entirely
+        if li == 1:
+            tag = m.group(1).lower()
             if tag in CHROME_TAGS:
                 # pop only a MATCHING open chrome element — a stray close
                 # tag (routine in crawl HTML) must not zero the chrome
@@ -240,10 +247,14 @@ def _parse_blocks_str(doc: str) -> list[Block]:
                 # closing a block/chrome subtree ends it; following text
                 # belongs to a fresh block at the parent's chrome level
                 open_block(stack[-1] if stack else "div")
-        elif open_tag is not None:
-            tag = open_tag.lower()
+        else:
+            tag = m.group(2).lower()
             attrs = m.group(3) or ""
-            self_closing = attrs.rstrip().endswith("/") or tag in VOID_TAGS
+            # attrs is empty for most tags → short-circuit before the
+            # rstrip allocation; void set probe is a cheap frozenset hit
+            self_closing = tag in VOID_TAGS or (
+                bool(attrs) and attrs.rstrip().endswith("/")
+            )
             if tag in RAW_TEXT_TAGS and not self_closing:
                 mm = _RAW_CLOSE_RES[tag].search(doc, pos)
                 pos = mm.end() if mm else n
