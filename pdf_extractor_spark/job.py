@@ -67,15 +67,21 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = pages_df(spark, args.synth, seed=args.seed)
 
-    stats = run_extraction(
-        spark,
-        pages,
-        args.output,
-        args.control,
-        n_buckets=args.n_buckets,
-        salt_factor=args.salt_factor,
-        verify_readback=args.verify_readback,
-    )
+    from pdf_extractor_spark.control import BucketingMismatchError
+
+    try:
+        stats = run_extraction(
+            spark,
+            pages,
+            args.output,
+            args.control,
+            n_buckets=args.n_buckets,
+            salt_factor=args.salt_factor,
+            verify_readback=args.verify_readback,
+        )
+    except BucketingMismatchError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 4
     if args.enrich:
         from pdf_extractor_spark.enrich import enrich_extracted
 

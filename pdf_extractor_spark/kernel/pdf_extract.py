@@ -106,6 +106,16 @@ def _esc_sub(m: "re.Match[bytes]") -> bytes:
     return _ESCAPES[b"\\" + g]
 
 
+def _safe_float(b: bytes, default: float = 0.0) -> float:
+    """float() over a [\\d.+-]+ token that may be malformed ('+-', '5.5.3',
+    '.'): a bad NUMBER must cost one operand, never the whole document —
+    the op-level analog of the failures-are-data policy."""
+    try:
+        return float(b)
+    except ValueError:
+        return default
+
+
 def _unescape_pdf_string(s: bytes) -> str:
     if b"\\" not in s:  # fast path: the vast majority of strings
         return s.decode("latin-1")
@@ -339,7 +349,7 @@ def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
                 for em in _TJ_ELEM_RE.finditer(om.group("tjarr")):
                     ekind = em.lastgroup
                     if ekind == "adj":
-                        if float(em.group("adj")) < -TJ_SPACE_THRESHOLD:
+                        if _safe_float(em.group("adj")) < -TJ_SPACE_THRESHOLD:
                             parts.append(" ")
                     elif ekind == "lit":
                         parts.append(_unescape_pdf_string(em.group("lit")))
@@ -348,19 +358,19 @@ def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
                 emit("".join(parts))
             elif kind == "tm":  # Tm — absolute placement
                 nums = om.group("tm").split()
-                x = float(nums[4])
-                y = float(nums[5])
+                x = _safe_float(nums[4])
+                y = _safe_float(nums[5])
             elif kind == "tdop":  # Td / TD
-                x += float(om.group("tdx"))
-                ty = float(om.group("tdy"))
+                x += _safe_float(om.group("tdx"))
+                ty = _safe_float(om.group("tdy"))
                 y += ty
                 if om.group("tdop") == b"D":
                     # TD sets leading to -ty (PDF 32000 §9.4.2)
                     leading = -ty
             elif kind == "fsize":  # Tf
-                font_size = float(om.group("fsize"))
+                font_size = _safe_float(om.group("fsize"))
             elif kind == "tl":  # TL
-                leading = float(om.group("tl"))
+                leading = _safe_float(om.group("tl"))
 
 
 def parse_glyph_runs(raw: bytes) -> list[dict]:
