@@ -9,7 +9,10 @@ HEADINGS of dropped boilerplate sections all excluded.
 
 from __future__ import annotations
 
+import zlib
+
 from pdf_extractor_spark.kernel.html_extract import extract_html
+from pdf_extractor_spark.kernel.pdf_extract import extract_pdf
 
 NEWS = b"""<!DOCTYPE html><html><head><title>Quarterly results beat expectations</title>
 <meta charset="utf-8"><script src="/a.js"></script><style>.x{color:red}</style></head>
@@ -110,3 +113,65 @@ def test_boilerplate_section_headings_dropped():
         text, _ = extract_html(payload)
         for phrase in banned:
             assert phrase not in text, phrase
+
+
+def test_pdflatex_shaped_document():
+    """A document with the full real-world skeleton — version header with
+    binary comment line, Catalog/Pages/Page objects with /MediaBox and
+    /Resources font dicts, compressed content stream using Td/TL/TJ/' and
+    hex strings, xref table and trailer — parses to the text a reader sees.
+    (pdflatex/ghostscript output shape; audited golden.)"""
+    content = (
+        b"BT\n"
+        b"/F15 10.909 Tf 148.712 657.846 Td\n"
+        b"[(Intro)-21(duction)-378(to)-378(distributed)-378"
+        b"(extraction)]TJ\n"
+        b"0 -21.818 TD\n"
+        b"[(Pip)28(elines)-333(scale)-333(when)-333(shu)-13(\\262e)-333"
+        b"(is)-333(explicit.)]TJ\n"
+        b"14.102 TL\n"
+        b"<486578206C696E6520686572652E> '\n"
+        b"ET\n"
+    )
+    z = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.5\n%\xd0\xd4\xc5\xd8\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]\n"
+        b"   /Resources << /Font << /F15 5 0 R >> /ProcSet [/PDF /Text] >>\n"
+        b"   /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z))
+        + z
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /CMR10 >>\nendobj\n"
+        b"xref\n0 6\n0000000000 65535 f \n0000000015 00000 n \n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n9\n%%EOF\n"
+    )
+    text, spans = extract_pdf(pdf)
+    # TJ small kerns join chunks, large kerns are word gaps; ' shows the
+    # hex line one leading below; \262 octal decodes via latin-1
+    assert text == (
+        "Introduction to distributed extraction\n"
+        "Pipelines scale when shu\xb2e is explicit.\n"
+        "Hex line here."
+    )
+    assert [s["page"] for s in spans] == [0, 0, 0]
+
+
+def test_multifont_text_objects_and_negative_coords():
+    """Two text objects per page, font switches mid-object, negative Td
+    moves — line regrouping must still be by rounded y."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"stream\n"
+        b"BT /F1 12 Tf 1 0 0 1 300 700 Tm (right half) Tj ET\n"
+        b"BT /F2 9 Tf 1 0 0 1 72 700 Tm (left half) Tj "
+        b"/F1 14 Tf 1 0 0 1 72 650.4 Tm (second line) Tj ET\n"
+        b"endstream\n%%EOF\n"
+    )
+    text, spans = extract_pdf(pdf)
+    assert text == "left half right half\nsecond line"
+    assert spans[0]["bbox"][1] == 700.0
+    # font size carried per-run: 9pt for 'left half', 12 for 'right half'
+    assert spans[1]["bbox"][3] - spans[1]["bbox"][1] == 12.0
