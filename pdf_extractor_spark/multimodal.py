@@ -152,7 +152,8 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["mean_value"].append(0.0)
                 out["std_value"].append(0.0)
                 out["features"].append(np.zeros(_N_FEATURES, np.float32))
-        yield pd.DataFrame(out)
+        if out["media_id"]:  # same empty-frame Arrow-typing guard
+            yield pd.DataFrame(out)
 
 
 def media_features(media):
@@ -179,6 +180,10 @@ def resize_images(media, out_w: int = 8, out_h: int = 8):
                     kind, arr, _ = decode_payload(bytes(payload))
                 except Exception:  # corrupt payload: skip row, never fail task
                     continue
+                if kind != "image" or arr.ndim != 2:
+                    # kind column can lie about the bytes in real tables —
+                    # a mislabeled video here must skip, not crash the task
+                    continue
                 h, w = arr.shape
                 ys = (np.arange(out_h + 1) * h // out_h)
                 xs = (np.arange(out_w + 1) * w // out_w)
@@ -192,14 +197,18 @@ def resize_images(media, out_w: int = 8, out_h: int = 8):
                 )
                 ids.append(mid)
                 pixels.append(pooled)
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "out_w": [out_w] * len(ids),
-                    "out_h": [out_h] * len(ids),
-                    "pixels": pixels,
-                }
-            )
+            if ids:
+                # an all-skipped batch must yield NOTHING: an empty frame's
+                # columns come out numpy-float64-typed and Arrow refuses the
+                # float64→array<float> conversion, failing the task
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "out_w": [out_w] * len(ids),
+                        "out_h": [out_h] * len(ids),
+                        "pixels": pixels,
+                    }
+                )
 
     from pyspark.sql import functions as F
 
@@ -225,11 +234,16 @@ def sample_frames(media, every_n: int = 4):
                     kind, arr, _ = decode_payload(bytes(payload))
                 except Exception:  # corrupt payload: skip row, never fail task
                     continue
+                if kind != "video" or arr.ndim != 3:
+                    continue  # mislabeled bytes: skip, never mis-sample
                 for fi in range(0, arr.shape[0], every_n):
                     ids.append(mid)
                     idxs.append(fi)
                     means.append(float(arr[fi].mean()))
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_mean": means})
+            if ids:  # same empty-frame Arrow-typing guard as resize_images
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame_mean": means}
+                )
 
     from pyspark.sql import functions as F
 

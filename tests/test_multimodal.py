@@ -102,3 +102,31 @@ def test_sample_frames(spark):
             expected += len(range(0, arr.shape[0], 4))
     assert len(got) == expected
     assert all(r.frame_idx % 4 == 0 for r in got)
+
+
+def test_mislabeled_kind_skips_not_crashes(spark):
+    """A row whose kind column lies about the bytes (video payload labeled
+    'image') must be skipped by the shape kernels, never crash the task."""
+    from pdf_extractor_spark.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        sample_frames,
+        synth_media_row,
+    )
+
+    rows = [synth_media_row(7, i) for i in range(40)]
+    vid = next(r for r in rows if r["kind"] == "video")
+    img = next(r for r in rows if r["kind"] == "image")
+    lied = [
+        {**vid, "media_id": 1000, "kind": "image"},   # video bytes, image label
+        {**img, "media_id": 1001, "kind": "video"},   # image bytes, video label
+        img, vid,
+    ]
+    df = spark.createDataFrame(
+        [(r["media_id"], r["kind"], bytearray(r["media"]), r["meta"]) for r in lied],
+        schema=MEDIA_SCHEMA,
+    )
+    resized = resize_images(df, out_w=4, out_h=4).collect()
+    frames = sample_frames(df, every_n=4).collect()
+    assert {r.media_id for r in resized} == {img["media_id"]}
+    assert {r.media_id for r in frames} == {vid["media_id"]}
