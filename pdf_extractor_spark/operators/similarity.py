@@ -359,6 +359,101 @@ def assign_cells_vectorized(emb_df):
     )
 
 
+def _ivf_cells(spark, sf_dir):
+    """Coarse-quantizer assignment keeping per-cell dots (shared by the
+    single-probe and multi-probe IVF queries)."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", "nrm", "embedding",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select("vec_id", "nrm", "embedding", "i", F.col("x").cast("double").alias("x"))
+    ks = spark.range(_N_CELLS).select(F.col("id").cast("int").alias("k"))
+    cent = ((2 + F.col("k")) * (F.col("i") * F.col("i") + 5 * F.col("i") + 11)) % 17 - 8
+    return (
+        e.crossJoin(F.broadcast(ks))
+        .groupBy("vec_id", "k")
+        .agg(
+            F.sum(F.col("x") * cent).alias("e_dot"),
+            F.first("nrm").alias("nrm"),
+            F.first("embedding").alias("e"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH dots AS (
+      SELECT e.vec_id, c.k, c.e_dot, e.nrm, e.e
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings) e
+      CROSS JOIN LATERAL (
+        SELECT k, sum(x * ({_CENT_SQL})) AS e_dot
+        FROM (SELECT unnest(e.e) AS x, generate_subscripts(e.e, 1) - 1 AS i)
+        CROSS JOIN (SELECT unnest(range(0, {_N_CELLS})) AS k)
+        GROUP BY k
+      ) c
+    ),
+    ranked AS (
+      SELECT vec_id, k, nrm, e,
+             row_number() OVER (PARTITION BY vec_id ORDER BY e_dot DESC, k) AS cr
+      FROM dots
+    ),
+    qcells AS (SELECT vec_id, k FROM ranked WHERE vec_id < 5 AND cr <= 2),
+    vcells AS (SELECT vec_id, k, nrm, e FROM ranked WHERE cr = 1)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(qe.e, v.e) / (qe.nrm * v.nrm) DESC, v.vec_id
+             ) AS rank
+      FROM qcells q
+      JOIN vcells qe ON qe.vec_id = q.vec_id
+      JOIN vcells v ON v.k = q.k AND q.vec_id <> v.vec_id
+    ) WHERE rank <= 3
+    """,
+    doc="Multi-probe IVF ANN: each query probes its TOP-2 centroid cells "
+    "instead of one (Jégou et al. '11 multi-probe refinement of the "
+    "inverted-file scheme) — the recall/cost knob of IVF search: recall "
+    "rises toward the brute-force baseline while candidate cost stays "
+    "O(Q·p·N/cells), still an equi-join on cell (never a cross join). "
+    "Corpus vectors stay in their single argmax cell; only the tiny query "
+    "side fans out ×p. Single-probe (`ann_ivf_probe`) and ground truth "
+    "(`ann_cosine_topk`) bracket this operator.",
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    cells = _ivf_cells(spark, sf_dir)
+    w = W.partitionBy("vec_id").orderBy(F.desc("e_dot"), F.asc("k"))
+    ranked = cells.withColumn("cr", F.row_number().over(w))
+    qcells = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("cr") <= 2))
+        .select(F.col("vec_id").alias("query_id"), F.col("k").alias("qk"))
+    )
+    qvecs = ranked.filter((F.col("vec_id") < 5) & (F.col("cr") == 1)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    v = ranked.filter(F.col("cr") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("k").alias("vk"),
+        F.col("e").alias("ve"), F.col("nrm").alias("vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("qn") * F.col("vn"))
+    rank_w = W.partitionBy("query_id").orderBy(sim.desc(), F.asc("neighbor_id"))
+    return (
+        F.broadcast(qcells.join(qvecs, "query_id"))
+        .join(v, (F.col("qk") == F.col("vk")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+
 @register(
     "ann_ivf_probe",
     oracle=f"""

@@ -48,6 +48,7 @@ SUBSET = [
     "x14_url_pattern",
     "t6_session_window",
     "ann_ivf_probe",
+    "ann_ivf_multiprobe",
     "emb_near_dup_bucketed",
     "dedup_components",
     "training_corpus_pipeline",
