@@ -70,7 +70,24 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    spark = get_spark(app_name="check_oracle", master="local[8]", shuffle_partitions=16)
+    if os.environ.get("ORACLE_ADVERSARIAL"):
+        # simulate a foreign harness session: different timezone, AQE off,
+        # oversized shuffle — the ops must still hash-match (they pin UTC at
+        # plan build and restore, and depend on no AQE behavior)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "200")
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(app_name="check_oracle", master="local[8]", shuffle_partitions=16)
 
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
