@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="PySpark main-content extraction job")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet dir with pages table (url, warc_ts, html, text, lang)")
+    src.add_argument("--input-files", metavar="DIR",
+                     help="raw .html/.pdf files on disk (binaryFile source, recursive)")
+    src.add_argument("--input-warc", metavar="DIR",
+                     help="WARC archives (*.warc / *.warc.gz, Common-Crawl layout)")
     src.add_argument("--synth", type=int, metavar="N", help="synthesize N deterministic pages instead")
     p.add_argument("--seed", type=int, default=42, help="synthesizer seed (with --synth)")
     p.add_argument("--output", required=True, help="output parquet dir (partitioned by partition_id)")
@@ -64,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
         if missing:
             print("error: input table missing required columns: %s" % sorted(missing), file=sys.stderr)
             return 2
+    elif args.input_files:
+        from pdf_extractor_spark.sources import read_pages_binary
+
+        pages = read_pages_binary(spark, args.input_files)
+    elif args.input_warc:
+        from pdf_extractor_spark.sources import read_pages_warc
+
+        pages = read_pages_warc(spark, args.input_warc)
     else:
         pages = pages_df(spark, args.synth, seed=args.seed)
 

@@ -1,0 +1,108 @@
+"""Raw-file and WARC sources: same pages schema, byte-identical extraction."""
+
+from __future__ import annotations
+
+import os
+
+from pdf_extractor_spark.kernel import extract_document
+from pdf_extractor_spark.kernel.spark_kernel import run_kernel
+from pdf_extractor_spark.sources import (
+    parse_warc_records,
+    read_pages_binary,
+    read_pages_warc,
+    write_warc,
+)
+from pdf_extractor_spark.synth import synth_row
+
+SEED = 42
+
+
+def _synth_rows(n):
+    return [synth_row(SEED, i) for i in range(n)]
+
+
+def test_binary_file_source(spark, tmp_path):
+    """Files on disk → pages table → kernel, byte-identical to the oracle."""
+    d = tmp_path / "files"
+    d.mkdir()
+    rows = [r for r in _synth_rows(120) if r["_kind"] in ("html", "pdf")][:40]
+    for i, r in enumerate(rows):
+        ext = "pdf" if r["_kind"] == "pdf" else "html"
+        (d / f"doc_{i:03d}.{ext}").write_bytes(r["html"])
+
+    pages = read_pages_binary(spark, str(d))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    got = {
+        os.path.basename(r.url): r.extracted_text for r in run_kernel(pages).collect()
+    }
+    assert len(got) == len(rows)
+    for i, r in enumerate(rows):
+        ext = "pdf" if r["_kind"] == "pdf" else "html"
+        assert got[f"doc_{i:03d}.{ext}"] == extract_document(r["html"]).extracted_text
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    """pages → WARC (plain + member-gzip) → reader → byte-identical kernel
+    output per url, timestamps preserved to the second."""
+    d = tmp_path / "warc"
+    d.mkdir()
+    rows = _synth_rows(80)
+    write_warc(rows[:40], str(d / "seg-00000.warc"))
+    write_warc(rows[40:], str(d / "seg-00001.warc.gz"), gzip_members=True)
+
+    pages = read_pages_warc(spark, str(d))
+    collected = {r.url: r for r in pages.collect()}
+    assert len(collected) == 80
+    for r in rows:
+        got = collected[r["url"]]
+        assert bytes(got.html) == r["html"]
+        assert got.warc_ts == r["warc_ts"].replace(tzinfo=None, microsecond=0)
+
+    extracted = {r.url: r.extracted_text for r in run_kernel(pages).collect()}
+    for r in rows:
+        assert extracted[r["url"]] == extract_document(r["html"]).extracted_text
+
+
+def test_warc_parser_edge_cases():
+    html = b"<html><body><p>body text long enough to keep for the test.</p></body></html>"
+    http_hdr = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    # record without HTTP block, bad Content-Length (falls back to boundary),
+    # plus a non-response record that must be skipped
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/1\r\nWARC-Date: 2024-03-04T05:06:07Z\r\n"
+        b"Content-Length: oops\r\n\r\n" + html + b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/2\r\nWARC-Date: 2024-03-04T05:06:08Z\r\n"
+        + (b"Content-Length: %d\r\n\r\n" % (len(http_hdr) + len(html)))
+        + http_hdr + html + b"\r\n\r\n"
+    )
+    recs = parse_warc_records(raw)
+    assert [r["url"] for r in recs] == ["https://a/1", "https://a/2"]
+    assert recs[0]["html"] == html  # boundary fallback
+    assert recs[1]["html"] == html  # HTTP header block stripped
+    # truncated gzip member: earlier records survive
+    import gzip
+
+    member = gzip.compress(raw, mtime=0)
+    recs2 = parse_warc_records(member + b"\x1f\x8b\x08TRUNCATED")
+    assert [r["url"] for r in recs2] == ["https://a/1", "https://a/2"]
+
+
+def test_warc_job_end_to_end(spark, tmp_path):
+    """The full extraction job runs off --input-warc semantics: WARC →
+    kernel → partitioned output + control commit."""
+    from pdf_extractor_spark.pipeline import run_extraction
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    rows = _synth_rows(60)
+    write_warc(rows, str(d / "seg.warc.gz"), gzip_members=True)
+    pages = read_pages_warc(spark, str(d))
+    stats = run_extraction(
+        spark, pages, str(tmp_path / "out"), str(tmp_path / "ctl"), n_buckets=8
+    )
+    assert stats.docs_processed == 60
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.select("url").distinct().count() == 60
