@@ -157,6 +157,19 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
         .select("content")
     )
 
+    def _ts(s: str):
+        # a malformed WARC-Date must cost the timestamp, not the task;
+        # offset-bearing dates normalize to UTC before dropping tzinfo
+        try:
+            if not s:
+                return None
+            t = pd.Timestamp(s)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
+            return t
+        except (ValueError, TypeError):
+            return None
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
@@ -165,9 +178,7 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
                     rows.append(
                         {
                             "url": r["url"],
-                            "warc_ts": pd.Timestamp(r["warc_ts"]).tz_localize(None)
-                            if r["warc_ts"]
-                            else None,
+                            "warc_ts": _ts(r["warc_ts"]),
                             "html": r["html"],
                             "text": "",
                             "lang": "",

@@ -90,6 +90,26 @@ def test_warc_parser_edge_cases():
     assert [r["url"] for r in recs2] == ["https://a/1", "https://a/2"]
 
 
+def test_warc_bad_date_and_offset_date(spark, tmp_path):
+    """Malformed WARC-Date → null timestamp (not a task failure); an
+    offset-bearing date normalizes to UTC."""
+    html = b"<html><body><p>enough body text to be a valid record body.</p></body></html>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/bad\r\nWARC-Date: not-a-date\r\n"
+        + (b"Content-Length: %d\r\n\r\n" % len(html)) + html + b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/offset\r\nWARC-Date: 2024-03-04T10:00:00+05:00\r\n"
+        + (b"Content-Length: %d\r\n\r\n" % len(html)) + html + b"\r\n\r\n"
+    )
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "x.warc").write_bytes(rec)
+    rows = {r.url: r for r in read_pages_warc(spark, str(d)).collect()}
+    assert rows["https://t/bad"].warc_ts is None
+    assert str(rows["https://t/offset"].warc_ts) == "2024-03-04 05:00:00"
+
+
 def test_warc_job_end_to_end(spark, tmp_path):
     """The full extraction job runs off --input-warc semantics: WARC →
     kernel → partitioned output + control commit."""
