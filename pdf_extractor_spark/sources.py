@@ -190,6 +190,56 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
     return files.mapInPandas(parse, schema=PAGES_SCHEMA_DDL)
 
 
+def export_pages_warc(
+    pages: DataFrame, out_dir: str, gzip_members: bool = True
+) -> DataFrame:
+    """Distributed WARC export sink: one archive per Spark partition.
+
+    The write happens INSIDE the tasks (each partition serializes its own
+    `part-<pid>-<n>.warc[.gz]` — the classic one-file-per-task Hadoop sink
+    shape, no driver materialization); the returned DataFrame is the
+    manifest (file, n_records, n_bytes), one row per written archive.
+    Round-trips through read_pages_warc byte-exactly. Repartition the input
+    to control archive sizes (Common-Crawl convention ~1 GB per member
+    file).
+    """
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F401  (schema parity)
+
+    cols = pages.select("url", "warc_ts", "html")
+
+    def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html or b"")}
+                )
+        if not rows:
+            return
+        suffix = ".warc.gz" if gzip_members else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{suffix}")
+        os.makedirs(out_dir, exist_ok=True)
+        write_warc(rows, path, gzip_members=gzip_members)
+        yield pd.DataFrame(
+            {
+                "file": [path],
+                "n_records": [len(rows)],
+                "n_bytes": [os.path.getsize(path)],
+            }
+        )
+
+    return cols.mapInPandas(
+        write_partition, schema="file string, n_records long, n_bytes long"
+    )
+
+
 def write_warc(rows: "list[dict]", path: str, gzip_members: bool = False) -> None:
     """Deterministic WARC writer (test fixture + export sink).
 

@@ -110,6 +110,23 @@ def test_warc_bad_date_and_offset_date(spark, tmp_path):
     assert str(rows["https://t/offset"].warc_ts) == "2024-03-04 05:00:00"
 
 
+def test_warc_export_roundtrip(spark, tmp_path):
+    """Distributed export: pages → per-partition WARC archives → reader →
+    identical rows; the manifest accounts for every record."""
+    from pdf_extractor_spark.sources import export_pages_warc
+    from pdf_extractor_spark.synth import pages_df
+
+    out = str(tmp_path / "export")
+    pages = pages_df(spark, 150, seed=SEED, num_partitions=3)
+    manifest = export_pages_warc(pages, out, gzip_members=True).collect()
+    assert sum(m.n_records for m in manifest) == 150
+    assert len(manifest) == 3 and all(m.file.endswith(".warc.gz") for m in manifest)
+
+    back = {r.url: bytes(r.html) for r in read_pages_warc(spark, out).collect()}
+    orig = {r.url: bytes(r.html) for r in pages.collect()}
+    assert back == orig
+
+
 def test_warc_job_end_to_end(spark, tmp_path):
     """The full extraction job runs off --input-warc semantics: WARC →
     kernel → partitioned output + control commit."""
