@@ -102,6 +102,58 @@ def test_topk_is_take_ordered(spark):
     assert plan.count("TakeOrderedAndProject") >= 2
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB backstop for residual skew (SURVEY §4.2 / §5.2): with AQE
+    on, a join whose shuffle has one hot key gets skew-split at runtime —
+    the FINAL adaptive plan marks the join skew=true. Thresholds are
+    lowered so toy data exhibits the same behavior a hot host would at
+    scale; the engine's session config (session.py) ships skewJoin enabled."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE's RUNTIME broadcast re-plan would otherwise turn the tiny build
+        # side into a BHJ and sidestep the skew machinery we're pinning
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        a = spark.range(60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id") % 7 + 1).alias("k"),
+            F.col("id").alias("va"),
+            F.lit("x" * 64).alias("pada"),
+        )
+        b = spark.range(2000).select(
+            (F.col("id") % 8).alias("k"),
+            F.col("id").alias("vb"),
+            F.lit("y" * 64).alias("padb"),
+        )
+        joined = a.join(b, "k")
+        # materialize via a JVM-side count over the SAME QueryExecution —
+        # 15M join rows never reach the driver, and no downstream operator
+        # imposes a distribution requirement that would veto the skew split
+        n = joined._jdf.queryExecution().executedPlan().execute().count()
+        assert n == 60000 * 250
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # runtime skew split actually happened
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_dedup_components_result_is_distributed(spark):
     """dedup_components must never materialize clusters on the driver:
     cluster count is O(corpus), so the returned plan must be a distributed
