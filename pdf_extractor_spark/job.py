@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write chat-format JSONL training examples to DIR")
     p.add_argument("--min-examples", type=int, default=10,
                    help="fail if fewer training examples than this (with --training-out)")
+    p.add_argument("--export-warc", metavar="DIR", default=None,
+                   help="re-export the INPUT pages as WARC archives to DIR "
+                        "(one member-gzip file per partition + stdout manifest count)")
     p.add_argument("--verify-readback", action="store_true",
                    help="audit mode: re-read written partitions and require exact "
                         "agreement with the kernel-side lineage counters")
@@ -101,6 +104,20 @@ def main(argv: list[str] | None = None) -> int:
         # columns for the corpus-filter step, no second UDF pass
         enrich_extracted(spark.read.parquet(args.output)).write.mode("overwrite").parquet(
             args.enrich
+        )
+
+    if args.export_warc:
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.sources import export_pages_warc
+
+        manifest = export_pages_warc(pages, args.export_warc).agg(
+            F.count("*").alias("files"), F.sum("n_records").alias("records")
+        ).collect()[0]
+        print(
+            "exported %d WARC files / %d records to %s"
+            % (manifest.files, manifest.records or 0, args.export_warc),
+            file=sys.stderr,
         )
 
     if args.training_out:
