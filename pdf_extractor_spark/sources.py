@@ -206,7 +206,6 @@ def export_pages_warc(
     import os
     import uuid
 
-    from pyspark.sql import functions as F  # noqa: F401  (schema parity)
 
     cols = pages.select("url", "warc_ts", "html")
 
