@@ -127,6 +127,44 @@ def test_warc_export_roundtrip(spark, tmp_path):
     assert back == orig
 
 
+def test_warc_roundtrip_property(tmp_path):
+    """Arbitrary payload bytes — including ones embedding 'WARC/' markers
+    and \\r\\n\\r\\n separators — round-trip exactly: Content-Length framing
+    must win over any content-based heuristic."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.binary(max_size=512).map(
+                lambda b: b + b"\r\n\r\nWARC/1.0\r\n" if len(b) % 7 == 0 else b
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        st.booleans(),
+    )
+    def roundtrip(payloads, gz):
+        import datetime
+
+        rows = [
+            {
+                "url": f"https://h/{i}",
+                "warc_ts": datetime.datetime(2024, 1, 1 + i % 27),
+                "html": p,
+            }
+            for i, p in enumerate(payloads)
+        ]
+        path = str(tmp_path / ("p.warc.gz" if gz else "p.warc"))
+        write_warc(rows, path, gzip_members=gz)
+        recs = parse_warc_records(open(path, "rb").read())
+        assert [r["url"] for r in recs] == [r["url"] for r in rows]
+        for got, want in zip(recs, rows):
+            assert got["html"] == want["html"]
+
+    roundtrip()
+
+
 def test_warc_job_end_to_end(spark, tmp_path):
     """The full extraction job runs off --input-warc semantics: WARC →
     kernel → partitioned output + control commit."""
