@@ -139,12 +139,25 @@ def build_node_table(raw: bytes) -> dict:
             continue
         if li == 1:  # close tag
             tag = m.group(1).lower()
-            if tag in CHROME_TAGS and chrome_depth > 0:
-                chrome_depth -= 1
+            # cap-at-1 nested-anchor semantics, same as html_extract: a
+            # </a> ends the (single) open anchor
             if tag == "a" and anchor_depth > 0:
                 anchor_depth -= 1
+            # matching-pop ONLY: a stray close with no open counterpart
+            # changes nothing (crawl HTML is ragged). When a mismatched
+            # close removes elements above the match point, sync the
+            # chrome/anchor counters with what actually left the stack —
+            # e.g. <div><nav></div> must return chrome_depth to 0, and
+            # <div><a>x</div>y must end the anchor (round-2 ADVICE; mirrors
+            # html_extract's guarded chrome_stack / anchor_start_depth
+            # logic, which this table must agree with).
             for i in range(len(stack) - 1, -1, -1):
                 if stack[i][0] == tag:
+                    for t, _ in stack[i:]:
+                        if t in CHROME_TAGS and chrome_depth > 0:
+                            chrome_depth -= 1
+                        elif t == "a":
+                            anchor_depth = 0
                     del stack[i:]
                     break
         else:  # open tag

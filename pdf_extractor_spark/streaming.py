@@ -94,13 +94,22 @@ def stream_extract_merge(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         sess = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["url"])
         try:
             existing = sess.read.parquet(out_dir).select("url")
             batch = batch.join(existing, "url", "left_anti")
-        except Exception:  # first batch: nothing written yet
-            pass
+        except AnalysisException as e:
+            # ONLY "sink doesn't exist yet" may skip the dedup guard; any
+            # other read failure (corrupt sink, transient FS error) must
+            # fail the batch so the checkpoint retries it — proceeding
+            # without the anti-join would silently append duplicate urls
+            # (round-2 ADVICE).
+            cls = e.getCondition() if hasattr(e, "getCondition") else None
+            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+                raise
         batch.write.mode("append").parquet(out_dir)
 
     return (

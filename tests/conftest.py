@@ -18,9 +18,13 @@ from pdf_extractor_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # local[4,2]: 4 threads, maxFailures=2 — task RETRIES are enabled so
+    # the suite can exercise retry/speculation safety (WARC sink commit
+    # protocol, exactly-once lineage); plain local[4] makes any task
+    # failure job-fatal, hiding that whole defect class
     s = get_spark(
         app_name="pdf_extractor_spark_tests",
-        master="local[4]",
+        master="local[4,2]",
         shuffle_partitions=8,
         extra_conf={"spark.driver.memory": "6g"},
     )

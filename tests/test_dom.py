@@ -69,6 +69,43 @@ def test_totals_agree_with_block_parser():
         assert t["subtree_chars"][0] == sum(b.total_chars for b in blocks), raw[:80]
 
 
+def test_chrome_anchor_counter_sync():
+    """Mismatched closes must sync chrome/anchor state with what actually
+    left the element stack (round-2 ADVICE): a stray chrome close is a
+    no-op, an outer close that swallows an open chrome/anchor element ends
+    it, and an anchor wrapping block children survives their closes."""
+    import numpy as np
+
+    def text_nodes(t):
+        return (t["kind"] == KIND_TEXT).nonzero()[0]
+
+    # stray </nav> with no open counterpart: nothing becomes chrome
+    t = build_node_table(b"</nav><p>plain text here</p>")
+    assert not t["in_chrome"][text_nodes(t)].any()
+
+    # <div><nav></div>after — the div close implicitly closes the nav
+    # (browser behavior), so 'after' is NOT chrome
+    t = build_node_table(b"<div><nav></div>after text")
+    assert not t["in_chrome"][text_nodes(t)[-1]]
+
+    # <div><a>x</div>y — the anchor dies with its containing div
+    t = build_node_table(b"<div><a>x</div>y")
+    tn = text_nodes(t)
+    assert t["anchor"][tn[0]] and not t["anchor"][tn[-1]]
+
+    # <a><div>x</div>more</a>tail — anchor WRAPS block children
+    # (HTML5-legal promo card): survives the inner close, ends at </a>
+    t = build_node_table(b"<a><div>x</div>more</a>tail")
+    tn = text_nodes(t)
+    assert t["anchor"][tn[0]] and t["anchor"][tn[1]] and not t["anchor"][tn[2]]
+
+    # <nav><a>l</a></nav>outside — leaving the chrome subtree ends it
+    t = build_node_table(b"<nav><a>l</a></nav>outside text")
+    tn = text_nodes(t)
+    assert t["in_chrome"][tn[0]] and not t["in_chrome"][tn[-1]]
+    assert int(np.sum(t["in_chrome"] & (t["kind"] == KIND_TEXT))) == 1
+
+
 def test_malformed_never_raises():
     for raw in (
         b"<<<>>><p>&bogus; &amp;</p><b",

@@ -127,6 +127,109 @@ def test_warc_export_roundtrip(spark, tmp_path):
     assert back == orig
 
 
+def test_warc_export_null_timestamp(spark, tmp_path):
+    """A null warc_ts (what read_pages_warc yields for malformed WARC-Date)
+    must export cleanly — pandas NaT has a strftime attr that raises, so the
+    sink needs an isna check, not hasattr (round-2 ADVICE)."""
+    from pdf_extractor_spark.sources import export_pages_warc
+
+    payload = b"<html><body><p>null timestamp payload body text here.</p></body></html>"
+    df = spark.createDataFrame(
+        [("https://t/nat", None, bytearray(payload), "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1)
+    out = str(tmp_path / "natexp")
+    manifest = export_pages_warc(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 1
+    back = read_pages_warc(spark, out).collect()
+    assert bytes(back[0].html) == payload
+    assert back[0].warc_ts is not None  # NaT fell back to the default date
+
+
+def test_warc_export_task_retry_no_orphans(spark, tmp_path):
+    """Task-commit protocol: an attempt that fails MID-WRITE (after records
+    already hit its temp file) must leave no orphan archive — the directory
+    holds exactly the manifest's files and the roundtrip is byte-exact.
+    Requires the session's maxFailures≥2 (conftest local[4,2])."""
+    import glob
+
+    from pdf_extractor_spark.sources import export_pages_warc
+    from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL, pages_df
+
+    pages = pages_df(spark, 120, seed=SEED, num_partitions=3)
+
+    def flaky(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            it = iter(batches)
+            first = next(it, None)
+            if first is not None:
+                yield first  # some rows reach the sink's temp file first
+            raise RuntimeError("injected attempt-0 failure")
+        yield from batches
+
+    out = str(tmp_path / "retry_export")
+    manifest = export_pages_warc(
+        pages.mapInPandas(flaky, schema=PAGES_SCHEMA_DDL), out, gzip_members=True
+    ).collect()
+    assert sum(m.n_records for m in manifest) == 120
+
+    on_disk = sorted(glob.glob(os.path.join(out, "*")))
+    assert on_disk == sorted(m.file for m in manifest)  # no orphans, no temps
+
+    back = {r.url: bytes(r.html) for r in read_pages_warc(spark, out).collect()}
+    orig = {r.url: bytes(r.html) for r in pages.collect()}
+    assert back == orig  # a double-counted orphan would add duplicate urls
+
+
+def test_warc_streaming_member_parse_bounded_buffer(monkeypatch):
+    """Multi-member archives far larger than the decompression chunk parse
+    byte-identically, including a record whose gzip member is split into
+    many chunks and records spanning member boundaries."""
+    import gzip
+
+    from pdf_extractor_spark import sources as src
+
+    monkeypatch.setattr(src, "WARC_CHUNK_BYTES", 256)  # force many refills
+
+    rows = [
+        {
+            "url": f"https://big/{i}",
+            "warc_ts": "2024-05-06T07:08:09Z",
+            # payloads 10-40 KB >> the 256-byte chunk
+            "html": bytes([65 + (i + j) % 26 for j in range(10_000 + i * 3_000)]),
+        }
+        for i in range(10)
+    ]
+    # member-per-record archive (Common-Crawl layout)
+    member_gz = b"".join(
+        gzip.compress(
+            src.encode_warc_record(r["url"], r["warc_ts"], r["html"]), 6, mtime=0
+        )
+        for r in rows
+    )
+    got = src.parse_warc_records(member_gz)
+    assert [r["url"] for r in got] == [r["url"] for r in rows]
+    assert all(g["html"] == r["html"] for g, r in zip(got, rows))
+
+    # records spanning member boundaries: one gzip stream chopped into
+    # arbitrary members mid-record
+    plain = b"".join(src.encode_warc_record(r["url"], r["warc_ts"], r["html"]) for r in rows)
+    cuts = [0, 5_000, 12_345, 50_000, 123_456, len(plain)]
+    chopped = b"".join(
+        gzip.compress(plain[a:b], 6, mtime=0) for a, b in zip(cuts, cuts[1:]) if b > a
+    )
+    got2 = src.parse_warc_records(chopped)
+    assert [r["url"] for r in got2] == [r["url"] for r in rows]
+    assert all(g["html"] == r["html"] for g, r in zip(got2, rows))
+
+    # corrupt trailing member: earlier records survive (ragged-data policy)
+    got3 = src.parse_warc_records(member_gz + b"\x1f\x8b\x08GARBAGE")
+    assert [r["url"] for r in got3] == [r["url"] for r in rows]
+
+
 def test_warc_roundtrip_property(tmp_path):
     """Arbitrary payload bytes — including ones embedding 'WARC/' markers
     and \\r\\n\\r\\n separators — round-trip exactly: Content-Length framing

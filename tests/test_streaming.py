@@ -46,6 +46,32 @@ def test_stream_merge_sink_no_duplicate_urls(spark, tmp_path):
             assert sample[r["url"]] == extract_document(r["html"]).extracted_text
 
 
+def test_stream_merge_corrupt_sink_fails_batch(spark, tmp_path):
+    """A sink-read failure that is NOT path-not-found must FAIL the batch
+    (checkpoint retries it) — silently skipping the anti-join would append
+    duplicate urls and break the exactly-once-per-url contract (round-2
+    ADVICE)."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    _write_pages(spark, inp, range(0, 10))
+
+    # out_dir exists but holds junk → read fails with a non-PATH_NOT_FOUND
+    # AnalysisException; the old blanket `except Exception` swallowed it
+    os.makedirs(out)
+    with open(os.path.join(out, "garbage.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+
+    q = st.stream_extract_merge(spark, inp, out, str(tmp_path / "ckpt_corrupt"))
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed on the corrupt sink")
+
+
 def test_stream_extract_incremental_resume(spark, tmp_path):
     """AvailableNow + checkpoint: second run processes ONLY new files (T1)."""
     inp = str(tmp_path / "pages")
