@@ -52,19 +52,25 @@ _MetricsRow = namedtuple(
 )
 
 
-class _PerPartitionMetricsParam(AccumulatorParam):
-    """Merge {partition_id: (docs, bytes, failures)} dicts."""
+class _PerTaskMetricsParam(AccumulatorParam):
+    """Merge {physical_partition: {bucket_pid: (docs, bytes, failures)}}.
+
+    REPLACE-per-physical-partition semantics make lineage exactly-once
+    under task retry and speculation (round-2 verdict #3): each kernel task
+    contributes its whole dict ONCE, keyed by its TaskContext partitionId —
+    a duplicate execution of the same physical partition (retry after
+    partial failure, speculative twin, stage re-run) overwrites the
+    previous contribution with an identical full recount instead of
+    double-counting. A task that dies mid-iteration never reaches its
+    single .add() at iterator exhaustion, so partial work contributes
+    nothing.
+    """
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
-        for pid, (d, by, f) in b.items():
-            if pid in a:
-                ad, aby, af = a[pid]
-                a[pid] = (ad + d, aby + by, af + f)
-            else:
-                a[pid] = (d, by, f)
+        a.update(b)  # last completed attempt of each physical partition wins
         return a
 
 
@@ -96,14 +102,15 @@ def run_extraction(
     """Run (or resume) the extraction job. Returns lineage totals for this run.
 
     Lineage metrics (docs/bytes/failures per partition) are counted INSIDE
-    the kernel via a per-partition accumulator and harvested after the
-    write action — zero extra scans. The previous design re-read every
-    newly-written partition (O(new output) per run — ~an extra full-table
-    read per 100 TB pass). `verify_readback=True` keeps that read-back as
-    an audit mode and fails if the two disagree: accumulator updates from
-    speculatively re-executed tasks can overcount on a real cluster (Spark
-    guarantees exactly-once accumulation only for actions, not
-    transformations), so audit-grade lineage should re-verify.
+    the kernel via a per-TASK accumulator and harvested after the write
+    action — zero extra scans, and exactly-once BY DEFAULT: each task
+    contributes its counts once at successful iterator exhaustion, keyed by
+    physical partition id with replace-on-duplicate merge, so retried or
+    speculatively re-executed kernel tasks cannot inflate the control table
+    (Spark only guarantees exactly-once accumulation for actions; this
+    protocol restores it for the transformation case — round-2 verdict #3).
+    `verify_readback=True` additionally re-reads the newly-written
+    partitions as a belt-and-braces audit and fails on any disagreement.
     """
     # the overwrite below is only safe under DYNAMIC partition overwrite —
     # static mode would truncate ALREADY-COMMITTED partitions while the
@@ -133,7 +140,7 @@ def run_extraction(
 
     # Kernel first, on scan splits: parallelism = input bytes / split size,
     # uniform by construction, so no key skew can serialize the compute.
-    metrics_acc = spark.sparkContext.accumulator({}, _PerPartitionMetricsParam())
+    metrics_acc = spark.sparkContext.accumulator({}, _PerTaskMetricsParam())
     extracted = (
         todo.select("partition_id", "url", "html")
         .mapInPandas(
@@ -164,11 +171,21 @@ def run_extraction(
     )
 
     # Lineage from the kernel-side accumulator: the write action above is
-    # what materialized the plan, so by now the accumulator holds per-pid
-    # (docs, bytes, failures) for everything that went through the kernel —
-    # no second scan of the output. Ids outside the current uncommitted set
-    # cannot appear (the anti-join removed them before the kernel).
-    acc_metrics = dict(metrics_acc.value)
+    # what materialized the plan, so by now the accumulator holds, per
+    # PHYSICAL task partition, the bucket-level (docs, bytes, failures) for
+    # everything that went through the kernel — no second scan of the
+    # output, and exactly-once under retry/speculation (each physical
+    # partition's last completed attempt wins; see _PerTaskMetricsParam).
+    # Ids outside the current uncommitted set cannot appear (the anti-join
+    # removed them before the kernel).
+    acc_metrics: dict[int, tuple] = {}
+    for per_task in metrics_acc.value.values():
+        for pid, (d, by, f) in per_task.items():
+            if pid in acc_metrics:
+                ad, aby, af = acc_metrics[pid]
+                acc_metrics[pid] = (ad + d, aby + by, af + f)
+            else:
+                acc_metrics[pid] = (d, by, f)
     metrics_rows = [
         _MetricsRow(pid, d, by, f)
         for pid, (d, by, f) in sorted(acc_metrics.items())
@@ -225,11 +242,24 @@ def write_training_examples(
     104-116 chat pairs, :202-230 JSONL writer, :232-249 stale-file cleanup →
     overwrite mode), built as one codegen projection (to_json(struct(...)))
     and written with write.text — no driver-side loop, no UDF. The
-    min-examples gate mirrors reference train.py:276-281 and fails BEFORE
-    any file is written. Returns the number of examples written.
+    min-examples gate mirrors reference train.py:276-281.
+
+    Single-pass protocol (round-2 verdict #4): the job writes to a STAGING
+    dir while an `observe()` aggregation counts rows in the same pass — the
+    extraction table is scanned exactly once (the old count()-then-write
+    paid a second full pass, a real cost at a 100 TB extraction table). On
+    gate pass the staging dir is atomically promoted to `training_dir`; on
+    gate fail it is deleted and nothing is ever visible at the final path.
+    Returns the number of examples written.
     """
+    import os
+    import shutil
+
+    from pyspark.sql import Observation
+
     from pdf_extractor_spark.operators.textstats import build_training_example
 
+    obs = Observation("training_gate")
     examples = (
         spark.read.parquet(extracted_dir)
         .filter((F.col("parse_status") == "ok") & (F.length("extracted_text") > 0))
@@ -238,24 +268,38 @@ def write_training_examples(
                 F.col("extracted_text"), F.struct(F.col("url").alias("url"))
             ).alias("value")
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
-    n_examples = examples.count()
+    staging = training_dir.rstrip("/") + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    examples.write.mode("overwrite").text(staging)
+    n_examples = int(obs.get["n"])
     if n_examples < min_examples:
+        shutil.rmtree(staging, ignore_errors=True)
         raise TooFewExamplesError(
             f"only {n_examples} training examples (< {min_examples} required)"
         )
-    examples.write.mode("overwrite").text(training_dir)
+    # local-FS promote; on a real deployment this is the Hadoop FS rename /
+    # Iceberg snapshot commit — same staged-commit shape
+    shutil.rmtree(training_dir, ignore_errors=True)
+    os.replace(staging, training_dir)
     return n_examples
 
 
 def _make_kernel_with_pid(metrics_acc):
     """Kernel wrapper: carries partition_id through the Arrow boundary and
-    counts per-partition lineage (docs, bytes, failures) into the
-    accumulator as a side effect of the same pass — metrics cost zero extra
-    scans. `metrics_acc=None` runs the kernel without counting (plan
+    counts per-partition lineage (docs, bytes, failures) as a side effect
+    of the same pass — metrics cost zero extra scans. Counts accumulate in
+    a task-LOCAL dict and hit the accumulator exactly once, at iterator
+    exhaustion, keyed by the task's physical partition id — see
+    _PerTaskMetricsParam for why this is exactly-once under retry and
+    speculation. `metrics_acc=None` runs the kernel without counting (plan
     tests)."""
 
     def kernel(batches):
+        from pyspark import TaskContext
+
+        local: dict[int, list] = {}
         for pdf in batches:
             pids = pdf["partition_id"]
             out = next(extract_batches(iter([pdf[["url", "html"]]])))
@@ -267,12 +311,15 @@ def _make_kernel_with_pid(metrics_acc):
                     .groupby("partition_id", sort=False)
                     .agg(docs=("url", "size"), by=("n_bytes", "sum"), f=("_failed", "sum"))
                 )
-                metrics_acc.add(
-                    {
-                        int(pid): (int(r.docs), int(r.by), int(r.f))
-                        for pid, r in grouped.iterrows()
-                    }
-                )
+                for pid, r in grouped.iterrows():
+                    cur = local.setdefault(int(pid), [0, 0, 0])
+                    cur[0] += int(r.docs)
+                    cur[1] += int(r.by)
+                    cur[2] += int(r.f)
             yield out
+        if metrics_acc is not None and local:
+            tc = TaskContext.get()
+            phys = tc.partitionId() if tc is not None else -1
+            metrics_acc.add({phys: {p: tuple(v) for p, v in local.items()}})
 
     return kernel

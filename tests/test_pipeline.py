@@ -148,6 +148,59 @@ def test_training_examples_sink(spark, out_dirs, tmp_path):
     import os
 
     assert not os.path.exists(gate_dir)
+    assert not os.path.exists(gate_dir + "._staging")  # staging cleaned up
+    assert not os.path.exists(train_dir + "._staging")
+
+
+def test_metrics_param_replace_semantics():
+    """Speculative twin / retried task of the same physical partition must
+    REPLACE its previous contribution, never double-count."""
+    from pdf_extractor_spark.pipeline import _PerTaskMetricsParam
+
+    p = _PerTaskMetricsParam()
+    a = p.zero(None)
+    a = p.addInPlace(a, {0: {3: (10, 100, 1)}})
+    a = p.addInPlace(a, {1: {3: (5, 50, 0), 4: (2, 20, 0)}})
+    a = p.addInPlace(a, {0: {3: (10, 100, 1)}})  # speculative duplicate
+    merged: dict = {}
+    for sub in a.values():
+        for pid, (d, b, f) in sub.items():
+            cur = merged.get(pid, (0, 0, 0))
+            merged[pid] = (cur[0] + d, cur[1] + b, cur[2] + f)
+    assert merged == {3: (15, 150, 1), 4: (2, 20, 0)}
+
+
+def test_lineage_exactly_once_under_task_retry(spark, tmp_path):
+    """A kernel task failing AFTER batches already flowed through the
+    kernel must not inflate control-table lineage: counts commit once per
+    completed attempt (round-2 verdict #3). Requires conftest's
+    local[4,2] so the failed task retries instead of killing the job."""
+    from pdf_extractor_spark.pipeline import run_extraction
+    from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL
+
+    pages = pages_df(spark, 200, seed=SEED, num_partitions=4)
+
+    def flaky(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() == 1 and tc.attemptNumber() == 0:
+            it = iter(batches)
+            first = next(it, None)
+            if first is not None:
+                yield first  # downstream kernel counts these rows, then dies
+            raise RuntimeError("injected attempt-0 failure")
+        yield from batches
+
+    flaky_pages = pages.mapInPandas(flaky, schema=PAGES_SCHEMA_DDL)
+    out, ctl = str(tmp_path / "out"), str(tmp_path / "ctl")
+    stats = run_extraction(spark, flaky_pages, out, ctl, n_buckets=8)
+    assert stats.docs_processed == 200  # the old per-batch adds overcounted
+    ctl_sum = spark.read.parquet(ctl).agg(F.sum("docs_processed")).collect()[0][0]
+    assert ctl_sum == 200
+    out_df = spark.read.parquet(out)
+    assert out_df.count() == 200
+    assert out_df.select("url").distinct().count() == 200
 
 
 def test_resume_rejects_mismatched_bucketing(spark, tmp_path):
