@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # if the cap ever shrinks, it sheds queries that already have a green
     # round-1 driver record, never the ones still awaiting one.
     priority = [
+        "emb_near_dup_multiband",  # new in round 3
+        "dead_letter_triage",      # new in round 3
         "x1_scalar_suite",       # round-1 x* family: pass(L) only, never driver-verified
         "x4_marker_roundtrip",
         "x14_url_pattern",

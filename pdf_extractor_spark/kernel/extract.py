@@ -69,6 +69,26 @@ def _is_non_text_binary(raw: bytes) -> bool:
     return b"\x00" in raw[:1024]
 
 
+def failure_class(raw: bytes | None) -> str | None:
+    """WHY a payload fails (None when it extracts ok/empty) — the triage
+    taxonomy behind the dead-letter sample sink. extract_document folds all
+    failures into parse_status='failed' for the hot path; this re-derives
+    the class for the capped sample a 100 TB pipeline keeps for operators:
+    'empty_payload' | 'binary_payload' | exception class name."""
+    if raw is None or len(raw) == 0:
+        return "empty_payload"
+    if _is_non_text_binary(raw):
+        return "binary_payload"
+    try:
+        if raw.startswith(PDF_MAGIC):
+            extract_pdf(raw)
+        else:
+            extract_html(raw)
+    except Exception as e:  # mirror of extract_document's failure arm
+        return type(e).__name__
+    return None
+
+
 def extract_document(raw: bytes | None) -> ExtractResult:
     """Extract main content from one raw payload. NEVER raises.
 

@@ -18,11 +18,14 @@ Catalog → /Pages → /Kids in order and each page's /Contents refs (one page
 may concatenate several streams). Legacy payloads without an object
 structure fall back to one-content-stream-per-page in byte order.
 
-Out of scope (documented boundary, not silent loss): font encodings /
-CMaps — string bytes decode as latin-1, which is exact for the synthetic
-fixtures and the common WinAnsi range; a subset-embedded font with a
-custom CMap would need the /ToUnicode table the reference gets free from
-PyMuPDF (reference services/pdf_service.py:16).
+Font encodings: each page's /Resources /Font table is parsed into
+code→unicode maps — simple-font `/Encoding /Differences` arrays resolve
+glyph names through an Adobe-Glyph-List subset (plus uniXXXX names), and
+`/ToUnicode` CMap streams (beginbfchar / beginbfrange, 1- or 2-byte codes,
+UTF-16BE targets) overlay them, matching what the reference gets from
+PyMuPDF's font handling (reference services/pdf_service.py:16). `Tf`
+selects the active font; unmapped codes and fontless payloads fall back to
+latin-1, exact for the WinAnsi range.
 
 Numpy lexsort does the ordering so the whole page sorts in one vectorized
 call — no per-span Python comparisons.
@@ -106,6 +109,252 @@ def _esc_sub(m: "re.Match[bytes]") -> bytes:
     return _ESCAPES[b"\\" + g]
 
 
+# --- font encodings (/Differences + /ToUnicode CMaps) ----------------------
+
+# Adobe Glyph List subset: the names simple-font /Differences arrays use in
+# practice. Letters and digits resolve programmatically; this table carries
+# punctuation and the Latin-1/Latin-Extended accents crawl PDFs hit.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "aacute": "á", "agrave": "à", "acircumflex": "â",
+    "adieresis": "ä", "aring": "å", "atilde": "ã",
+    "ae": "æ", "ccedilla": "ç",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "edieresis": "ë",
+    "iacute": "í", "igrave": "ì", "icircumflex": "î",
+    "idieresis": "ï",
+    "ntilde": "ñ",
+    "oacute": "ó", "ograve": "ò", "ocircumflex": "ô",
+    "odieresis": "ö", "oslash": "ø", "otilde": "õ",
+    "oe": "œ",
+    "uacute": "ú", "ugrave": "ù", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "ydieresis": "ÿ",
+    "germandbls": "ß", "thorn": "þ", "eth": "ð",
+    "Aacute": "Á", "Agrave": "À", "Adieresis": "Ä",
+    "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Eacute": "É", "Egrave": "È", "Ntilde": "Ñ",
+    "Oacute": "Ó", "Odieresis": "Ö", "Oslash": "Ø",
+    "OE": "Œ", "Uacute": "Ú", "Udieresis": "Ü",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "Euro": "€", "degree": "°", "guillemotleft": "«",
+    "guillemotright": "»", "exclamdown": "¡",
+    "questiondown": "¿", "cent": "¢", "sterling": "£",
+    "yen": "¥", "section": "§", "copyright": "©",
+    "registered": "®", "trademark": "™", "plusminus": "±",
+    "micro": "µ", "paragraph": "¶", "middot": "·",
+    "fraction": "⁄", "florin": "ƒ",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """AGL-subset glyph name → unicode char (None when unknown)."""
+    if len(name) == 1:  # letters name themselves in the AGL
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BF_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
+_FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b")
+
+
+def _utf16be(hx: bytes) -> str | None:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _parse_tounicode(stream: bytes) -> "tuple[dict[int, str], int]":
+    """ToUnicode CMap stream → (code→str map, bytes per code)."""
+    cmap: dict[int, str] = {}
+    nbytes = 1
+    for sec in _BFCHAR_RE.finditer(stream):
+        for sm, dm in _BF_PAIR_RE.findall(sec.group(1)):
+            nbytes = max(nbytes, len(sm) // 2)
+            dst = _utf16be(dm)
+            if dst is not None:
+                cmap[int(sm, 16)] = dst
+    for sec in _BFRANGE_RE.finditer(stream):
+        for lo, hi, dst1, dstarr in _BF_RANGE_RE.findall(sec.group(1)):
+            nbytes = max(nbytes, len(lo) // 2)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 0xFFFF:  # malformed range: bound the loop
+                continue
+            if dstarr:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dstarr)
+                for off, d in enumerate(dsts[: hi_i - lo_i + 1]):
+                    s = _utf16be(d)
+                    if s is not None:
+                        cmap[lo_i + off] = s
+            else:
+                base = _utf16be(dst1)
+                if base is None or not base:
+                    continue
+                # incrementing range: last code unit increments (PDF 32000
+                # §9.10.3 restricts the increment to the final byte)
+                head_s, last = base[:-1], ord(base[-1])
+                for off in range(hi_i - lo_i + 1):
+                    cmap[lo_i + off] = head_s + chr(last + off)
+    return cmap, nbytes
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes | None:
+    """Inner bytes of the balanced '<< ... >>' opening at `start`."""
+    if data[start : start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            if depth == 0:
+                return data[start + 2 : i]
+            i += 2
+        else:
+            i += 1
+    return None
+
+
+def _dict_value(head: bytes, key: bytes, bodies: "dict[int, bytes]") -> bytes | None:
+    """Value of /key in `head`: an inline balanced dict, or an indirect
+    reference resolved through the object table (the dict body of the
+    referenced object). None when absent/unresolvable."""
+    m = re.search(rb"/" + key + rb"\s*(<<|(\d+)\s+\d+\s+R\b)", head)
+    if m is None:
+        return None
+    if m.group(1).startswith(b"<<"):
+        return _balanced_dict(head, m.start(1))
+    body = bodies.get(int(m.group(2)))
+    if body is None:
+        return None
+    dm = re.search(rb"<<", body)
+    return _balanced_dict(body, dm.start()) if dm else body
+
+
+def _parse_font(
+    body: bytes,
+    raw: bytes,
+    objects: "dict[int, tuple[int, bytes]]",
+    bodies: "dict[int, bytes]",
+) -> "tuple[dict[int, str], int] | None":
+    """One font object → (code→unicode map, bytes per code), or None for a
+    standard-encoded font (callers then decode latin-1/WinAnsi-style).
+    /Differences applies first; /ToUnicode overlays it (authoritative, as
+    in PyMuPDF-family extractors)."""
+    cmap: dict[int, str] = {}
+    nbytes = 1
+    enc = _dict_value(body, b"Encoding", bodies)
+    if enc is not None:
+        dm = _DIFF_RE.search(enc)
+        if dm:
+            code = 0
+            for num, name in _DIFF_TOK_RE.findall(dm.group(1)):
+                if num:
+                    code = int(num)
+                else:
+                    ch = _glyph_to_char(name.decode("latin-1"))
+                    if ch is not None:
+                        cmap[code] = ch
+                    code += 1
+    tum = _TOUNICODE_RE.search(body.split(b"stream", 1)[0])
+    if tum:
+        ref = int(tum.group(1))
+        if ref in objects:
+            o_off, o_body = objects[ref]
+            stream = _object_stream_bytes(raw, o_body, o_off, bodies)
+            if stream:
+                tmap, tn = _parse_tounicode(stream)
+                cmap.update(tmap)
+                nbytes = max(nbytes, tn)
+    return (cmap, nbytes) if cmap else None
+
+
+def _page_font_table(
+    page_head: bytes,
+    raw: bytes,
+    objects: "dict[int, tuple[int, bytes]]",
+    bodies: "dict[int, bytes]",
+    font_memo: "dict[int, tuple | None]",
+) -> "dict[str, tuple] | None":
+    """/Resources /Font of one page → {font_name: (cmap, nbytes)}; fonts
+    without a custom encoding are omitted (latin-1 fallback). None when the
+    page declares no custom-encoded fonts at all (the fast common path)."""
+    res = _dict_value(page_head, b"Resources", bodies)
+    if res is None:
+        return None
+    fdict = _dict_value(res, b"Font", bodies)
+    if fdict is None:
+        return None
+    fonts: dict[str, tuple] = {}
+    for fm in _FONT_REF_RE.finditer(fdict):
+        ref = int(fm.group(2))
+        if ref not in font_memo:
+            body = bodies.get(ref)
+            font_memo[ref] = (
+                _parse_font(body, raw, objects, bodies) if body is not None else None
+            )
+        font = font_memo[ref]
+        if font is not None:
+            fonts[fm.group(1).decode("latin-1")] = font
+    return fonts or None
+
+
+def _decode_codes(bs: bytes, font: "tuple | None") -> str:
+    """Show-string bytes → text through the active font's code map;
+    unmapped codes and fontless text decode latin-1 (exact for WinAnsi)."""
+    if font is None:
+        return bs.decode("latin-1")
+    cmap, nbytes = font
+    if nbytes == 1:
+        return "".join(cmap[b] if b in cmap else chr(b) for b in bs)
+    out = []
+    for i in range(0, len(bs) - 1, 2):
+        code = (bs[i] << 8) | bs[i + 1]
+        out.append(cmap.get(code, "�"))
+    if len(bs) % 2:  # ragged trailing byte: decode as 1-byte code
+        out.append(cmap.get(bs[-1], chr(bs[-1])))
+    return "".join(out)
+
+
 def _safe_float(b: bytes, default: float = 0.0) -> float:
     """float() over a [\\d.+-]+ token that may be malformed ('+-', '5.5.3',
     '.'): a bad NUMBER must cost one operand, never the whole document —
@@ -116,24 +365,24 @@ def _safe_float(b: bytes, default: float = 0.0) -> float:
         return default
 
 
-def _unescape_pdf_string(s: bytes) -> str:
+def _unescape_pdf_string(s: bytes, font: "tuple | None" = None) -> str:
     if b"\\" not in s:  # fast path: the vast majority of strings
-        return s.decode("latin-1")
-    return _ESC_RE.sub(_esc_sub, s).decode("latin-1")
+        return _decode_codes(s, font)
+    return _decode_codes(_ESC_RE.sub(_esc_sub, s), font)
 
 
-def _decode_hex_body(hx: bytes) -> str:
+def _decode_hex_body(hx: bytes, font: "tuple | None" = None) -> str:
     hx = hx.translate(None, _HEX_WS)  # C-speed whitespace strip
     if len(hx) % 2:
         hx += b"0"  # PDF spec: odd-length hex strings pad a trailing 0
-    return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+    return _decode_codes(bytes.fromhex(hx.decode("ascii")), font)
 
 
-def _decode_string_token(tok: bytes) -> str:
+def _decode_string_token(tok: bytes, font: "tuple | None" = None) -> str:
     """One string token — '(lit)' or '<hex>' — to text."""
     if tok.startswith(b"("):
-        return _unescape_pdf_string(tok[1:-1])
-    return _decode_hex_body(tok[1:-1])
+        return _unescape_pdf_string(tok[1:-1], font)
+    return _decode_hex_body(tok[1:-1], font)
 
 
 def _nearest_dict(sdict: bytes) -> bytes:
@@ -228,13 +477,16 @@ def _object_stream_bytes(
     )
 
 
-def _page_content_streams(raw: bytes) -> "list[bytes] | None":
-    """Walk the page tree → one decoded content-stream blob per page.
+def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None":
+    """Walk the page tree → (decoded content-stream blob, font table) per
+    page.
 
     Page order: Catalog → /Pages → /Kids, depth-first (the PDF's declared
     reading order); objects not reachable from a /Kids array but marked
     /Type /Page are appended in document order (tolerates truncated
-    catalogs in crawl data). Returns None when the payload has no page
+    catalogs in crawl data). The font table maps each page's /Resources
+    /Font names to custom decode maps (None when the page only uses
+    standard-encoded fonts). Returns None when the payload has no page
     objects — the caller then falls back to stream-per-page.
     """
     objects = _parse_objects(raw)
@@ -278,7 +530,8 @@ def _page_content_streams(raw: bytes) -> "list[bytes] | None":
         if num not in seen:
             ordered.append(num)
 
-    pages: list[bytes] = []
+    pages: list[tuple[bytes, dict | None]] = []
+    font_memo: dict[int, tuple | None] = {}  # font obj num → parsed map
     for num in ordered:
         off, body = objects[num]
         head = body.split(b"stream", 1)[0]
@@ -299,19 +552,28 @@ def _page_content_streams(raw: bytes) -> "list[bytes] | None":
             if decoded:
                 parts.append(decoded)
         if parts:
+            fonts = _page_font_table(head, raw, objects, bodies, font_memo)
             # multiple /Contents streams form ONE logical stream (PDF spec:
             # concatenated with whitespace between)
-            pages.append(b"\n".join(parts))
+            pages.append((b"\n".join(parts), fonts))
     return pages if pages else None
 
 
-def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
-    """Extract positioned runs from one page's content stream into `runs`."""
+def _parse_text_ops(
+    stream: bytes,
+    page_no: int,
+    runs: "list[dict]",
+    fonts: "dict[str, tuple] | None" = None,
+) -> None:
+    """Extract positioned runs from one page's content stream into `runs`.
+    `fonts` maps font names (Tf operands) to custom code→unicode maps; the
+    active font decodes every show string until the next Tf."""
     for tm in _TEXTOBJ_RE.finditer(stream):
         body = tm.group(1)
         x = y = 0.0
         font_size = 12.0
         leading = 14.0
+        cur_font: tuple | None = None
 
         def emit(text: str) -> None:
             nonlocal x
@@ -338,7 +600,7 @@ def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
             if kind == "showop":  # Tj or ' (literal or hex string)
                 if om.group("showop") == b"'":
                     y -= leading
-                emit(_decode_string_token(om.group("show")))
+                emit(_decode_string_token(om.group("show"), cur_font))
             elif kind == "tjarr":  # TJ array show
                 # Elements concatenate into ONE run: kerning numbers adjust
                 # the estimated advance; a gap wider than TJ_SPACE_THRESHOLD
@@ -352,9 +614,9 @@ def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
                         if _safe_float(em.group("adj")) < -TJ_SPACE_THRESHOLD:
                             parts.append(" ")
                     elif ekind == "lit":
-                        parts.append(_unescape_pdf_string(em.group("lit")))
+                        parts.append(_unescape_pdf_string(em.group("lit"), cur_font))
                     else:  # hex
-                        parts.append(_decode_hex_body(em.group("hex")))
+                        parts.append(_decode_hex_body(em.group("hex"), cur_font))
                 emit("".join(parts))
             elif kind == "tm":  # Tm — absolute placement
                 nums = om.group("tm").split()
@@ -369,6 +631,11 @@ def _parse_text_ops(stream: bytes, page_no: int, runs: "list[dict]") -> None:
                     leading = -ty
             elif kind == "fsize":  # Tf
                 font_size = _safe_float(om.group("fsize"))
+                cur_font = (
+                    fonts.get(om.group("fname").decode("latin-1"))
+                    if fonts
+                    else None
+                )
             elif kind == "tl":  # TL
                 leading = _safe_float(om.group("tl"))
 
@@ -385,8 +652,8 @@ def parse_glyph_runs(raw: bytes) -> list[dict]:
     runs: list[dict] = []
     pages = _page_content_streams(raw)
     if pages is not None:
-        for page_no, stream in enumerate(pages):
-            _parse_text_ops(stream, page_no, runs)
+        for page_no, (stream, fonts) in enumerate(pages):
+            _parse_text_ops(stream, page_no, runs, fonts)
         return runs
     for page_no, sm in enumerate(_STREAM_RE.finditer(raw)):
         stream = _decode_stream_at(raw, sm.group(1), sm.start(2), sm.group(2))

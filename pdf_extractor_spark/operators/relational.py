@@ -1114,3 +1114,37 @@ def g1_grouped_trend(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         trend, schema="user_id long, n long, slope double"
     )
+
+
+@register(
+    "dead_letter_triage",
+    doc="Dead-letter sample sink (rows-only; gated by tests/test_pipeline.py"
+    "::test_dead_letter_sample): pipeline.dead_letter_sample keeps a capped "
+    "per-partition sample of (url, error_class, payload head) for payloads "
+    "that fail extraction — the triage artifact a 100 TB crawl pipeline "
+    "needs beside the parse_failures counter. Input: 400 synthesized pages "
+    "plus crafted binary/NUL payloads; output aggregated per error class "
+    "(cap set above the fixture failure count, so the aggregate is exact).",
+)
+def dead_letter_triage(spark, sf_dir):
+    from pdf_extractor_spark.pipeline import dead_letter_sample
+    from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL, pages_df
+
+    crafted = spark.createDataFrame(
+        [
+            ("https://x/logo.png", None, bytearray(b"\x89PNG\r\n\x1a\n000"), "", ""),
+            ("https://x/blob", None, bytearray(b"bytes with \x00 NULs " * 60), "", ""),
+        ],
+        PAGES_SCHEMA_DDL,
+    )
+    pages = pages_df(spark, 400, seed=42, num_partitions=2).unionByName(crafted)
+    sample = dead_letter_sample(pages, max_per_partition=50)
+    return (
+        sample.groupBy("error_class")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("url").alias("n_urls"),
+            F.max(F.length("payload_head")).alias("max_head_bytes"),
+        )
+        .orderBy("error_class")
+    )

@@ -252,6 +252,114 @@ def emb_near_dup_bucketed(spark, sf_dir):
     )
 
 
+_N_BANDS = 3
+
+# band-rotated hyperplanes: band r reuses the _COEF_SQL family with its
+# multiplier and offset shifted by r — 3 independent 8-plane signatures,
+# the vector-LSH analog of MinHash banding (dedup.py).
+_BAND_COEF_SQL = "((1 + j + 8 * r) * (i * i + 3 * i + 7 + 11 * r)) % 19 - 9"
+
+
+@register(
+    "emb_near_dup_multiband",
+    oracle=f"""
+    WITH proj AS (
+      SELECT e.vec_id, p.r, p.j,
+             sum(e.x * ({_BAND_COEF_SQL})) AS dot
+      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS i
+            FROM embeddings) e
+      CROSS JOIN (SELECT j, r
+                  FROM (SELECT unnest(range(0, {_N_PLANES})) AS j),
+                       (SELECT unnest(range(0, {_N_BANDS})) AS r)) p
+      GROUP BY e.vec_id, p.r, p.j
+    ),
+    sig AS (
+      SELECT vec_id, r,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, r
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM sig a JOIN sig b
+        ON a.r = b.r AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             FROM embeddings)
+    SELECT cand.va, cand.vb
+    FROM cand
+    JOIN vecs a ON a.vec_id = cand.va
+    JOIN vecs b ON b.vec_id = cand.vb
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.38
+    """,
+    doc="MULTI-BAND embedding near-dup (round-2 verdict #7): the same "
+    ">=0.38 cosine predicate as emb_near_dup, candidates formed inside ANY "
+    "of 3 rotated 8-plane LSH signatures and unioned — exactly the "
+    "MinHash-banding shape dedup.py uses, applied to vector sign buckets "
+    "(band r=0 IS the single-band signature, so recall dominates "
+    "emb_near_dup_bucketed by construction; tests/test_operators.py "
+    "measures the recall table against the emb_near_dup ground truth). "
+    "Still never a cross join: candidate generation is one equi-join on "
+    "(band, bucket) — O(sum bucket² per band) ~ linear — followed by a "
+    "distinct on the pair key and two narrow joins to fetch vectors for "
+    "the exact cosine filter.",
+)
+def emb_near_dup_multiband(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    grid = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(_N_BANDS).select(F.col("id").cast("int").alias("r")))
+    )
+    coef = (
+        (1 + F.col("j") + 8 * F.col("r"))
+        * (F.col("i") * F.col("i") + 3 * F.col("i") + 7 + 11 * F.col("r"))
+    ) % 19 - 9
+    sig = (
+        e.crossJoin(F.broadcast(grid))
+        .groupBy("vec_id", "r", "j")
+        .agg(F.sum(F.col("x") * coef).alias("dot"))
+        .groupBy("vec_id", "r")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
+    a = sig.select(F.col("vec_id").alias("va"), "r", "bucket")
+    b = sig.select(F.col("vec_id").alias("vb"), "r", "bucket")
+    cand = (
+        a.join(b, ["r", "bucket"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    vecs = _with_norm(emb).select("vec_id", "embedding", "nrm")
+    va_v = vecs.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb_v = vecs.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(va_v, "va")
+        .join(vb_v, "vb")
+        .filter(dot / (F.col("na") * F.col("nb")) >= 0.38)
+        .select("va", "vb")
+    )
+
+
 @register(
     "emb_norm_stats",
     oracle="""

@@ -151,14 +151,21 @@ def run_extraction(
 
     # Salted spread of the WRITE: partition_id alone would map each url-hash
     # bucket to one reducer; a hot host (zipf head) would serialize it.
-    # salt = url-hash mod k fans each bucket across k write tasks; the
-    # partitioned write regroups by directory, so co-location is preserved
-    # on disk, not in the shuffle. Only the kernel output (≈3× smaller than
-    # the raw html) crosses this shuffle.
+    # salt = (url-hash + map-side partition id) mod k fans each bucket
+    # across k write tasks; the partitioned write regroups by directory, so
+    # co-location is preserved on disk, not in the shuffle. The
+    # spark_partition_id term (evaluated map-side = the kernel task's scan
+    # split, deterministic under retry) additionally spreads IDENTICAL
+    # urls — a url recrawled 10^6 times hashes to one salt value under a
+    # url-only salt, but its copies span many scan splits, so they fan out
+    # here. Only the kernel output (≈3× smaller than the raw html) crosses
+    # this shuffle.
     salted = extracted.repartition(
         shuffle_n,
         "partition_id",
-        F.pmod(F.xxhash64("url"), F.lit(salt_factor)).alias("salt"),
+        F.pmod(F.xxhash64("url") + F.spark_partition_id(), F.lit(salt_factor)).alias(
+            "salt"
+        ),
     )
 
     (
@@ -226,6 +233,52 @@ def run_extraction(
         sum(r.docs_processed for r in metrics_rows),
         sum(r.bytes_parsed or 0 for r in metrics_rows),
         sum(r.parse_failures or 0 for r in metrics_rows),
+    )
+
+
+def dead_letter_sample(
+    pages: DataFrame, max_per_partition: int = 20, head_bytes: int = 64
+) -> DataFrame:
+    """Capped per-partition sample of FAILING payloads for triage — the
+    operability companion to run_extraction's `parse_failures` counter: the
+    count says how many broke; this keeps (url, error_class, payload head)
+    for a bounded few so an operator can see WHAT broke without re-running
+    the crawl (round-2 verdict #9).
+
+    Bounded by construction: ≤ max_per_partition rows × head_bytes bytes
+    per task, and each task STOPS classifying once its cap is hit — at
+    10^12 docs the sink's size is O(tasks), not O(failures).
+    """
+    from pdf_extractor_spark.kernel.extract import failure_class
+
+    def kernel(batches):
+        import pandas as pd
+
+        left = max_per_partition
+        for pdf in batches:
+            if left <= 0:
+                break
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                b = bytes(payload) if payload is not None else None
+                cls = failure_class(b)
+                if cls is None:
+                    continue
+                rows.append(
+                    {
+                        "url": url,
+                        "error_class": cls,
+                        "payload_head": (b or b"")[:head_bytes],
+                    }
+                )
+                left -= 1
+                if left <= 0:
+                    break
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(
+        kernel, schema="url string, error_class string, payload_head binary"
     )
 
 

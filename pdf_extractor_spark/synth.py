@@ -130,6 +130,73 @@ def _esc_pdf(t: str) -> str:
     return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+# --- custom font encodings (exercises /Differences + /ToUnicode decode) -----
+
+# accented vocabulary injected into custom-font PDF pages
+_ACCENT_WORDS = [
+    "café", "crème", "fête", "voilà", "façade", "naïve", "über",
+    "schön", "straße", "mañana", "œuvre", "résumé", "déjà",
+]
+# char → AGL glyph name (for the /Differences flavor)
+_GLYPH_NAMES = {
+    "é": "eacute", "è": "egrave", "ê": "ecircumflex", "à": "agrave",
+    "ç": "ccedilla", "ï": "idieresis", "ü": "udieresis", "ö": "odieresis",
+    "ß": "germandbls", "ñ": "ntilde", "œ": "oe",
+}
+# è/é/ê sit at consecutive codes 0x90-0x92 AND consecutive codepoints
+# (E8-EA) so the ToUnicode flavor can map them via ONE bfrange entry;
+# everything else gets bfchar / individual Differences names from 0x80
+_BFRANGE_CHARS = ["è", "é", "ê"]
+_CHAR2CODE = {c: 0x90 + i for i, c in enumerate(_BFRANGE_CHARS)}
+_CHAR2CODE.update(
+    {
+        c: 0x80 + i
+        for i, c in enumerate(sorted(set(_GLYPH_NAMES) - set(_BFRANGE_CHARS)))
+    }
+)
+
+
+def _encode_custom(t: str) -> str:
+    """Text → custom-font show-string codes (as a latin-1 str: one byte per
+    char; ASCII passes through — unmapped codes fall back to latin-1 in the
+    decoder, which this exercises too)."""
+    return "".join(chr(_CHAR2CODE.get(ch, ord(ch))) for ch in t)
+
+
+def _differences_font_obj() -> bytes:
+    """/Encoding /Differences font dict covering _CHAR2CODE."""
+    parts: list[str] = []
+    prev = None
+    for c, code in sorted(_CHAR2CODE.items(), key=lambda kv: kv[1]):
+        if prev is None or code != prev + 1:
+            parts.append(str(code))
+        parts.append("/" + _GLYPH_NAMES[c])
+        prev = code
+    return (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /CustomDiff "
+        "/Encoding << /Differences [ %s ] >> >>" % " ".join(parts)
+    ).encode("latin-1")
+
+
+def _tounicode_stream() -> bytes:
+    """Minimal ToUnicode CMap: bfchar entries for the 0x80-block chars plus
+    one bfrange for the è/é/ê trio."""
+    bfchars = [
+        "<%02x> <%04x>" % (code, ord(c))
+        for c, code in sorted(_CHAR2CODE.items(), key=lambda kv: kv[1])
+        if c not in _BFRANGE_CHARS
+    ]
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n/CMapName /Custom def\n"
+        "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        "%d beginbfchar\n%s\nendbfchar\n"
+        "1 beginbfrange\n<90> <92> <00e8>\nendbfrange\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        % (len(bfchars), "\n".join(bfchars))
+    ).encode("latin-1")
+
+
 def _show_token(rng: np.random.Generator, t: str) -> str:
     """A literal '(...)' or (25% of the time) hex '<...>' show string."""
     if rng.random() < 0.25:
@@ -169,6 +236,16 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     ~Half the content streams are FlateDecode-compressed either way.
     """
     n_pages = int(rng.integers(1, 4)) * heft
+    # document form decided up front: page-tree vs legacy bare streams, and
+    # (tree only — encodings need font objects) whether show strings use a
+    # CUSTOM font encoding, declared either as /Encoding /Differences glyph
+    # names or as a /ToUnicode bfchar+bfrange CMap. Custom pages mix
+    # accented words in; every run then selects /F2 via its own Tf, and the
+    # golden text keeps the real characters — byte-identity holds only if
+    # the kernel decodes through the font table.
+    use_tree = rng.random() < 0.5
+    custom = use_tree and rng.random() < 0.6
+    flavor = "diff" if rng.random() < 0.5 else "cmap"
     golden_lines: list[str] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content streams
     for p in range(n_pages):
@@ -178,9 +255,15 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
         for li in range(n_lines):
             y = 720.0 - 16.0 * li
             words = _sentence(rng, 4, 9).rstrip(".").split()
+            if custom and rng.random() < 0.5:
+                for _ in range(int(rng.integers(1, 3))):
+                    words[int(rng.integers(0, len(words)))] = _ACCENT_WORDS[
+                        int(rng.integers(0, len(_ACCENT_WORDS)))
+                    ]
             if rng.random() < 0.35:
                 # whole line as one TJ array at the line origin
-                runs.append((y, 72.0, _tj_array(rng, words)))
+                shown = [_encode_custom(w) for w in words] if custom else words
+                runs.append((y, 72.0, _tj_array(rng, shown)))
                 this_page.append(" ".join(words))
                 continue
             n_runs = min(len(words), int(rng.integers(1, 4)))
@@ -189,15 +272,17 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             line_txts = []
             for ch in chunks:
                 t = " ".join(ch.tolist())
-                runs.append((y, x, "%s Tj" % _show_token(rng, t)))
+                shown_t = _encode_custom(t) if custom else t
+                runs.append((y, x, "%s Tj" % _show_token(rng, shown_t)))
                 line_txts.append(t)
                 x += 0.5 * 12.0 * len(t) + 18.0
             this_page.append(" ".join(line_txts))
         order = rng.permutation(len(runs))
         ops = []
+        font_pre = "/F2 12 Tf " if custom else ""
         for i in order:
             y, x, op = runs[int(i)]
-            ops.append("1 0 0 1 %.1f %.1f Tm %s" % (x, y, op))
+            ops.append("%s1 0 0 1 %.1f %.1f Tm %s" % (font_pre, x, y, op))
         # a page's ops may split across two content streams (page-tree mode
         # concatenates them); each fragment is a complete BT..ET text object
         if len(ops) >= 2 and rng.random() < 0.3:
@@ -235,10 +320,37 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             ), None
         return b"stream\n" + s + b"\nendstream", None
 
-    if rng.random() < 0.5:
+    if use_tree:
         # page-tree form: number objects, shuffle page-object file order
         objs: dict[int, bytes] = {}
         next_num = 3
+        res_entry = b""
+        if custom:
+            f1 = next_num
+            next_num += 1
+            objs[f1] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+            f2 = next_num
+            next_num += 1
+            if flavor == "diff":
+                objs[f2] = _differences_font_obj()
+            else:
+                tn = next_num
+                next_num += 1
+                # the CMap stream itself may be FlateDecode-compressed
+                tbody, _ = body_of(_tounicode_stream(), None)
+                objs[tn] = tbody
+                objs[f2] = (
+                    b"<< /Type /Font /Subtype /TrueType /BaseFont /CustomCMap"
+                    b" /ToUnicode %d 0 R >>" % tn
+                )
+            font_dict = b"<< /Font << /F1 %d 0 R /F2 %d 0 R >> >>" % (f1, f2)
+            if rng.random() < 0.25:  # /Resources via an indirect object
+                rn = next_num
+                next_num += 1
+                objs[rn] = font_dict
+                res_entry = b"/Resources %d 0 R " % rn
+            else:
+                res_entry = b"/Resources " + font_dict + b" "
         page_obj_nums: list[int] = []
         for streams in page_streams:
             refs = []
@@ -260,7 +372,7 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 if len(refs) == 1
                 else b"/Contents [%s]" % b" ".join(b"%d 0 R" % r for r in refs)
             )
-            objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s >>" % contents
+            objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s%s >>" % (res_entry, contents)
             page_obj_nums.append(pnum)
         objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
         objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (

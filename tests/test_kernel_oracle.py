@@ -255,6 +255,96 @@ def test_pdf_nearest_dict_wins():
     assert len(runs) == 1 and runs[0]["text"] == "real content here"
 
 
+def _tree_pdf_with_font(font_obj: bytes, extra_objs: bytes, stream: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [5 0 R] /Count 1 >> endobj\n"
+        b"5 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F2 6 0 R >> >> /Contents 3 0 R >> endobj\n"
+        b"6 0 obj " + font_obj + b" endobj\n"
+        + extra_objs
+        + b"3 0 obj stream\n" + stream + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+def test_pdf_differences_encoding():
+    """Simple-font /Encoding /Differences: remapped codes decode through
+    AGL glyph names (incl. uniXXXX), unmapped codes fall back latin-1."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding "
+        b"<< /Differences [ 128 /eacute /germandbls 200 /uni20AC ] >> >>"
+    )
+    # codes: 0x80 -> e-acute, 0x81 -> sharp-s, 0xC8 -> euro, 'cafX' ascii
+    stream = b"BT /F2 12 Tf 72 700 Td (caf\x80 stra\x81e \xc8 5) Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, b"", stream))
+    assert runs[0]["text"] == "café straße € 5"
+
+
+def test_pdf_tounicode_cmap_bfchar_bfrange():
+    """/ToUnicode CMap: bfchar pairs + an incrementing bfrange decode show
+    strings (literal AND hex forms); the un-Tf'd default stays latin-1."""
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<80> <00FC>\n<81> <0153>\nendbfchar\n"
+        b"1 beginbfrange\n<90> <92> <00E8>\nendbfrange\n"
+        b"endcmap"
+    )
+    font = b"<< /Type /Font /Subtype /TrueType /ToUnicode 7 0 R >>"
+    extra = b"7 0 obj stream\n" + cmap + b"\nendstream endobj\n"
+    stream = (
+        b"BT /F2 12 Tf 72 700 Td (\x80ber \x91t\x90) Tj "
+        b"72 680 Td <9280> Tj ET"
+    )
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, extra, stream))
+    assert runs[0]["text"] == "über étè"  # über été-ish
+    assert runs[1]["text"] == "êü"  # hex show string decodes too
+
+
+def test_pdf_two_byte_cmap():
+    """A 2-byte-code ToUnicode CMap decodes show strings in 16-bit units."""
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<0041> <4E2D>\n<0042> <6587>\nendbfchar\n"
+        b"endcmap"
+    )
+    font = b"<< /Type /Font /ToUnicode 7 0 R >>"
+    extra = b"7 0 obj stream\n" + cmap + b"\nendstream endobj\n"
+    stream = b"BT /F2 12 Tf 72 700 Td <00410042> Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, extra, stream))
+    assert runs[0]["text"] == "中文"
+
+
+def test_pdf_tf_switches_font_mid_object():
+    """Tf mid-text-object switches the decode map; an undeclared font name
+    falls back to latin-1."""
+    font = (
+        b"<< /Type /Font /Encoding << /Differences [ 128 /odieresis ] >> >>"
+    )
+    stream = (
+        b"BT /F2 12 Tf 72 700 Td (sch\x80n) Tj "
+        b"/F9 12 Tf 72 680 Td (plain \x80) Tj ET"
+    )
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, b"", stream))
+    assert runs[0]["text"] == "schön"
+    assert runs[1]["text"] == "plain \x80"  # latin-1 fallback after /F9
+
+
+def test_pdf_synth_custom_encoding_byte_identity():
+    """Corpus-level: every synthesized custom-encoding PDF (Differences and
+    CMap flavors) extracts byte-identically to its golden text."""
+    seen_accented = 0
+    for i in range(1500):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf":
+            continue
+        got = extract_document(r["html"])
+        assert got.extracted_text == r["_golden"], r["url"]
+        if any(ord(c) > 127 for c in r["_golden"]):
+            seen_accented += 1
+    assert seen_accented >= 10  # the custom-font variants actually occur
+
+
 def test_pdf_uncompressed_not_hijacked_by_earlier_filter():
     """A plain stream preceded by an unrelated /FlateDecode dict must stay
     raw — sniffing the earlier dict would zlib-fail and drop the page."""

@@ -53,6 +53,8 @@ SUBSET = [
     "dedup_components",
     "training_corpus_pipeline",
     "g1_grouped_trend",
+    # round-3 additions
+    "emb_near_dup_multiband",
 ]
 
 
@@ -144,6 +146,33 @@ def test_vectorized_assignment_matches_explode_form(spark):
     }
     vec_cells = {r.vec_id: r.cell for r in assign_cells_vectorized(emb).collect()}
     assert vec_cells == sql_cells
+
+
+def test_multiband_recall_dominates_single_band(spark):
+    """Band r=0 of the multiband signature IS the single-band signature, so
+    multiband candidates are a superset — recall vs the exhaustive
+    emb_near_dup ground truth can only go up, and precision stays 1.0
+    (the cosine predicate is exact in both)."""
+    ops = all_ops()
+    truth = {(r.va, r.vb) for r in ops["emb_near_dup"].build(spark, SF_DIR).collect()}
+    single = {
+        (r.va, r.vb)
+        for r in ops["emb_near_dup_bucketed"].build(spark, SF_DIR).collect()
+    }
+    multi = {
+        (r.va, r.vb)
+        for r in ops["emb_near_dup_multiband"].build(spark, SF_DIR).collect()
+    }
+    assert truth, "ground-truth fixture produced no near-dup pairs"
+    # ground truth covers the vec_id < 120 window only
+    single_w = {p for p in single if p[0] < 120 and p[1] < 120}
+    multi_w = {p for p in multi if p[0] < 120 and p[1] < 120}
+    assert single_w <= multi_w  # superset by construction
+    assert multi_w <= truth  # precision 1.0: every emitted pair is real
+    r_single = len(single_w & truth) / len(truth)
+    r_multi = len(multi_w & truth) / len(truth)
+    assert r_multi >= r_single
+    print(f"near-dup recall: single-band={r_single:.2f} multiband={r_multi:.2f}")
 
 
 def test_pin_utc_restores_session_timezone(spark, duck):
