@@ -60,6 +60,7 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
     "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
+    "emb_near_dup_multiband",  # 3-band union (the recall-knob scale path)
     "text_quality",         # quality scoring over documents
     "training_corpus_pipeline",  # filter → dedup → stats chain
     "t6_session_window",    # gap-based sessionization
@@ -167,7 +168,7 @@ def main() -> int:
     # peak throughput: half the machine's slots (= all cores busy with the
     # 2-process-per-task model); not part of the efficiency pair
     peak_cores = max(hi_cores, CPUS // 2)
-    peak = _run_extraction(peak_cores, pages_path, reps=1) if peak_cores > hi_cores else hi
+    peak = _run_extraction(peak_cores, pages_path, reps=2) if peak_cores > hi_cores else hi
 
     # -- part 2: headline relational queries at SF_DIR
     import __spark_entry__ as entrymod

@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--export-warc", metavar="DIR", default=None,
                    help="re-export the INPUT pages as WARC archives to DIR "
                         "(one member-gzip file per partition + stdout manifest count)")
+    p.add_argument("--dead-letter-out", metavar="DIR", default=None,
+                   help="also write a capped per-partition sample of failing "
+                        "payloads (url, error_class, payload head) to DIR for triage")
     p.add_argument("--verify-readback", action="store_true",
                    help="audit mode: re-read written partitions and require exact "
                         "agreement with the kernel-side lineage counters")
@@ -119,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
             % (manifest.files, manifest.records or 0, args.export_warc),
             file=sys.stderr,
         )
+
+    if args.dead_letter_out and stats.parse_failures:
+        from pdf_extractor_spark.pipeline import dead_letter_sample
+
+        dead_letter_sample(pages).write.mode("overwrite").parquet(args.dead_letter_out)
+        print("dead-letter sample written to %s" % args.dead_letter_out, file=sys.stderr)
 
     if args.training_out:
         from pdf_extractor_spark.pipeline import TooFewExamplesError, write_training_examples

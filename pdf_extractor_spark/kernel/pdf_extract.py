@@ -345,7 +345,9 @@ def _decode_codes(bs: bytes, font: "tuple | None") -> str:
         return bs.decode("latin-1")
     cmap, nbytes = font
     if nbytes == 1:
-        return "".join(cmap[b] if b in cmap else chr(b) for b in bs)
+        # latin-1 maps byte b → chr(b), so the code map doubles as a
+        # str.translate table (int keys) — C-speed, no per-char Python loop
+        return bs.decode("latin-1").translate(cmap)
     out = []
     for i in range(0, len(bs) - 1, 2):
         code = (bs[i] << 8) | bs[i + 1]

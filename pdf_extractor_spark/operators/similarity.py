@@ -442,6 +442,54 @@ def assign_buckets_vectorized(emb_df):
     )
 
 
+def _band_plane_matrix(dim: int, band: int):
+    """The _BAND_COEF_SQL hyperplanes of one band as [_N_PLANES, dim] ints."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    j = np.arange(_N_PLANES, dtype=np.int64)[:, None]
+    return (1 + j + 8 * band) * (i * i + 3 * i + 7 + 11 * band) % 19 - 9
+
+
+def assign_band_buckets_vectorized(emb_df):
+    """Multi-band LSH signatures via numpy matmul: one [n, bands×planes]
+    product per Arrow batch → (vec_id, r, bucket) with _N_BANDS rows per
+    vector and ZERO dim-wise inflation — the production twin of
+    emb_near_dup_multiband's explode form (which pushes ×dim×planes×bands
+    transient rows through a groupBy for DuckDB parity).
+    tests/test_operators.py pins row-for-row equality."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        planes = None  # [bands*planes, dim], band-major
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None or planes.shape[1] != E.shape[1]:
+                planes = np.vstack(
+                    [_band_plane_matrix(E.shape[1], r) for r in range(_N_BANDS)]
+                ).astype(np.float64)
+            dots = (E @ planes.T).reshape(len(E), _N_BANDS, _N_PLANES)
+            bits = np.left_shift(
+                (dots > 0).astype(np.int64), np.arange(_N_PLANES, dtype=np.int64)
+            )
+            buckets = bits.sum(axis=2)  # [n, bands]
+            n = len(E)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _N_BANDS),
+                    "r": np.tile(np.arange(_N_BANDS, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb_df.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, r int, bucket long"
+    )
+
+
 def assign_cells_vectorized(emb_df):
     """IVF coarse-quantizer cell assignment via numpy matmul (argmax over
     centroid dots) — the zero-inflation twin of ann_ivf_probe's explode

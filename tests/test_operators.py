@@ -148,6 +148,51 @@ def test_vectorized_assignment_matches_explode_form(spark):
     assert vec_cells == sql_cells
 
 
+def test_band_vectorized_assignment_matches_explode_form(spark):
+    """The multiband numpy-matmul signature must agree row-for-row with the
+    SQL-parity explode form used by emb_near_dup_multiband."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.similarity import (
+        _N_BANDS,
+        _N_PLANES,
+        assign_band_buckets_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
+        "vec_id", "i", F.col("x").cast("double").alias("x")
+    )
+    grid = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(_N_BANDS).select(F.col("id").cast("int").alias("r")))
+    )
+    coef = (
+        (1 + F.col("j") + 8 * F.col("r"))
+        * (F.col("i") * F.col("i") + 3 * F.col("i") + 7 + 11 * F.col("r"))
+    ) % 19 - 9
+    sql_sigs = {
+        (r.vec_id, r.r): r.bucket
+        for r in e.crossJoin(F.broadcast(grid))
+        .groupBy("vec_id", "r", "j")
+        .agg(F.sum(F.col("x") * coef).alias("dot"))
+        .groupBy("vec_id", "r")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+        .collect()
+    }
+    vec_sigs = {
+        (r.vec_id, r.r): r.bucket
+        for r in assign_band_buckets_vectorized(emb).collect()
+    }
+    assert vec_sigs == sql_sigs
+
+
 def test_multiband_recall_dominates_single_band(spark):
     """Band r=0 of the multiband signature IS the single-band signature, so
     multiband candidates are a superset — recall vs the exhaustive
