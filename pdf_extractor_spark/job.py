@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="raw .html/.pdf files on disk (binaryFile source, recursive)")
     src.add_argument("--input-warc", metavar="DIR",
                      help="WARC archives (*.warc / *.warc.gz, Common-Crawl layout)")
+    p.add_argument("--warc-split-mb", type=int, default=None, metavar="MB",
+                   help="with --input-warc: read archives in MB-sized byte ranges "
+                        "(splittable member-gzip reader; parallelism = bytes/split "
+                        "instead of archive count)")
     src.add_argument("--synth", type=int, metavar="N", help="synthesize N deterministic pages instead")
     p.add_argument("--seed", type=int, default=42, help="synthesizer seed (with --synth)")
     p.add_argument("--output", required=True, help="output parquet dir (partitioned by partition_id)")
@@ -79,9 +83,16 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = read_pages_binary(spark, args.input_files)
     elif args.input_warc:
-        from pdf_extractor_spark.sources import read_pages_warc
+        if args.warc_split_mb:
+            from pdf_extractor_spark.sources import read_pages_warc_split
 
-        pages = read_pages_warc(spark, args.input_warc)
+            pages = read_pages_warc_split(
+                spark, args.input_warc, split_bytes=args.warc_split_mb << 20
+            )
+        else:
+            from pdf_extractor_spark.sources import read_pages_warc
+
+            pages = read_pages_warc(spark, args.input_warc)
     else:
         pages = pages_df(spark, args.synth, seed=args.seed)
 

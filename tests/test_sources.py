@@ -230,6 +230,52 @@ def test_warc_streaming_member_parse_bounded_buffer(monkeypatch):
     assert [r["url"] for r in got3] == [r["url"] for r in rows]
 
 
+def test_warc_split_reader_matches_unsplit(spark, tmp_path):
+    """Splittable reader: tiny byte ranges (boundaries landing mid-member
+    everywhere) must produce exactly the unsplit rows — every member owned
+    by exactly one range, none dropped, none duplicated."""
+    from pdf_extractor_spark.sources import read_pages_warc_split
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    rows = _synth_rows(120)
+    write_warc(rows[:70], str(d / "a.warc.gz"), gzip_members=True)
+    write_warc(rows[70:], str(d / "b.warc.gz"), gzip_members=True)
+
+    got = {
+        r.url: (bytes(r.html), r.warc_ts)
+        for r in read_pages_warc_split(spark, str(d), split_bytes=1500).collect()
+    }
+    assert len(got) == 120
+    for r in rows:
+        html, ts = got[r["url"]]
+        assert html == r["html"]
+        assert ts == r["warc_ts"].replace(tzinfo=None, microsecond=0)
+
+
+def test_warc_range_ownership_exact(tmp_path):
+    """Pure-Python grid check: for ANY split size, concatenating per-range
+    records over a partition of [0, size) equals the whole-archive parse —
+    the exactly-once ownership invariant of the splittable reader."""
+    import os
+
+    from pdf_extractor_spark.sources import _iter_range_records
+
+    rows = _synth_rows(60)
+    p = str(tmp_path / "grid.warc.gz")
+    write_warc(rows, p, gzip_members=True)
+    size = os.path.getsize(p)
+    want = [r["url"] for r in parse_warc_records(open(p, "rb").read())]
+    assert len(want) == 60
+    for sb in (512, 1000, 7777, size):
+        urls = []
+        for off in range(0, size, sb):
+            urls.extend(
+                r["url"] for r in _iter_range_records(p, off, min(off + sb, size))
+            )
+        assert urls == want, f"split_bytes={sb}"
+
+
 def test_warc_roundtrip_property(tmp_path):
     """Arbitrary payload bytes — including ones embedding 'WARC/' markers
     and \\r\\n\\r\\n separators — round-trip exactly: Content-Length framing
