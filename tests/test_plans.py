@@ -186,6 +186,39 @@ def test_bucketed_near_dup_pairs_join_on_bucket(spark):
         assert m.group(1) == "Cross"
 
 
+def test_multiband_near_dup_joins_on_band_and_bucket(spark):
+    """emb_near_dup_multiband: candidate generation must be an equi-join
+    keyed on (band, bucket) — never a cartesian pair enumeration — and the
+    only nested-loop join allowed is the 24-row plane-grid broadcast."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["emb_near_dup_multiband"].build(spark, SF_DIR))
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[r#\d+, bucket#\d+L?\]",
+        plan,
+    ), plan[:2000]
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) == "Cross"
+
+
+def test_split_warc_reader_parallelism_is_range_count(spark, tmp_path):
+    """The splittable WARC source must expose one task per byte range —
+    parallelism decoupled from archive count (ONE archive, many ranges)."""
+    from pdf_extractor_spark.sources import read_pages_warc_split, write_warc
+    from pdf_extractor_spark.synth import synth_row
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    rows = [synth_row(42, i) for i in range(200)]
+    write_warc(rows, str(d / "one-big.warc.gz"), gzip_members=True)
+    df = read_pages_warc_split(spark, str(d), split_bytes=20_000)
+    assert df.rdd.getNumPartitions() > 4  # one archive, many byte ranges
+    assert df.count() == 200
+
+
 def test_whole_stage_codegen_covers_scalar_ops(spark):
     """x1 suite: pure column expressions stay inside WholeStageCodegen."""
     from pdf_extractor_spark.operators.registry import all_ops

@@ -276,6 +276,45 @@ def test_warc_range_ownership_exact(tmp_path):
         assert urls == want, f"split_bytes={sb}"
 
 
+def test_warc_split_ownership_property(tmp_path):
+    """Property: for random payload sizes and random split grids, per-range
+    parsing over a partition of the archive equals the whole-archive parse
+    exactly (ownership exactly-once, order preserved)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_extractor_spark.sources import _iter_range_records
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=4000), min_size=2, max_size=12),
+        st.integers(min_value=300, max_value=50_000),
+    )
+    def check(sizes, split_bytes):
+        rows = [
+            {
+                "url": f"https://p/{i}",
+                "warc_ts": "2024-02-03T04:05:06Z",
+                "html": bytes([(i * 7 + j) % 251 for j in range(n)]),
+            }
+            for i, n in enumerate(sizes)
+        ]
+        p = str(tmp_path / "prop.warc.gz")
+        write_warc(rows, p, gzip_members=True)
+        size = os.path.getsize(p)
+        want = [(r["url"], r["html"]) for r in parse_warc_records(open(p, "rb").read())]
+        got = []
+        for off in range(0, size, split_bytes):
+            got.extend(
+                (r["url"], r["html"])
+                for r in _iter_range_records(p, off, min(off + split_bytes, size))
+            )
+        assert got == want
+
+    check()
+
+
 def test_warc_roundtrip_property(tmp_path):
     """Arbitrary payload bytes — including ones embedding 'WARC/' markers
     and \\r\\n\\r\\n separators — round-trip exactly: Content-Length framing
