@@ -293,8 +293,9 @@ def _iter_range_records(path: str, start: int, end: int) -> "Iterator[dict]":
                     window += more
                 idx = window.find(_GZ_MEMBER_MAGIC)
                 if idx < 0:
-                    wbase += len(window) - 2
-                    window = window[-2:]
+                    if len(window) > 2:  # keep a 2-byte tail for a split magic
+                        wbase += len(window) - 2
+                        window = window[-2:]
                     if wbase >= end:
                         return None
                     continue
