@@ -1118,13 +1118,26 @@ def g1_grouped_trend(spark, sf_dir):
 
 @register(
     "dead_letter_triage",
-    doc="Dead-letter sample sink (rows-only; gated by tests/test_pipeline.py"
+    # frozen expected table: the inputs are fully deterministic (seeded
+    # synth: exactly 7 empty payloads in 400 docs; 2 crafted binary rows
+    # with head lengths 11 and min(64, 1140)), so the aggregate is a
+    # constant — DuckDB checks it as a VALUES oracle, making this a
+    # hash-verified query rather than a rows-only one
+    oracle="""
+    SELECT * FROM (VALUES
+      ('binary_payload', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(64 AS INT)),
+      ('empty_payload',  CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(0 AS INT))
+    ) AS t(error_class, n, n_urls, max_head_bytes)
+    ORDER BY error_class
+    """,
+    doc="Dead-letter sample sink (also gated by tests/test_pipeline.py"
     "::test_dead_letter_sample): pipeline.dead_letter_sample keeps a capped "
     "per-partition sample of (url, error_class, payload head) for payloads "
     "that fail extraction — the triage artifact a 100 TB crawl pipeline "
     "needs beside the parse_failures counter. Input: 400 synthesized pages "
     "plus crafted binary/NUL payloads; output aggregated per error class "
-    "(cap set above the fixture failure count, so the aggregate is exact).",
+    "(cap set above the fixture failure count, so the aggregate is exact "
+    "and matches a frozen expected table).",
 )
 def dead_letter_triage(spark, sf_dir):
     from pdf_extractor_spark.pipeline import dead_letter_sample
