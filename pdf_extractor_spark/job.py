@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--export-warc", metavar="DIR", default=None,
                    help="re-export the INPUT pages as WARC archives to DIR "
                         "(one member-gzip file per partition + stdout manifest count)")
+    p.add_argument("--corpus-out", metavar="DIR", default=None,
+                   help="also build the deduplicated training corpus (quality "
+                        "filter + exact text dedup) from the extraction output to DIR")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
                         "payloads (url, error_class, payload head) to DIR for triage")
@@ -131,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
         print(
             "exported %d WARC files / %d records to %s"
             % (manifest.files, manifest.records or 0, args.export_warc),
+            file=sys.stderr,
+        )
+
+    if args.corpus_out:
+        from pdf_extractor_spark.pipeline import build_training_corpus
+
+        cs = build_training_corpus(spark, args.output, args.corpus_out)
+        print(
+            "corpus: %d in -> %d quality -> %d deduped (%s)"
+            % (cs.docs_in, cs.docs_quality, cs.docs_corpus, args.corpus_out),
             file=sys.stderr,
         )
 

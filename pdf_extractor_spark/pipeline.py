@@ -38,7 +38,7 @@ from collections import namedtuple
 from dataclasses import dataclass
 
 from pyspark.accumulators import AccumulatorParam
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark import control as ctl
@@ -233,6 +233,56 @@ def run_extraction(
         sum(r.docs_processed for r in metrics_rows),
         sum(r.bytes_parsed or 0 for r in metrics_rows),
         sum(r.parse_failures or 0 for r in metrics_rows),
+    )
+
+
+@dataclass
+class CorpusStats:
+    docs_in: int
+    docs_quality: int
+    docs_corpus: int  # after exact dedup
+
+
+def build_training_corpus(
+    spark: SparkSession, extracted_dir: str, corpus_dir: str
+) -> CorpusStats:
+    """Corpus builder: extraction output → quality filter → exact dedup →
+    deduplicated corpus table, in ONE action.
+
+    The chain a real training-data pipeline runs after extraction:
+    `enrich_extracted`'s codegen quality columns gate junk, then exact
+    near-zero-cost dedup on md5(extracted_text) keeps ONE deterministic
+    winner per text (min url — a window on the hash, so reruns are
+    byte-stable, unlike dropDuplicates' arbitrary winner). Costs one
+    projection + one shuffle on the text hash at any scale; funnel counts
+    (in → quality → deduped) come from observe() on the same action — no
+    extra scans.
+    """
+    from pyspark.sql import Observation
+
+    from pdf_extractor_spark.enrich import enrich_extracted
+
+    obs_in = Observation("corpus_in")
+    obs_out = Observation("corpus_out")
+    enriched = enrich_extracted(spark.read.parquet(extracted_dir)).observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("quality_ok").cast("long")).alias("n_quality"),
+    )
+    w = Window.partitionBy("text_hash").orderBy("url")
+    corpus = (
+        enriched.filter(F.col("quality_ok"))
+        .withColumn("text_hash", F.md5(F.col("extracted_text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
+    corpus.write.mode("overwrite").parquet(corpus_dir)
+    return CorpusStats(
+        int(obs_in.get["n"]),
+        int(obs_in.get["n_quality"] or 0),
+        int(obs_out.get["n"]),
     )
 
 

@@ -67,6 +67,63 @@ def stream_extract(
     )
 
 
+_BINARYFILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """T1 for WARC ingestion: archives landing in `input_dir` are parsed
+    (bounded-memory member reader) and extracted EXACTLY ONCE — the
+    file-source checkpoint log tracks processed archives, so a crawl
+    segment can be drained incrementally as files arrive, the streaming
+    analog of read_pages_warc → run_extraction's resume. AvailableNow:
+    drains what exists, then stops; rerunning with the same checkpoint
+    processes only new archives.
+    """
+    import pandas as pd
+
+    from pdf_extractor_spark.sources import iter_warc_records
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_DDL)
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(input_dir).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for blob in pdf["content"]:
+                for r in iter_warc_records(bytes(blob)):
+                    rows.append({"url": r["url"], "html": r["html"]})
+                    if len(rows) >= 256:
+                        yield pd.DataFrame(rows, columns=["url", "html"])
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = files.mapInPandas(parse, schema="url string, html binary")
+    extracted = pages.mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_extract_merge(
     spark: SparkSession,
     input_dir: str,

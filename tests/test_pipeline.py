@@ -203,6 +203,43 @@ def test_lineage_exactly_once_under_task_retry(spark, tmp_path):
     assert out_df.select("url").distinct().count() == 200
 
 
+def test_build_training_corpus(spark, tmp_path):
+    """Corpus builder: quality filter + exact dedup with a DETERMINISTIC
+    winner (min url per text hash); funnel stats come from the same single
+    action."""
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    good = "This paragraph has plenty of ordinary prose tokens for the gate."
+    rows = [
+        ("https://a/1", good, "ok"),
+        ("https://a/2", good, "ok"),          # exact dup, higher url
+        ("https://a/0", good, "ok"),          # exact dup, LOWEST url → winner
+        ("https://b/1", "unique second document with enough plain tokens here.", "ok"),
+        ("https://c/1", "!!! ??? ... ;;; :::", "ok"),   # junk → quality fail
+        ("https://d/1", "", "failed"),                  # failed → quality fail
+    ]
+    src = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        rows, "url string, extracted_text string, parse_status string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    cs = build_training_corpus(spark, src, out)
+    assert (cs.docs_in, cs.docs_quality, cs.docs_corpus) == (6, 4, 2)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 2
+    by_text = {r.extracted_text: r for r in got}
+    assert by_text[good].url == "https://a/0"  # deterministic min-url winner
+    assert all(r.quality_ok for r in got)
+    # rerun is byte-stable (same winners)
+    out2 = str(tmp_path / "corpus2")
+    build_training_corpus(spark, src, out2)
+    assert sorted((r.url, r.text_hash) for r in spark.read.parquet(out2).collect()) == sorted(
+        (r.url, r.text_hash) for r in got
+    )
+
+
 def test_dead_letter_sample(spark):
     """The dead-letter sink captures every failing payload (cap permitting)
     with a stable error class and payload head, never an ok document."""

@@ -46,6 +46,37 @@ def test_stream_merge_sink_no_duplicate_urls(spark, tmp_path):
             assert sample[r["url"]] == extract_document(r["html"]).extracted_text
 
 
+def test_stream_extract_warc_incremental(spark, tmp_path):
+    """Streaming WARC ingestion: archives process exactly once across
+    restarts (file-source checkpoint), output byte-identical to the
+    oracle."""
+    from pdf_extractor_spark.sources import write_warc
+    from pdf_extractor_spark.synth import synth_row
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [synth_row(SEED, i) for i in range(40)]
+    write_warc(rows1, str(d / "seg0.warc.gz"), gzip_members=True)
+    q = st.stream_extract_warc(spark, str(d), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 40
+
+    rows2 = [synth_row(SEED, i) for i in range(40, 70)]
+    write_warc(rows2, str(d / "seg1.warc.gz"), gzip_members=True)
+    q2 = st.stream_extract_warc(spark, str(d), out, ckpt)  # same checkpoint
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == 70  # seg0 NOT reprocessed
+    assert final.select("url").distinct().count() == 70
+
+    got = {r.url: r.extracted_text for r in final.collect()}
+    for r in rows1 + rows2:
+        assert got[r["url"]] == extract_document(r["html"]).extracted_text
+
+
 def test_stream_merge_corrupt_sink_fails_batch(spark, tmp_path):
     """A sink-read failure that is NOT path-not-found must FAIL the batch
     (checkpoint retries it) — silently skipping the anti-join would append
