@@ -238,15 +238,17 @@ def test_warc_split_reader_matches_unsplit(spark, tmp_path):
 
     d = tmp_path / "warc"
     d.mkdir()
-    rows = _synth_rows(120)
+    rows = _synth_rows(150)
     write_warc(rows[:70], str(d / "a.warc.gz"), gzip_members=True)
-    write_warc(rows[70:], str(d / "b.warc.gz"), gzip_members=True)
+    write_warc(rows[70:120], str(d / "b.warc.gz"), gzip_members=True)
+    # plain (non-gzip) archive: not byte-splittable → one whole-file range
+    write_warc(rows[120:], str(d / "c.warc"))
 
     got = {
         r.url: (bytes(r.html), r.warc_ts)
         for r in read_pages_warc_split(spark, str(d), split_bytes=1500).collect()
     }
-    assert len(got) == 120
+    assert len(got) == 150
     for r in rows:
         html, ts = got[r["url"]]
         assert html == r["html"]
