@@ -159,6 +159,19 @@ _AGL = {
 }
 
 
+def _safe_chr(cp: int) -> str | None:
+    """chr() that refuses lone surrogates and out-of-range code points.
+
+    A crafted /Differences '/uniD800' or a bfrange incrementing into
+    D800-DFFF would otherwise put an unpaired surrogate into
+    extracted_text — a string Python accepts but Arrow's UTF-8 encoder
+    does NOT, so the mapInPandas task (not just the document) would die,
+    violating the failures-are-data contract (round-3 review finding)."""
+    if 0xD800 <= cp <= 0xDFFF or cp < 0 or cp > 0x10FFFF:
+        return None
+    return chr(cp)
+
+
 def _glyph_to_char(name: str) -> str | None:
     """AGL-subset glyph name → unicode char (None when unknown)."""
     if len(name) == 1:  # letters name themselves in the AGL
@@ -167,12 +180,12 @@ def _glyph_to_char(name: str) -> str | None:
         return _AGL[name]
     if name.startswith("uni") and len(name) >= 7:
         try:
-            return chr(int(name[3:7], 16))
+            return _safe_chr(int(name[3:7], 16))
         except ValueError:
             return None
     if name.startswith("u") and 5 <= len(name) <= 7:
         try:
-            return chr(int(name[1:], 16))
+            return _safe_chr(int(name[1:], 16))
         except ValueError:
             return None
     return None
@@ -225,10 +238,14 @@ def _parse_tounicode(stream: bytes) -> "tuple[dict[int, str], int]":
                 if base is None or not base:
                     continue
                 # incrementing range: last code unit increments (PDF 32000
-                # §9.10.3 restricts the increment to the final byte)
+                # §9.10.3 restricts the increment to the final byte). A
+                # range crafted to step into the surrogate block or past
+                # U+10FFFF skips those codes (see _safe_chr).
                 head_s, last = base[:-1], ord(base[-1])
                 for off in range(hi_i - lo_i + 1):
-                    cmap[lo_i + off] = head_s + chr(last + off)
+                    ch = _safe_chr(last + off)
+                    if ch is not None:
+                        cmap[lo_i + off] = head_s + ch
     return cmap, nbytes
 
 

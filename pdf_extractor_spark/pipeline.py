@@ -38,7 +38,7 @@ from collections import namedtuple
 from dataclasses import dataclass
 
 from pyspark.accumulators import AccumulatorParam
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark import control as ctl
@@ -251,8 +251,10 @@ def build_training_corpus(
 
     The chain a real training-data pipeline runs after extraction:
     `enrich_extracted`'s codegen quality columns gate junk, then exact
-    near-zero-cost dedup on md5(extracted_text) keeps ONE deterministic
-    winner per text (min url — a window on the hash, so reruns are
+    dedup on md5(extracted_text) keeps ONE deterministic winner per text
+    (min url, via a min_by AGGREGATION — partial-aggregates map-side, so a
+    boilerplate text duplicated 10^7 times collapses before the shuffle
+    instead of serializing one window-sort task, and reruns are
     byte-stable, unlike dropDuplicates' arbitrary winner). Costs one
     projection + one shuffle on the text hash at any scale; funnel counts
     (in → quality → deduped) come from observe() on the same action — no
@@ -269,13 +271,14 @@ def build_training_corpus(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("quality_ok").cast("long")).alias("n_quality"),
     )
-    w = Window.partitionBy("text_hash").orderBy("url")
+    filtered = enriched.filter(F.col("quality_ok")).withColumn(
+        "text_hash", F.md5(F.col("extracted_text"))
+    )
+    data_cols = [c for c in filtered.columns if c != "text_hash"]
     corpus = (
-        enriched.filter(F.col("quality_ok"))
-        .withColumn("text_hash", F.md5(F.col("extracted_text")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        filtered.groupBy("text_hash")
+        .agg(F.min_by(F.struct(*data_cols), F.col("url")).alias("_w"))
+        .select("text_hash", "_w.*")
         .observe(obs_out, F.count(F.lit(1)).alias("n"))
     )
     corpus.write.mode("overwrite").parquet(corpus_dir)

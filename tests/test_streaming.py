@@ -102,6 +102,16 @@ def test_stream_merge_corrupt_sink_fails_batch(spark, tmp_path):
         q.awaitTermination(120)
         raise AssertionError("query should have failed on the corrupt sink")
 
+    # an EXISTING-BUT-EMPTY sink dir (crashed first write, operator mkdir)
+    # must NOT wedge the stream — there are no urls to dedup against, so
+    # the first batch proceeds (round-3 review: exception-sniffing raised
+    # UNABLE_TO_INFER_SCHEMA forever here)
+    out2 = str(tmp_path / "out_empty")
+    os.makedirs(out2)
+    q2 = st.stream_extract_merge(spark, inp, out2, str(tmp_path / "ckpt_empty"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 10
+
 
 def test_stream_extract_incremental_resume(spark, tmp_path):
     """AvailableNow + checkpoint: second run processes ONLY new files (T1)."""
