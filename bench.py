@@ -160,12 +160,19 @@ def main() -> int:
     ratio = hi_cores / lo_cores    # 4 on the sandbox; the max() clamps can
     # Best-of-reps per level; throttle noise is ONE-SIDED (steal only slows
     # runs), so best-of-N converges to the true value from below at both
-    # levels. Reps are near-symmetric (4 lo / 5 hi — a hi rep is ~ratio×
-    # cheaper and a single throttled hi window is what produced the r2
-    # driver-file 0.792 vs the 0.94-1.04 clean-bench band) so neither side
-    # of the efficiency ratio is systematically less converged.
-    lo = _run_extraction(lo_cores, pages_path, reps=4)
-    hi = _run_extraction(hi_cores, pages_path, reps=5)
+    # levels. The levels run in INTERLEAVED blocks (lo, hi, lo, hi) several
+    # minutes apart: the sandbox's throttle windows last minutes, long
+    # enough to cover one level's whole back-to-back rep set (observed:
+    # every hi rep of a run slowed while the surrounding lo and peak runs
+    # were clean → a bogus 0.78), but not both blocks of both levels.
+    # The hi level gets more total reps — it suffers proportionally more
+    # under steal (16 busy cores vs 4).
+    lo_a = _run_extraction(lo_cores, pages_path, reps=2)
+    hi_a = _run_extraction(hi_cores, pages_path, reps=3)
+    lo_b = _run_extraction(lo_cores, pages_path, reps=2)
+    hi_b = _run_extraction(hi_cores, pages_path, reps=3)
+    lo = min(lo_a, lo_b, key=lambda r: r["wall_sec"])
+    hi = min(hi_a, hi_b, key=lambda r: r["wall_sec"])
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     # peak throughput: half the machine's slots (= all cores busy with the
     # 2-process-per-task model); not part of the efficiency pair
