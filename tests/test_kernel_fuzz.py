@@ -47,6 +47,31 @@ def test_total_on_object_structured_pdf_bytes(payload):
     assert r.parse_status in STATUSES
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=1024), st.binary(max_size=1024))
+def test_total_on_fuzzed_font_objects(font_body, cmap_body):
+    """Arbitrary bytes in font dicts / ToUnicode streams never raise, and
+    whatever text comes out is UTF-8 encodable (lone surrogates from a
+    crafted code map would kill the Arrow task, not just the document)."""
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R "
+        b"/Resources << /Font << /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"5 0 obj << /Type /Font /ToUnicode 6 0 R /Encoding << /Differences [ "
+        + font_body
+        + b" ] >> >> endobj\n"
+        b"6 0 obj stream\nbeginbfchar " + cmap_body + b" endbfchar\n"
+        b"1 beginbfrange\n<00> <ff> <D7F0>\nendbfrange\nendstream endobj\n"
+        b"4 0 obj stream\nBT /F2 12 Tf 72 700 Td "
+        b"(\x00\x40\x80\xc0\xff fuzz payload) Tj <00418080ffff> Tj ET\n"
+        b"endstream endobj\n%%EOF\n"
+    )
+    r = extract_document(pdf)
+    assert r.parse_status in STATUSES
+    r.extracted_text.encode("utf-8")  # must never raise
+
+
 def test_deep_kids_chain_does_not_blow_stack():
     """A 50k-deep /Pages chain walks iteratively (no RecursionError path)."""
     depth = 50_000
