@@ -237,6 +237,68 @@ def run_extraction(
 
 
 @dataclass
+class CompactStats:
+    rows: int
+    files_before: int
+    files_after: int
+
+
+def compact_output(
+    spark: SparkSession,
+    out_dir: str,
+    files_per_bucket: int = 1,
+    shuffle_partitions: int | None = None,
+) -> CompactStats:
+    """Small-file compaction for the partitioned extraction output.
+
+    Every write pass adds `salt_factor × waves` files per bucket directory;
+    at 10^12 docs the file count (not the byte count) becomes the metadata
+    bottleneck for every downstream scan. This rewrites each url-hash
+    bucket with exactly `files_per_bucket` files: one shuffle keyed on
+    (partition_id, url-salt mod files_per_bucket) puts each bucket's rows
+    in `files_per_bucket` tasks, and the partitionBy write regroups them
+    per directory. (On an Iceberg deployment this is `rewrite_data_files`;
+    the parquet-dir form stages and swaps because Spark cannot safely
+    overwrite its own input.)
+
+    The swap is rename-based: original → `.pre_compact`, staging → final,
+    then delete — a crash mid-swap leaves either the original or the
+    compacted dir intact under a recoverable name, never a half-deleted
+    table. Content is unchanged, so the control table stays valid and a
+    resumed run still skips every committed partition.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(out_dir)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    shuffle_n = shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    staging = out_dir.rstrip("/") + "._compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.repartition(
+            shuffle_n,
+            "partition_id",
+            F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)).alias("_csalt"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .option("compression", "snappy")
+        .parquet(staging)
+    )
+    old = out_dir.rstrip("/") + ".pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(out_dir, old)
+    os.replace(staging, out_dir)
+    shutil.rmtree(old)
+    out = spark.read.parquet(out_dir)
+    files_after = out.select(F.input_file_name()).distinct().count()
+    return CompactStats(out.count(), files_before, files_after)
+
+
+@dataclass
 class CorpusStats:
     docs_in: int
     docs_quality: int

@@ -203,6 +203,34 @@ def test_lineage_exactly_once_under_task_retry(spark, tmp_path):
     assert out_df.select("url").distinct().count() == 200
 
 
+def test_compact_output(spark, tmp_path):
+    """Compaction collapses each bucket dir to files_per_bucket files,
+    preserves every row byte-for-byte, and leaves resume intact (control
+    table untouched, rerun skips everything)."""
+    from pdf_extractor_spark.pipeline import compact_output, run_extraction
+
+    out, ctl = str(tmp_path / "out"), str(tmp_path / "ctl")
+    pages = pages_df(spark, 300, seed=SEED, num_partitions=4)
+    run_extraction(spark, pages, out, ctl, n_buckets=8, shuffle_partitions=16)
+
+    before = {
+        (r.url, r.extracted_text) for r in spark.read.parquet(out).collect()
+    }
+    cs = compact_output(spark, out, files_per_bucket=1)
+    assert cs.rows == 300
+    assert cs.files_after <= 8 < cs.files_before  # one file per bucket dir
+    after = {(r.url, r.extracted_text) for r in spark.read.parquet(out).collect()}
+    assert after == before
+
+    # control table still valid: a resumed run recomputes nothing
+    stats = run_extraction(spark, pages, out, ctl, n_buckets=8)
+    assert stats.partitions_committed == 0
+    import os
+
+    assert not os.path.exists(out + ".pre_compact")
+    assert not os.path.exists(out + "._compact_staging")
+
+
 def test_build_training_corpus(spark, tmp_path):
     """Corpus builder: quality filter + exact dedup with a DETERMINISTIC
     winner (min url per text hash); funnel stats come from the same single
