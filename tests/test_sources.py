@@ -278,6 +278,50 @@ def test_warc_range_ownership_exact(tmp_path):
         assert urls == want, f"split_bytes={sb}"
 
 
+def test_incremental_scan_equals_oneshot_property():
+    """Property: feeding plain WARC bytes to the incremental scanner in
+    ARBITRARY chunk sizes (flushing complete records each step, final scan
+    at the end) yields exactly the one-shot parse — the invariant every
+    reader (member chains, plain files, streaming) rests on."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdf_extractor_spark.sources import _scan_records, encode_warc_record
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.binary(max_size=600), min_size=1, max_size=8),
+        st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=40),
+    )
+    def check(payloads, cuts):
+        raw = b"".join(
+            encode_warc_record(f"https://inc/{i}", "2024-01-02T03:04:05Z", p)
+            for i, p in enumerate(payloads)
+        )
+        want, _ = _scan_records(raw, 0, final=True)
+
+        got = []
+        buf = b""
+        pos = 0
+        ci = 0
+        while pos < len(raw):
+            step = cuts[ci % len(cuts)]
+            ci += 1
+            buf += raw[pos : pos + step]
+            pos += step
+            records, consumed = _scan_records(buf, 0, final=False)
+            got.extend(records)
+            if consumed:
+                buf = buf[consumed:]
+        records, _ = _scan_records(buf, 0, final=True)
+        got.extend(records)
+
+        assert [(r["url"], r["html"]) for r in got] == [
+            (r["url"], r["html"]) for r in want
+        ]
+
+    check()
+
+
 def test_warc_split_ownership_property(tmp_path):
     """Property: for random payload sizes and random split grids, per-range
     parsing over a partition of the archive equals the whole-archive parse
