@@ -66,7 +66,11 @@ def main(argv: list[str] | None = None) -> int:
                         "filter + exact text dedup) from the extraction output to DIR")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
-                        "payloads (url, error_class, payload head) to DIR for triage")
+                        "payloads (url, error_class, payload head) to DIR for "
+                        "triage; costs a second pass over the input (runs even "
+                        "on a fully-resumed job, where this run's "
+                        "parse_failures counter is 0 but failures exist in "
+                        "the data)")
     p.add_argument("--verify-readback", action="store_true",
                    help="audit mode: re-read written partitions and require exact "
                         "agreement with the kernel-side lineage counters")
@@ -161,7 +165,11 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
 
-    if args.dead_letter_out and stats.parse_failures:
+    # gate on the flag alone: stats.parse_failures counts only partitions
+    # newly extracted THIS run, so a resumed job would silently skip triage
+    # even though failures exist in the data (round-3 ADVICE);
+    # dead_letter_sample yields an empty result when nothing fails
+    if args.dead_letter_out:
         from pdf_extractor_spark.pipeline import dead_letter_sample
 
         dead_letter_sample(pages).write.mode("overwrite").parquet(args.dead_letter_out)

@@ -148,6 +148,13 @@ def _scan_records(buf: bytes, pos: int, final: bool) -> "tuple[list[dict], int]"
         body_start = hdr_end.end()
         try:
             length = int(headers.get(b"content-length", b""))
+            if length < 0:
+                # a negative length is malformed, not short: body_start +
+                # length can land back ON this record's own 'WARC/' head
+                # (busy-loop) or slice tail-relative bytes as the body —
+                # treat like a missing length and resync at the next
+                # boundary (round-3 ADVICE, high)
+                raise ValueError("negative Content-Length")
             body_end = body_start + length
             if body_end > n:
                 if not final:
@@ -155,7 +162,11 @@ def _scan_records(buf: bytes, pos: int, final: bool) -> "tuple[list[dict], int]"
                     break
                 body_end = n
         except ValueError:
-            nxt = buf.find(b"\r\n\r\nWARC/", body_start)
+            # search from the header terminator's START, not body_start: a
+            # malformed record with nothing before the next `WARC/` head
+            # reuses its own `\r\n\r\n` as the boundary (body degrades to
+            # empty instead of swallowing every following record)
+            nxt = buf.find(b"\r\n\r\nWARC/", hdr_end.start())
             if nxt < 0:
                 if not final:
                     pos = start  # boundary may arrive with the next chunk
@@ -411,6 +422,12 @@ def read_pages_warc_split(
     for root, _dirs, names in os.walk(input_dir):
         for name in sorted(names):
             if ".warc" not in name.lower():
+                continue
+            if name.startswith(("_", ".")):
+                # Spark's binaryFile reader skips hidden files; without the
+                # same rule here the split reader would double-count an
+                # orphaned `_tmp-*-attempt*.warc.gz` left by a hard-killed
+                # export task (round-3 ADVICE)
                 continue
             p = os.path.join(root, name)
             size = os.path.getsize(p)

@@ -90,6 +90,59 @@ def test_warc_parser_edge_cases():
     assert [r["url"] for r in recs2] == ["https://a/1", "https://a/2"]
 
 
+def test_warc_negative_content_length():
+    """A negative Content-Length is malformed, not short: the scanner must
+    resync at the next `WARC/` boundary instead of busy-looping (a length
+    that exactly cancels the header offset lands pos back on the same
+    record head) or slicing tail-relative bytes as the body (round-3
+    ADVICE, high)."""
+    html = b"<html><body><p>good record body, long enough to matter.</p></body></html>"
+    bad_hdr = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/bad\r\nWARC-Date: 2024-03-04T05:06:07Z\r\n"
+    )
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/good\r\nWARC-Date: 2024-03-04T05:06:08Z\r\n"
+        + (b"Content-Length: %d\r\n\r\n" % len(html)) + html + b"\r\n\r\n"
+    )
+    for length in (-1, -10**9, -(len(bad_hdr) + len(b"Content-Length: -0\r\n\r\n"))):
+        raw = (
+            bad_hdr + (b"Content-Length: %d\r\n\r\n" % length)
+            + b"bad body\r\n\r\n" + good
+        )
+        recs = parse_warc_records(raw)
+        # malformed record degrades to boundary fallback; good record intact
+        assert [r["url"] for r in recs] == ["https://t/bad", "https://t/good"]
+        assert recs[0]["html"] == b"bad body"
+        assert recs[1]["html"] == html
+    # the exact self-cancelling offset from the advice repro: header length
+    # negated → body_end == start of this same record. Must terminate.
+    hdr = bad_hdr + b"Content-Length: -999\r\n\r\n"
+    cancel = len(hdr)
+    raw = bad_hdr + (b"Content-Length: -%d\r\n\r\n" % cancel) + good
+    recs = parse_warc_records(raw)
+    assert recs[-1]["url"] == "https://t/good"
+
+
+def test_warc_split_reader_skips_hidden_files(spark, tmp_path):
+    """The os.walk listing must follow Spark's hidden-file convention
+    (skip `_`/`.` basenames) so an orphaned `_tmp-*-attempt*.warc.gz` from
+    a hard-killed export task is never double-counted (round-3 ADVICE)."""
+    from pdf_extractor_spark.sources import read_pages_warc_split
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    rows = _synth_rows(30)
+    write_warc(rows[:20], str(d / "a.warc.gz"), gzip_members=True)
+    # orphaned temp + hidden file carrying the OTHER rows: must be invisible
+    write_warc(rows[20:], str(d / "_tmp-part-0-attempt0.warc.gz"), gzip_members=True)
+    write_warc(rows[20:], str(d / ".hidden.warc"))
+
+    got = {r.url for r in read_pages_warc_split(spark, str(d), split_bytes=1500).collect()}
+    assert got == {r["url"] for r in rows[:20]}
+
+
 def test_warc_bad_date_and_offset_date(spark, tmp_path):
     """Malformed WARC-Date → null timestamp (not a task failure); an
     offset-bearing date normalizes to UTC."""
