@@ -8,7 +8,8 @@ anti-joining the input against committed partition ids instead of stat-ing
 a trillion files.
 
 Schema: partition_id int, status string, docs_processed long,
-bytes_parsed long, parse_failures long, committed_at timestamp.
+bytes_parsed long, parse_failures long, font_unmapped long,
+committed_at timestamp.
 
 Commit protocol (exactly-once per partition):
   1. output written first (dynamic partition overwrite → idempotent);
@@ -30,6 +31,9 @@ CONTROL_SCHEMA = T.StructType(
         T.StructField("docs_processed", T.LongType(), True),
         T.StructField("bytes_parsed", T.LongType(), True),
         T.StructField("parse_failures", T.LongType(), True),
+        # unmapped PDF font codes (degraded to U+FFFD) — fidelity lineage,
+        # distinct from parse_failures: the doc still extracts
+        T.StructField("font_unmapped", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
         # bucketing under which the partition ids were computed: a control
         # dir reused with a DIFFERENT n_buckets silently mismaps committed
@@ -119,6 +123,7 @@ def append_commits_rows(rows, control_dir: str, n_buckets: int | None = None) ->
                         int(r.docs_processed),
                         int(r.bytes_parsed or 0),
                         int(r.parse_failures or 0),
+                        int(getattr(r, "font_unmapped", 0) or 0),
                         _dt.datetime.now(_dt.timezone.utc),
                         n_buckets,
                     )
@@ -140,6 +145,9 @@ def append_commits_rows(rows, control_dir: str, n_buckets: int | None = None) ->
             "docs_processed": pa.array([int(r.docs_processed) for r in rows], pa.int64()),
             "bytes_parsed": pa.array([int(r.bytes_parsed or 0) for r in rows], pa.int64()),
             "parse_failures": pa.array([int(r.parse_failures or 0) for r in rows], pa.int64()),
+            "font_unmapped": pa.array(
+                [int(getattr(r, "font_unmapped", 0) or 0) for r in rows], pa.int64()
+            ),
             "committed_at": pa.array([now] * len(rows), pa.timestamp("us", tz="UTC")),
             "n_buckets": pa.array([n_buckets] * len(rows), pa.int32()),
         }

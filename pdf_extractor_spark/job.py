@@ -195,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
                 "docs_processed": stats.docs_processed,
                 "bytes_parsed": stats.bytes_parsed,
                 "parse_failures": stats.parse_failures,
+                "font_unmapped": stats.font_unmapped,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(stats.docs_processed / wall, 1) if wall > 0 else None,
             }

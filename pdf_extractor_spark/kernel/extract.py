@@ -42,6 +42,13 @@ class ExtractResult:
     span_offsets: list = field(default_factory=list)  # [{start,end,page,bbox}]
     parse_status: str = STATUS_OK
     truncated: bool = False  # span list hit MAX_SPANS_PER_DOC
+    # PDF font codes that had NO unicode mapping (Identity-H CID fonts
+    # without a ToUnicode stream, codes missing from a sparse CMap): each
+    # surfaces as U+FFFD in extracted_text and is counted here so the
+    # degradation is lineage, not silent mojibake (round-3 verdict #4).
+    # Counted from the decoded text — the kernel's decoders are the only
+    # U+FFFD producers in the PDF branch.
+    font_unmapped: int = 0
 
 
 # well-known non-text magics seen in crawl payloads. Only unambiguous
@@ -105,11 +112,13 @@ def extract_document(raw: bytes | None) -> ExtractResult:
             # (inevitable in crawl data) must be flagged, not decoded into
             # mojibake 'ok' rows that pollute the corpus
             return ExtractResult(parse_status=STATUS_FAILED)
+        font_unmapped = 0
         if raw.startswith(PDF_MAGIC):
             text, spans = extract_pdf(raw)
             truncated = len(spans) > MAX_SPANS_PER_DOC
             if truncated:
                 spans = spans[:MAX_SPANS_PER_DOC]
+            font_unmapped = text.count("�")
         else:
             text, pairs = extract_html(raw)
             # cap BEFORE building the per-span dicts so the dict list (the
@@ -127,6 +136,7 @@ def extract_document(raw: bytes | None) -> ExtractResult:
             span_offsets=spans,
             parse_status=STATUS_OK,
             truncated=truncated,
+            font_unmapped=font_unmapped,
         )
     except Exception:
         return ExtractResult(parse_status=STATUS_FAILED)

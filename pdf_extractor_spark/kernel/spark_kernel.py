@@ -26,7 +26,7 @@ from pdf_extractor_spark.kernel.extract import extract_document
 EXTRACTED_SCHEMA = (
     "url string, extracted_text string, "
     "span_offsets array<struct<start: int, end: int, page: int, bbox: array<float>>>, "
-    "parse_status string, truncated boolean, n_bytes long"
+    "parse_status string, truncated boolean, n_bytes long, font_unmapped int"
 )
 
 # Columns the kernel needs — select these before mapInPandas so Catalyst
@@ -44,6 +44,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         statuses: list[str] = []
         truncs: list[bool] = []
         n_bytes: list[int] = []
+        unmapped: list[int] = []
         for raw in payloads:
             b = bytes(raw) if raw is not None else None
             res = extract_document(b)
@@ -55,6 +56,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             statuses.append(res.parse_status)
             truncs.append(res.truncated)
             n_bytes.append(len(b) if b is not None else 0)
+            unmapped.append(res.font_unmapped)
         yield pd.DataFrame(
             {
                 "url": urls,
@@ -63,6 +65,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "parse_status": statuses,
                 "truncated": truncs,
                 "n_bytes": n_bytes,
+                "font_unmapped": unmapped,
             }
         )
 

@@ -48,7 +48,9 @@ DEFAULT_N_BUCKETS = 64
 DEFAULT_SALT_FACTOR = 8
 
 _MetricsRow = namedtuple(
-    "_MetricsRow", ["partition_id", "docs_processed", "bytes_parsed", "parse_failures"]
+    "_MetricsRow",
+    ["partition_id", "docs_processed", "bytes_parsed", "parse_failures",
+     "font_unmapped"],
 )
 
 
@@ -87,6 +89,7 @@ class RunStats:
     docs_processed: int
     bytes_parsed: int
     parse_failures: int
+    font_unmapped: int = 0
 
 
 def run_extraction(
@@ -135,7 +138,7 @@ def run_extraction(
     if len(committed_ids) >= n_buckets:
         # fully-committed resume: return WITHOUT building the plan — the
         # anti-join would still scan the whole input to write nothing
-        return RunStats(0, 0, 0, 0)
+        return RunStats(0, 0, 0, 0, 0)
     todo = pages_b.join(F.broadcast(committed), "partition_id", "left_anti")
 
     # Kernel first, on scan splits: parallelism = input bytes / split size,
@@ -187,18 +190,18 @@ def run_extraction(
     # removed them before the kernel).
     acc_metrics: dict[int, tuple] = {}
     for per_task in metrics_acc.value.values():
-        for pid, (d, by, f) in per_task.items():
+        for pid, vals in per_task.items():
             if pid in acc_metrics:
-                ad, aby, af = acc_metrics[pid]
-                acc_metrics[pid] = (ad + d, aby + by, af + f)
+                acc_metrics[pid] = tuple(
+                    a + b for a, b in zip(acc_metrics[pid], vals)
+                )
             else:
-                acc_metrics[pid] = (d, by, f)
+                acc_metrics[pid] = tuple(vals)
     metrics_rows = [
-        _MetricsRow(pid, d, by, f)
-        for pid, (d, by, f) in sorted(acc_metrics.items())
+        _MetricsRow(pid, *vals) for pid, vals in sorted(acc_metrics.items())
     ]
     if not metrics_rows:
-        return RunStats(0, 0, 0, 0)
+        return RunStats(0, 0, 0, 0, 0)
 
     if verify_readback:
         # audit mode: re-read ONLY the newly-written partitions (isin on the
@@ -207,7 +210,9 @@ def run_extraction(
         # speculatively re-executed kernel tasks.
         new_ids = [p for p in range(n_buckets) if p not in committed_ids]
         readback = {
-            r.partition_id: (r.docs_processed, r.bytes_parsed, r.parse_failures)
+            r.partition_id: (
+                r.docs_processed, r.bytes_parsed, r.parse_failures, r.font_unmapped
+            )
             for r in spark.read.parquet(out_dir)
             .filter(F.col("partition_id").isin(new_ids))
             .groupBy("partition_id")
@@ -217,6 +222,7 @@ def run_extraction(
                 F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
                     "parse_failures"
                 ),
+                F.sum("font_unmapped").alias("font_unmapped"),
             )
             .collect()
         }
@@ -233,6 +239,7 @@ def run_extraction(
         sum(r.docs_processed for r in metrics_rows),
         sum(r.bytes_parsed or 0 for r in metrics_rows),
         sum(r.parse_failures or 0 for r in metrics_rows),
+        sum(r.font_unmapped or 0 for r in metrics_rows),
     )
 
 
@@ -477,13 +484,15 @@ def _make_kernel_with_pid(metrics_acc):
                 grouped = (
                     out.assign(_failed=failed)
                     .groupby("partition_id", sort=False)
-                    .agg(docs=("url", "size"), by=("n_bytes", "sum"), f=("_failed", "sum"))
+                    .agg(docs=("url", "size"), by=("n_bytes", "sum"),
+                         f=("_failed", "sum"), fu=("font_unmapped", "sum"))
                 )
                 for pid, r in grouped.iterrows():
-                    cur = local.setdefault(int(pid), [0, 0, 0])
+                    cur = local.setdefault(int(pid), [0, 0, 0, 0])
                     cur[0] += int(r.docs)
                     cur[1] += int(r.by)
                     cur[2] += int(r.f)
+                    cur[3] += int(r.fu)
             yield out
         if metrics_acc is not None and local:
             tc = TaskContext.get()

@@ -27,6 +27,8 @@ import datetime as _dt
 
 import numpy as np
 
+from pdf_extractor_spark.kernel import pdf_filters
+
 _WORDS = (
     "data spark batch shuffle partition column query table row scan filter "
     "join aggregate window sort merge hash broadcast skew salt codegen arrow "
@@ -197,6 +199,38 @@ def _tounicode_stream() -> bytes:
     ).encode("latin-1")
 
 
+def _encode_custom_mixed(t: str) -> str:
+    """Text → mixed-width codes for the 2-codespace CMap flavor: ASCII
+    stays 1-byte, accented chars become the 2-byte code 0x80NN (as a
+    latin-1 str, one char per byte)."""
+    out = []
+    for ch in t:
+        k = _CHAR2CODE.get(ch)
+        out.append("\x80" + chr(k) if k is not None else ch)
+    return "".join(out)
+
+
+def _tounicode_stream_mixed() -> bytes:
+    """ToUnicode CMap with MIXED code widths: two codespace ranges (1-byte
+    ASCII passthrough + a 2-byte 0x80xx block), bfchar entries for the
+    2-byte accent codes and one 2-byte bfrange for the è/é/ê trio — the
+    legal mix a single global code width mis-decodes (round-3 ADVICE)."""
+    bfchars = [
+        "<80%02x> <%04x>" % (code, ord(c))
+        for c, code in sorted(_CHAR2CODE.items(), key=lambda kv: kv[1])
+        if c not in _BFRANGE_CHARS
+    ]
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n/CMapName /CustomMixed def\n"
+        "2 begincodespacerange\n<00> <7f>\n<8000> <80ff>\nendcodespacerange\n"
+        "%d beginbfchar\n%s\nendbfchar\n"
+        "1 beginbfrange\n<8090> <8092> <00e8>\nendbfrange\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        % (len(bfchars), "\n".join(bfchars))
+    ).encode("latin-1")
+
+
 def _show_token(rng: np.random.Generator, t: str) -> str:
     """A literal '(...)' or (25% of the time) hex '<...>' show string."""
     if rng.random() < 0.25:
@@ -204,22 +238,92 @@ def _show_token(rng: np.random.Generator, t: str) -> str:
     return "(%s)" % _esc_pdf(t)
 
 
-def _tj_array(rng: np.random.Generator, words: list[str]) -> str:
+def _tj_array(
+    rng: np.random.Generator, words: list[str], enc=None
+) -> str:
     """A TJ array for one line: word gaps become large negative kerning
     (< -180/1000 em → space), and ~half the words are split into two
-    chunks joined by a SMALL kern (no space) — the form real PDFs use."""
+    chunks joined by a SMALL kern (no space) — the form real PDFs use.
+
+    `enc` (code-mapping encoder) applies AFTER the split point is chosen
+    on the raw text: a conforming PDF writer never splits a show string
+    inside a multi-byte code, so neither does the synthesizer."""
+    e = enc or (lambda t: t)
     elems: list[str] = []
     for wi, w in enumerate(words):
         if wi > 0:
             elems.append("%d" % -int(rng.integers(200, 400)))  # word gap
         if len(w) >= 4 and rng.random() < 0.5:
             cut = int(rng.integers(1, len(w)))
-            elems.append(_show_token(rng, w[:cut]))
+            elems.append(_show_token(rng, e(w[:cut])))
             elems.append("%d" % -int(rng.integers(5, 120)))  # kern, no space
-            elems.append(_show_token(rng, w[cut:]))
+            elems.append(_show_token(rng, e(w[cut:])))
         else:
-            elems.append(_show_token(rng, w))
+            elems.append(_show_token(rng, e(w)))
     return "[%s] TJ" % " ".join(elems)
+
+
+def _emit_objstm_form(objs: "dict[int, bytes]", rng: np.random.Generator) -> bytes:
+    """Emit a PDF 1.5 file: every dict-only object (Catalog, Pages, Page,
+    Font, /Length ints) packed into one FlateDecode /Type /ObjStm
+    container; stream-bearing objects stay top-level; a cross-reference
+    STREAM (/W [1 4 2], PNG Up predictor — the form real writers emit)
+    indexes both, and the trailer is `startxref <off> %%EOF`."""
+    import zlib as _zlib
+
+    stream_objs = sorted(n for n, b in objs.items() if b"stream\n" in b)
+    dict_objs = sorted(set(objs) - set(stream_objs))
+    ostm_num = max(objs) + 1
+    xref_num = ostm_num + 1
+
+    # container: "num off" pairs header, then bodies back-to-back
+    emb_order = [int(i) for i in rng.permutation(dict_objs)]
+    bodies = [objs[n] for n in emb_order]
+    offs: list[int] = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(b"%d %d" % (n, o) for n, o in zip(emb_order, offs)) + b"\n"
+    z = _zlib.compress(header + b" ".join(bodies), 6)
+    container = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+        b"\nstream\n" % (len(emb_order), len(header), len(z))
+    ) + z + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for n in (int(i) for i in rng.permutation(stream_objs)):
+        offsets[n] = len(out)
+        out += b"%d 0 obj %s endobj\n" % (n, objs[n])
+    offsets[ostm_num] = len(out)
+    out += b"%d 0 obj %s endobj\n" % (ostm_num, container)
+    xref_off = len(out)
+
+    size = xref_num + 1
+    emb_idx = {n: i for i, n in enumerate(emb_order)}
+    rows = bytearray()
+    for num in range(size):
+        if num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + b"\x00\x00"
+        elif num in emb_idx:
+            rows += (
+                bytes([2]) + ostm_num.to_bytes(4, "big")
+                + emb_idx[num].to_bytes(2, "big")
+            )
+        elif num == xref_num:
+            rows += bytes([1]) + xref_off.to_bytes(4, "big") + b"\x00\x00"
+        else:  # object 0 (and gaps): free
+            rows += bytes([0]) + b"\x00\x00\x00\x00\xff\xff"
+    zrows = _zlib.compress(pdf_filters.png_predict_up(bytes(rows), 7), 6)
+    xref_body = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n" % (size, len(zrows))
+    ) + zrows + b"\nendstream"
+    out += b"%d 0 obj %s endobj\n" % (xref_num, xref_body)
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
 
 
 def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
@@ -245,7 +349,12 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     # the kernel decodes through the font table.
     use_tree = rng.random() < 0.5
     custom = use_tree and rng.random() < 0.6
-    flavor = "diff" if rng.random() < 0.5 else "cmap"
+    fdraw = rng.random()
+    flavor = "diff" if fdraw < 0.4 else ("cmap" if fdraw < 0.75 else "cmap2")
+    enc_fn = _encode_custom_mixed if flavor == "cmap2" else _encode_custom
+    # PDF 1.5 form: dict objects compressed into a /Type /ObjStm container,
+    # indexed by a cross-reference stream (exercises the xref/ObjStm path)
+    use_objstm = use_tree and rng.random() < 0.35
     golden_lines: list[str] = []
     page_streams: list[list[bytes]] = []  # per page: 1..2 content streams
     for p in range(n_pages):
@@ -262,8 +371,9 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                     ]
             if rng.random() < 0.35:
                 # whole line as one TJ array at the line origin
-                shown = [_encode_custom(w) for w in words] if custom else words
-                runs.append((y, 72.0, _tj_array(rng, shown)))
+                runs.append(
+                    (y, 72.0, _tj_array(rng, words, enc_fn if custom else None))
+                )
                 this_page.append(" ".join(words))
                 continue
             n_runs = min(len(words), int(rng.integers(1, 4)))
@@ -272,7 +382,7 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             line_txts = []
             for ch in chunks:
                 t = " ".join(ch.tolist())
-                shown_t = _encode_custom(t) if custom else t
+                shown_t = enc_fn(t) if custom else t
                 runs.append((y, x, "%s Tj" % _show_token(rng, shown_t)))
                 line_txts.append(t)
                 x += 0.5 * 12.0 * len(t) + 18.0
@@ -303,11 +413,16 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     def body_of(s: bytes, indirect_len_obj: int | None) -> tuple[bytes, int | None]:
         """(stream body with dict, compressed length if /Length is indirect).
 
-        ~Half the streams compress with /Filter /FlateDecode; of those, the
-        caller may route /Length through an indirect `N 0 R` integer object
-        (returned so the caller can emit it).
+        Streams draw from the real-crawl filter matrix: raw, FlateDecode
+        (optionally with /Length routed through an indirect `N 0 R` integer
+        object, returned so the caller can emit it), LZWDecode, an
+        [/ASCIIHexDecode /FlateDecode] chain, ASCII85Decode, or
+        RunLengthDecode.
         """
-        if rng.random() < 0.5:
+        draw = rng.random()
+        if draw < 0.35:
+            return b"stream\n" + s + b"\nendstream", None
+        if draw < 0.65:
             z = _zlib.compress(s, 6)
             if indirect_len_obj is not None:
                 return (
@@ -318,7 +433,29 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(z)
                 + z + b"\nendstream"
             ), None
-        return b"stream\n" + s + b"\nendstream", None
+        if draw < 0.75:
+            z = pdf_filters.lzw_encode(s)
+            return (
+                b"<< /Filter /LZWDecode /Length %d >>\nstream\n" % len(z)
+                + z + b"\nendstream"
+            ), None
+        if draw < 0.85:  # chain: ASCIIHex transport around Flate
+            z = _zlib.compress(s, 6).hex().encode("ascii") + b">"
+            return (
+                b"<< /Filter [/ASCIIHexDecode /FlateDecode] /Length %d >>\nstream\n"
+                % len(z) + z + b"\nendstream"
+            ), None
+        if draw < 0.93:
+            z = pdf_filters.ascii85_encode(s)
+            return (
+                b"<< /Filter /ASCII85Decode /Length %d >>\nstream\n" % len(z)
+                + z + b"\nendstream"
+            ), None
+        z = pdf_filters.run_length_encode(s)
+        return (
+            b"<< /Filter /RunLengthDecode /Length %d >>\nstream\n" % len(z)
+            + z + b"\nendstream"
+        ), None
 
     if use_tree:
         # page-tree form: number objects, shuffle page-object file order
@@ -337,7 +474,12 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 tn = next_num
                 next_num += 1
                 # the CMap stream itself may be FlateDecode-compressed
-                tbody, _ = body_of(_tounicode_stream(), None)
+                cmap_src = (
+                    _tounicode_stream_mixed()
+                    if flavor == "cmap2"
+                    else _tounicode_stream()
+                )
+                tbody, _ = body_of(cmap_src, None)
                 objs[tn] = tbody
                 objs[f2] = (
                     b"<< /Type /Font /Subtype /TrueType /BaseFont /CustomCMap"
@@ -379,6 +521,8 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             b" ".join(b"%d 0 R" % n for n in page_obj_nums),
             len(page_obj_nums),
         )
+        if use_objstm:
+            return _emit_objstm_form(objs, rng), "\n".join(golden_lines)
         emit_order = [1, 2] + [int(i) for i in rng.permutation(sorted(set(objs) - {1, 2}))]
         body = b"".join(
             b"%d 0 obj %s endobj\n" % (n, objs[n]) for n in emit_order

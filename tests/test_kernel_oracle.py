@@ -378,6 +378,135 @@ def test_pdf_synth_custom_encoding_byte_identity():
     assert seen_accented >= 10  # the custom-font variants actually occur
 
 
+def test_pdf_objstm_xref_corpus_byte_identity():
+    """PDF 1.5 variants (dict objects inside /Type /ObjStm containers,
+    indexed by a PNG-predictored cross-reference stream) extract
+    byte-identically corpus-wide — including the custom-font docs whose
+    /Differences and font dicts live INSIDE the container."""
+    seen, seen_accented = 0, 0
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"/ObjStm" not in r["html"]:
+            continue
+        seen += 1
+        got = extract_document(r["html"])
+        assert got.extracted_text == r["_golden"], r["url"]
+        if any(ord(c) > 127 for c in r["_golden"]):
+            seen_accented += 1
+    assert seen >= 20 and seen_accented >= 5
+
+
+def test_pdf_filter_matrix_occurs_and_extracts():
+    """The synthesizer's filter matrix actually emits every supported
+    filter (byte identity over them is asserted corpus-wide above/by
+    test_golden_by_construction — here we pin coverage so a silent synth
+    regression can't hollow the suite out)."""
+    seen = {n: 0 for n in (b"LZWDecode", b"ASCIIHexDecode", b"ASCII85Decode",
+                           b"RunLengthDecode", b"FlateDecode")}
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf":
+            continue
+        for name in seen:
+            if name in r["html"]:
+                seen[name] += 1
+    assert all(v >= 5 for v in seen.values()), seen
+
+
+def test_pdf_objstm_without_trailer_falls_back_to_scan():
+    """A truncated PDF 1.5 file (startxref trailer lost) still extracts:
+    ObjStm containers are discovered by head scan, not only via xref."""
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"/ObjStm" not in r["html"]:
+            continue
+        cut = r["html"].rfind(b"startxref")
+        truncated = r["html"][:cut]
+        got = extract_document(truncated)
+        assert got.extracted_text == r["_golden"], r["url"]
+        return
+    raise AssertionError("no ObjStm fixture found")
+
+
+def test_xref_type1_recovery_restores_missed_object():
+    """A type-1 xref entry recovers an object the regex scan missed (its
+    `N 0 obj` head hidden inside another object's binary stream bytes in
+    real crawl PDFs — simulated here by deleting the scan entry)."""
+    from pdf_extractor_spark.kernel import pdf_extract as px
+
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"/ObjStm" not in r["html"]:
+            continue
+        raw = r["html"]
+        objects = px._parse_objects(raw)
+        # drop one top-level (stream-bearing) object from the scan view
+        victim = next(n for n, (_, b) in sorted(objects.items()) if b"stream\n" in b)
+        del objects[victim]
+        containers = px._parse_xref_streams(raw, objects)
+        assert victim in objects, "type-1 entry did not restore the object"
+        assert containers, "xref stream did not yield ObjStm containers"
+        return
+    raise AssertionError("no ObjStm fixture found")
+
+
+def test_mixed_width_cmap_decodes_variable_codes():
+    """A CMap with BOTH a 1-byte and a 2-byte codespace range decodes
+    per-position widths — a single global width mis-reads every 1-byte
+    code as half of a pair (round-3 ADVICE)."""
+    from pdf_extractor_spark.kernel.pdf_extract import _decode_codes, _parse_tounicode
+
+    src = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7f>\n<8000> <80ff>\nendcodespacerange\n"
+        b"1 beginbfchar\n<8041> <00e9>\nendbfchar\n"
+        b"1 beginbfrange\n<8050> <8052> <00e8>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    cmap, nbytes, spaces = _parse_tounicode(src)
+    assert nbytes == 2 and spaces is not None and len(spaces) == 2
+    font = (cmap, nbytes, spaces)
+    # ASCII bytes are complete 1-byte codes; 0x80-led pairs are 2-byte
+    assert _decode_codes(b"ab\x80Acd", font) == "abécd"
+    assert _decode_codes(b"\x80P\x80Q\x80R", font) == "èéê"
+    # unmapped 2-byte code degrades to U+FFFD (counted as font_unmapped)
+    assert _decode_codes(b"x\x80\x7fy", font) == "x�y"
+
+
+def test_pdf_identity_h_without_tounicode_counts_unmapped():
+    """Composite Identity-H font with NO ToUnicode stream: codes have no
+    unicode source — the kernel must emit U+FFFD and count font_unmapped
+    instead of silently producing latin-1 mojibake (round-3 verdict #4)."""
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /NoToUni "
+        b"/Encoding /Identity-H >> endobj\n"
+        b"5 0 obj stream\nBT /F1 12 Tf 72 700 Td <00480065006c> Tj ET\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    res = extract_document(pdf)
+    assert res.parse_status == "ok"
+    assert res.font_unmapped == 3
+    assert set(res.extracted_text) <= {"�", " "}
+    # with a ToUnicode stream present, the same shape maps cleanly
+    pdf_mapped = pdf.replace(
+        b"/Encoding /Identity-H >>",
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+    ) + (
+        b"6 0 obj stream\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"3 beginbfchar\n<0048> <0048>\n<0065> <0065>\n<006c> <006c>\nendbfchar\n"
+        b"endstream endobj\n"
+    )
+    res2 = extract_document(pdf_mapped)
+    assert res2.extracted_text == "Hel"
+    assert res2.font_unmapped == 0
+
+
 def test_pdf_uncompressed_not_hijacked_by_earlier_filter():
     """A plain stream preceded by an unrelated /FlateDecode dict must stay
     raw — sniffing the earlier dict would zlib-fail and drop the page."""

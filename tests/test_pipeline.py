@@ -294,6 +294,44 @@ def test_dead_letter_sample(spark):
     assert failure_class(b"<p>perfectly fine text content</p>") is None
 
 
+def test_font_unmapped_metric_reaches_control_table(spark, tmp_path):
+    """An Identity-H PDF with no ToUnicode stream extracts with U+FFFD
+    placeholders, and the unmapped-code count surfaces as font_unmapped
+    lineage in the control table — degradation as data, not silent
+    mojibake (round-3 verdict #4)."""
+    import datetime as dt
+
+    degenerate_pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+        b"4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /NoToUni "
+        b"/Encoding /Identity-H >> endobj\n"
+        b"5 0 obj stream\nBT /F1 12 Tf 72 700 Td <00480065006c> Tj ET\n"
+        b"endstream endobj\n%%EOF\n"
+    )
+    ts = dt.datetime(2024, 3, 4, 5, 6, 7)
+    rows = [
+        ("https://cid.example/doc.pdf", ts, degenerate_pdf, "", "en"),
+        ("https://ok.example/a.html", ts,
+         b"<html><body><p>plain healthy body text for the control row.</p></body></html>",
+         "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out, ctl = str(tmp_path / "out"), str(tmp_path / "ctl")
+    stats = run_extraction(spark, pages, out, ctl, n_buckets=4)
+    assert stats.font_unmapped == 3  # three 2-byte CIDs, no unicode source
+    ctl_sum = spark.read.parquet(ctl).agg(F.sum("font_unmapped")).collect()[0][0]
+    assert ctl_sum == 3
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert got["https://cid.example/doc.pdf"].font_unmapped == 3
+    assert got["https://ok.example/a.html"].font_unmapped == 0
+
+
 def test_resume_rejects_mismatched_bucketing(spark, tmp_path):
     """A control dir committed under n_buckets=16 must not silently resume
     a run with n_buckets=8 — the partition ids mean different things."""
