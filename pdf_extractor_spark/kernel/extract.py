@@ -96,8 +96,14 @@ def failure_class(raw: bytes | None) -> str | None:
     return None
 
 
-def extract_document(raw: bytes | None) -> ExtractResult:
+def extract_document(
+    raw: bytes | None, charset_hint: str | None = None
+) -> ExtractResult:
     """Extract main content from one raw payload. NEVER raises.
+
+    `charset_hint` is the transport-layer charset (the WARC record's HTTP
+    Content-Type parameter, when the source carries one) — honored by the
+    HTML branch between BOM and meta-tag, per WHATWG precedence.
 
     Failures are data, not exceptions: a malformed payload yields
     parse_status='failed' and is counted in partition lineage
@@ -120,7 +126,7 @@ def extract_document(raw: bytes | None) -> ExtractResult:
                 spans = spans[:MAX_SPANS_PER_DOC]
             font_unmapped = text.count("�")
         else:
-            text, pairs = extract_html(raw)
+            text, pairs = extract_html(raw, charset_hint)
             # cap BEFORE building the per-span dicts so the dict list (the
             # dominant span memory) never exceeds the bound; the upstream
             # (start,end) tuples are ~5× smaller per entry

@@ -78,12 +78,19 @@ _KNOWN_ENCODINGS = {
 }
 
 
-def sniff_encoding(raw: bytes) -> str:
-    """BOM, then meta-charset sniff on the first 2048 bytes; utf-8 fallback."""
+def sniff_encoding(raw: bytes, hint: str | None = None) -> str:
+    """Decode-charset resolution, WHATWG precedence: BOM, then the
+    transport-layer `hint` (the WARC record's HTTP Content-Type charset —
+    real crawls disagree between header and meta often enough to matter),
+    then meta-charset sniff on the first 2048 bytes; utf-8 fallback."""
     if raw.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"      # strips the BOM char on decode
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
         return "utf-16"         # endianness from the BOM itself
+    if hint:
+        enc = _KNOWN_ENCODINGS.get(hint.lower())
+        if enc is not None:  # unknown labels fall through to the meta sniff
+            return enc
     m = _CHARSET_RE.search(raw[:2048])
     if m:
         name = m.group(1).decode("ascii", "replace").lower()
@@ -109,13 +116,13 @@ class Block:
         return " ".join("".join(self.parts).split())
 
 
-def _parse_blocks(raw: bytes) -> "list[Block]":
+def _parse_blocks(raw: bytes, hint: str | None = None) -> "list[Block]":
     """Decode (charset sniff) then single-pass tokenize → flat block list.
 
     Never raises on malformed markup — unclosed tags, stray '<', bad entities
     all degrade to text or get skipped deterministically.
     """
-    enc = sniff_encoding(raw)
+    enc = sniff_encoding(raw, hint)
     try:
         doc = raw.decode(enc, "replace")
     except LookupError:  # unknown codec name that slipped the table
@@ -282,13 +289,17 @@ def _parse_blocks_str(doc: str) -> list[Block]:
     return blocks
 
 
-def extract_html(raw: bytes) -> tuple[str, list[tuple[int, int]]]:
+def extract_html(
+    raw: bytes, charset_hint: str | None = None
+) -> tuple[str, list[tuple[int, int]]]:
     """Extract main content text + span offsets from raw HTML bytes.
 
+    `charset_hint` is the transport-layer charset (WARC HTTP header),
+    honored between BOM and meta — see sniff_encoding.
     Returns (extracted_text, [(start, end) per kept block]).
     Deterministic; never raises on malformed markup.
     """
-    blocks = _parse_blocks(raw)
+    blocks = _parse_blocks(raw, charset_hint)
 
     kept: list[str] = []
     # Headings are DEFERRED: a heading earns its place only if body content

@@ -35,19 +35,27 @@ KERNEL_INPUT_COLS = ["url", "html"]
 
 
 def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (url, html) batches → extracted rows."""
+    """mapInPandas kernel: (url, html[, charset]) batches → extracted rows.
+
+    The optional `charset` column (WARC sources) is a transport-layer
+    decode hint per document; absent or empty means sniff-only."""
     for pdf in batches:
         urls = pdf["url"].tolist()
         payloads = pdf["html"].tolist()
+        hints = (
+            pdf["charset"].tolist()
+            if "charset" in pdf.columns
+            else [None] * len(urls)
+        )
         texts: list[str] = []
         spans: list[list[tuple]] = []
         statuses: list[str] = []
         truncs: list[bool] = []
         n_bytes: list[int] = []
         unmapped: list[int] = []
-        for raw in payloads:
+        for raw, hint in zip(payloads, hints):
             b = bytes(raw) if raw is not None else None
-            res = extract_document(b)
+            res = extract_document(b, hint or None)
             texts.append(res.extracted_text)
             # tuples serialize to Arrow struct fields positionally
             spans.append(
@@ -70,12 +78,22 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def kernel_input(pages_df):
+    """Project a pages DataFrame to the kernel's input columns: (url, html)
+    plus the optional charset decode-hint column when the source carries
+    one (WARC readers). Keeps the parquet scan pruned to exactly these."""
+    cols = list(KERNEL_INPUT_COLS)
+    if "charset" in pages_df.columns:
+        cols.append("charset")
+    return pages_df.select(*cols)
+
+
 def run_kernel(pages_df):
     """Apply the extraction kernel to a pages DataFrame.
 
-    Projects to (url, html) first so the parquet scan reads only those
-    columns (check: .explain shows ReadSchema with 2 fields).
+    Projects to (url, html[, charset]) first so the parquet scan reads only
+    those columns (check: .explain shows ReadSchema with 2 fields).
     """
-    return pages_df.select(*KERNEL_INPUT_COLS).mapInPandas(
+    return kernel_input(pages_df).mapInPandas(
         extract_batches, schema=EXTRACTED_SCHEMA
     )

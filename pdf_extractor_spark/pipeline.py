@@ -144,8 +144,11 @@ def run_extraction(
     # Kernel first, on scan splits: parallelism = input bytes / split size,
     # uniform by construction, so no key skew can serialize the compute.
     metrics_acc = spark.sparkContext.accumulator({}, _PerTaskMetricsParam())
+    kcols = ["partition_id", "url", "html"] + (
+        ["charset"] if "charset" in todo.columns else []
+    )
     extracted = (
-        todo.select("partition_id", "url", "html")
+        todo.select(*kcols)
         .mapInPandas(
             _make_kernel_with_pid(metrics_acc),
             schema="partition_id int, " + EXTRACTED_SCHEMA,
@@ -477,7 +480,10 @@ def _make_kernel_with_pid(metrics_acc):
         local: dict[int, list] = {}
         for pdf in batches:
             pids = pdf["partition_id"]
-            out = next(extract_batches(iter([pdf[["url", "html"]]])))
+            in_cols = ["url", "html"] + (
+                ["charset"] if "charset" in pdf.columns else []
+            )
+            out = next(extract_batches(iter([pdf[in_cols]])))
             out.insert(0, "partition_id", pids.to_numpy())
             if metrics_acc is not None:
                 failed = (out["parse_status"] == "failed").astype("int64")

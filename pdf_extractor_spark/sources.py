@@ -36,6 +36,12 @@ from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL
 
 _PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
+# WARC readers add a decode-hint column: the HTTP header block's
+# Content-Type charset parameter (empty when absent). The kernel honors it
+# below the BOM and above the meta tag, per WHATWG precedence.
+WARC_PAGES_SCHEMA_DDL = PAGES_SCHEMA_DDL + ", charset string"
+_WARC_PAGES_COLS = _PAGES_COLS + ["charset"]
+
 
 def _warc_ts(s: str):
     """WARC-Date string → naive-UTC Timestamp; a malformed date costs the
@@ -54,7 +60,8 @@ def _warc_ts(s: str):
 def _pages_frames(records: "Iterator[dict]") -> "Iterator[pd.DataFrame]":
     """WARC record dicts → ≤256-row pages-schema frames (the bounded-frame
     flush shared by every WARC reader: a ~1 GB archive never materializes
-    all its decompressed records in Python heap at once)."""
+    all its decompressed records in Python heap at once). Frames carry the
+    extra `charset` decode-hint column (WARC_PAGES_SCHEMA_DDL)."""
     rows: list[dict] = []
     for r in records:
         rows.append(
@@ -64,13 +71,14 @@ def _pages_frames(records: "Iterator[dict]") -> "Iterator[pd.DataFrame]":
                 "html": r["html"],
                 "text": "",
                 "lang": "",
+                "charset": r.get("charset", ""),
             }
         )
         if len(rows) >= 256:
-            yield pd.DataFrame(rows, columns=_PAGES_COLS)
+            yield pd.DataFrame(rows, columns=_WARC_PAGES_COLS)
             rows = []
     if rows:
-        yield pd.DataFrame(rows, columns=_PAGES_COLS)
+        yield pd.DataFrame(rows, columns=_WARC_PAGES_COLS)
 
 
 def read_pages_binary(
@@ -107,6 +115,10 @@ def read_pages_binary(
 _GZIP_MAGIC = b"\x1f\x8b"
 _HDR_SPLIT = re.compile(rb"\r?\n\r?\n", re.DOTALL)
 _HDR_LINE = re.compile(rb"^([A-Za-z0-9\-]+):[ \t]*(.*?)\r?$", re.MULTILINE)
+_CHARSET_PARAM_RE = re.compile(
+    rb"^Content-Type:[^\r\n]*?charset\s*=\s*\"?([A-Za-z0-9_\-]+)",
+    re.MULTILINE | re.IGNORECASE,
+)
 
 
 # decompression chunk for gzip archives: records stream out of a bounded
@@ -181,13 +193,22 @@ def _scan_records(buf: bytes, pos: int, final: bool) -> "tuple[list[dict], int]"
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
         # response records embed the HTTP response; payload follows the
-        # HTTP header block
+        # HTTP header block. The block's Content-Type charset= parameter is
+        # kept as a decode HINT column — real crawls disagree between the
+        # HTTP header and the page's meta tag often enough to matter for
+        # byte fidelity (the header wins below the BOM, per WHATWG).
+        charset = ""
         if body[:5] in (b"HTTP/",):
             m = _HDR_SPLIT.search(body)
             if m is not None:
+                cm = _CHARSET_PARAM_RE.search(body[: m.start()])
+                if cm is not None:
+                    charset = cm.group(1).decode("ascii", "replace").lower()
                 body = body[m.end() :]
         if url:
-            records.append({"url": url, "warc_ts": ts, "html": body})
+            records.append(
+                {"url": url, "warc_ts": ts, "html": body, "charset": charset}
+            )
     return records, pos
 
 
@@ -283,7 +304,7 @@ def read_pages_warc(spark: SparkSession, input_dir: str) -> DataFrame:
             for blob in pdf["content"]:
                 yield from _pages_frames(iter_warc_records(bytes(blob)))
 
-    return files.mapInPandas(parse, schema=PAGES_SCHEMA_DDL)
+    return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA_DDL)
 
 
 _GZ_MEMBER_MAGIC = b"\x1f\x8b\x08"  # gzip + deflate method (the only real one)
@@ -439,7 +460,7 @@ def read_pages_warc_split(
             else:
                 ranges.append((p, 0, size))
     if not ranges:
-        return spark.createDataFrame([], PAGES_SCHEMA_DDL)
+        return spark.createDataFrame([], WARC_PAGES_SCHEMA_DDL)
 
     rdf = spark.createDataFrame(
         ranges, "path string, start long, end long"
@@ -455,7 +476,7 @@ def read_pages_warc_split(
                 )
                 yield from _pages_frames(it)
 
-    return rdf.mapInPandas(parse, schema=PAGES_SCHEMA_DDL)
+    return rdf.mapInPandas(parse, schema=WARC_PAGES_SCHEMA_DDL)
 
 
 def _iter_plain_file_records(path: str) -> "Iterator[dict]":

@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.kernel.spark_kernel import (
     EXTRACTED_SCHEMA,
-    KERNEL_INPUT_COLS,
     extract_batches,
+    kernel_input,
 )
 
 from pdf_extractor_spark.synth import PAGES_SCHEMA_DDL as PAGES_DDL
@@ -54,7 +54,7 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_dir)
 
-    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+    extracted = kernel_input(pages).mapInPandas(
         extract_batches, schema=EXTRACTED_SCHEMA
     )
 
@@ -103,7 +103,11 @@ def stream_extract_warc(
     drains what exists, then stops; rerunning with the same checkpoint
     processes only new archives.
     """
-    from pdf_extractor_spark.sources import _pages_frames, iter_warc_records
+    from pdf_extractor_spark.sources import (
+        WARC_PAGES_SCHEMA_DDL,
+        _pages_frames,
+        iter_warc_records,
+    )
 
     reader = (
         spark.readStream.format("binaryFile")
@@ -121,8 +125,8 @@ def stream_extract_warc(
             for blob in pdf["content"]:
                 yield from _pages_frames(iter_warc_records(bytes(blob)))
 
-    pages = files.mapInPandas(parse, schema=PAGES_DDL)
-    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+    pages = files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA_DDL)
+    extracted = kernel_input(pages).mapInPandas(
         extract_batches, schema=EXTRACTED_SCHEMA
     )
     return (
@@ -156,7 +160,7 @@ def stream_extract_merge(
     """
     reader = spark.readStream.schema(PAGES_DDL)
     pages = reader.parquet(input_dir)
-    extracted = pages.select(*KERNEL_INPUT_COLS).mapInPandas(
+    extracted = kernel_input(pages).mapInPandas(
         extract_batches, schema=EXTRACTED_SCHEMA
     )
 

@@ -143,6 +143,51 @@ def test_warc_split_reader_skips_hidden_files(spark, tmp_path):
     assert got == {r["url"] for r in rows[:20]}
 
 
+def test_warc_http_charset_hint_beats_meta(spark, tmp_path):
+    """When the WARC record's HTTP Content-Type charset disagrees with the
+    page's meta tag, the transport header wins (WHATWG precedence below
+    the BOM): the latin-1 bytes must decode as cp1252, not the meta's
+    claimed utf-8 — and the Spark kernel must agree with the oracle twin
+    byte-for-byte (round-3 verdict #8)."""
+    body_txt = (
+        "<html><head><meta charset=\"utf-8\"></head><body>"
+        "<p>Caf\xe9 r\xe9sum\xe9 \xfcber stra\xdfe — body long enough to keep "
+        "for extraction in this fixture page.</p></body></html>"
+    )
+    payload = body_txt.encode("latin-1", "replace")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=ISO-8859-1\r\n\r\n" + payload
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://t/hinted\r\nWARC-Date: 2024-03-04T05:06:07Z\r\n"
+        + (b"Content-Length: %d\r\n\r\n" % len(http)) + http + b"\r\n\r\n"
+    )
+    # oracle twin: parser surfaces the hint; kernel honors it
+    recs = parse_warc_records(rec)
+    assert recs[0]["charset"] == "iso-8859-1"
+    want = extract_document(recs[0]["html"], recs[0]["charset"]).extracted_text
+    assert "Café résumé über straße" in want
+    # WITHOUT the hint, the meta tag would (wrongly, per the transport
+    # header) force utf-8 and mangle the accents
+    unhinted = extract_document(recs[0]["html"]).extracted_text
+    assert "Café" not in unhinted
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "x.warc").write_bytes(rec)
+    pages = read_pages_warc(spark, str(d))
+    assert pages.select("charset").collect()[0][0] == "iso-8859-1"
+    got = run_kernel(pages).collect()[0].extracted_text
+    assert got == want
+
+    from pdf_extractor_spark.sources import read_pages_warc_split
+
+    got_split = run_kernel(read_pages_warc_split(spark, str(d))).collect()[0]
+    assert got_split.extracted_text == want
+
+
 def test_warc_bad_date_and_offset_date(spark, tmp_path):
     """Malformed WARC-Date → null timestamp (not a task failure); an
     offset-bearing date normalizes to UTC."""
