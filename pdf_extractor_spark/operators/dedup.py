@@ -368,3 +368,131 @@ def dedup_components(spark, sf_dir):
     edges.unpersist()
     pinned.unpersist()
     return out
+
+
+# --- line-level corpus dedup (CCNet / RefinedWeb boilerplate pass) ---------
+
+
+def strip_duplicate_lines(
+    lines: "DataFrame",
+    id_col: str = "doc_id",
+    max_docs: int = 3,
+    joiner: str = "\n",
+) -> "DataFrame":
+    """Strip lines that appear in MORE THAN `max_docs` distinct documents
+    and reassemble each document from its surviving lines, in order.
+
+    The CCNet/RefinedWeb-style boilerplate pass the document-granular
+    dedup suite cannot do: cookie banners, license footers, and nav
+    residue that survive the DOM chrome filter appear near-verbatim across
+    many pages — duplicated LINES, not duplicated documents. Input is a
+    pre-exploded (id_col, pos, line) frame (see explode_lines /
+    dedup_lines' word-window segmentation) so the same core serves both
+    newline-delimited extraction output and token-window segments.
+
+    Scale shape (10^12 docs): duplicate detection is
+    distinct(doc, line-hash) → hash-groupBy — one shuffle keyed by the
+    line, with map-side partial collapse of within-doc repeats; the strip
+    is an equi-join back on the line key; reassembly is one groupBy on the
+    doc id. No window functions (a corpus-wide window over line hash would
+    be the same shuffle without the partial agg), no UDFs, no driver
+    materialization. Empty/whitespace lines are exempt (never counted,
+    never stripped).
+
+    Returns (id_col, clean_text, n_kept, n_dropped).
+    """
+    norm = _norm(F.col("line"))
+    L = lines.withColumn("norm", norm)
+    dup_lines = (
+        L.filter(F.col("norm") != "")
+        .select(id_col, "norm")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("norm", F.lit(1).alias("_dup"))
+    )
+    flagged = L.join(dup_lines, "norm", "left")
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def explode_lines(
+    df: "DataFrame", id_col: str = "url", text_col: str = "extracted_text"
+) -> "DataFrame":
+    """Newline-split a text column into (id, pos, line) rows — the input
+    shape of strip_duplicate_lines for extraction output."""
+    return df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+
+
+_LINE_W = 3  # words per segment for the documents-table query form
+
+
+@register(
+    "dedup_lines",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             unnest(range(len(string_split(text, ' ')))) AS wpos
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, wpos // {_LINE_W} AS pos,
+             string_agg(w, ' ' ORDER BY wpos) AS line
+      FROM words GROUP BY doc_id, wpos // {_LINE_W}
+    ), L AS (
+      SELECT doc_id, pos, line, {_NORM_SQL.replace("text", "line")} AS norm
+      FROM segs
+    ), dup AS (
+      SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM L WHERE norm <> '')
+      GROUP BY norm HAVING count(*) > 3
+    ), flagged AS (
+      SELECT L.*, CASE WHEN d.norm IS NULL THEN 0 ELSE 1 END AS dup
+      FROM L LEFT JOIN dup d ON L.norm = d.norm
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN dup = 0 THEN line END, ' ' ORDER BY pos), '') AS clean_text,
+           CAST(sum(1 - dup) AS BIGINT) AS n_kept,
+           CAST(sum(dup) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Line-level corpus dedup (CCNet/RefinedWeb boilerplate pass): "
+    "segment each document into 3-word lines, count distinct docs per "
+    "normalized line corpus-wide, strip lines above the duplication "
+    "threshold, reassemble in order. distinct → hash-groupBy → equi-join "
+    "back → per-doc regroup; one shuffle per stage, no UDFs.",
+)
+def dedup_lines(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("wpos", "w")
+    )
+    segs = (
+        words.groupBy("doc_id", F.floor(F.col("wpos") / _LINE_W).alias("pos"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("line")
+        )
+    )
+    return strip_duplicate_lines(
+        segs, id_col="doc_id", max_docs=3, joiner=" "
+    ).orderBy("doc_id")

@@ -242,3 +242,44 @@ def test_canon_cell_stability():
     assert canon_cell(None) == "NULL"
     assert canon_cell(1.0) == canon_cell(1.0000000001)  # 9-decimal rounding
     assert canon_cell(True) == "1"
+
+
+def test_strip_duplicate_lines_removes_shared_footer(spark):
+    """CCNet-shape line dedup on extraction output: a footer line shared by
+    many docs is stripped everywhere; unique content survives
+    byte-identically; whitespace-only lines are exempt from counting."""
+    from pdf_extractor_spark.operators.dedup import explode_lines, strip_duplicate_lines
+
+    footer = "Subscribe to our newsletter today"
+    docs = [
+        (f"https://s/{i}", f"Unique headline {i}\nBody paragraph number {i} stays.\n" + footer)
+        for i in range(5)
+    ] + [
+        ("https://s/solo", "A one-off page with no shared lines.\n\nSecond para."),
+    ]
+    df = spark.createDataFrame(docs, "url string, extracted_text string")
+    out = {
+        r.url: r
+        for r in strip_duplicate_lines(
+            explode_lines(df), id_col="url", max_docs=3
+        ).collect()
+    }
+    for i in range(5):
+        r = out[f"https://s/{i}"]
+        # footer (present in 5 > 3 docs) stripped; unique lines byte-exact
+        assert r.clean_text == f"Unique headline {i}\nBody paragraph number {i} stays."
+        assert r.n_dropped == 1 and r.n_kept == 2
+    solo = out["https://s/solo"]
+    # the empty line is exempt: kept verbatim, never counted as duplicate
+    assert solo.clean_text == "A one-off page with no shared lines.\n\nSecond para."
+    assert solo.n_dropped == 0 and solo.n_kept == 3
+
+    # a footer appearing in <= max_docs docs survives
+    few = spark.createDataFrame(docs[:3], "url string, extracted_text string")
+    out_few = {
+        r.url: r
+        for r in strip_duplicate_lines(
+            explode_lines(few), id_col="url", max_docs=3
+        ).collect()
+    }
+    assert all(footer in r.clean_text for r in out_few.values())
