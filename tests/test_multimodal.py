@@ -130,3 +130,105 @@ def test_mislabeled_kind_skips_not_crashes(spark):
     frames = sample_frames(df, every_n=4).collect()
     assert {r.media_id for r in resized} == {img["media_id"]}
     assert {r.media_id for r in frames} == {vid["media_id"]}
+
+
+def _encode_png(arr) -> bytes:
+    """Minimal real PNG encoder (test twin): 8-bit grayscale, filter 0."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_roundtrip():
+    """The real-codec branch genuinely decodes a real PNG (no Pillow):
+    chunk walk + zlib + PNG un-filter recover the exact pixel plane."""
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    kind, arr, meta = decode_payload(_encode_png(px))
+    assert kind == "image"
+    assert meta == {"width": 9, "height": 12}
+    assert np.array_equal(arr, px)
+
+
+def test_real_png_rgb_luminance():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (30, 60, 90)  # mean 60
+    rgb[1, 1] = (255, 255, 255)
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    kind, arr, _ = decode_payload(png)
+    assert kind == "image" and arr[0, 0] == 60 and arr[1, 1] == 255
+
+
+def test_real_wav_decode():
+    """Stdlib-wave branch: PCM16 stereo mean-mixes to mono, sample rate
+    and counts preserved."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    rng = np.random.default_rng(9)
+    stereo = rng.integers(-30000, 30000, (50, 2)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(stereo.tobytes())
+    kind, smp, meta = decode_payload(buf.getvalue())
+    assert kind == "audio"
+    assert meta["sample_rate"] == 16000 and meta["n_samples"] == 50
+    assert np.array_equal(smp, stereo.mean(axis=1).astype(np.int16))
+
+
+def test_jpeg_skipped_unless_pillow():
+    """JPEG needs the optional Pillow import; without it the payload must
+    raise NotImplementedError (→ ok=false rows), never garbage."""
+    import pytest
+
+    from pdf_extractor_spark import multimodal
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    if multimodal._PIL_Image is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_payload(fake_jpeg)
+    else:  # pragma: no cover - Pillow present
+        pytest.skip("Pillow installed; JPEG path covered by real decode")
