@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x12_ts_format, both rows+schema+hash-green in r1 AND r2).
     priority = [
         "dedup_lines",             # new in round 4 (CCNet line-dedup pass)
+        "ann_ivf_trained",         # new in round 4 (Lloyd-trained IVF)
         "emb_near_dup_multiband",  # new in round 3
         "dead_letter_triage",      # new in round 3
         "x1_scalar_suite",       # round-1 x* family: pass(L) only, never driver-verified

@@ -690,3 +690,179 @@ def ann_ivf_probe(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- trained IVF: deterministic Lloyd iterations as DataFrame ops ----------
+
+_LLOYD_ITERS = 3
+
+
+def train_ivf_centroids(emb, n_cells: int = _N_CELLS, n_iters: int = _LLOYD_ITERS):
+    """Deterministic k-means (Lloyd) training for the IVF coarse quantizer.
+
+    Init = the embeddings of the n_cells lowest vec_ids (seeded, portable);
+    each round assigns every vector to its nearest centroid (squared L2,
+    ties to the lowest cell) and recomputes centroids as per-dimension
+    means — assignment is a broadcast of n_cells literal arrays evaluated
+    row-local (no shuffle), the update is one posexplode → groupBy(cell, i)
+    avg whose result is ≤ n_cells×dim rows, collected driver-side exactly
+    like Spark MLlib's KMeans holds its centers between rounds. Empty
+    cells keep their previous centroid. Fixed n_iters (not a float
+    fixpoint) keeps the result bit-portable across engines.
+
+    Returns the trained centroids as a list of n_cells float lists.
+    """
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).cache()
+    cents = [
+        list(r.e)
+        for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+
+    def cell_expr(cs):
+        dists = []
+        for c in cs:
+            carr = F.array(*[F.lit(float(v)) for v in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with("e", carr, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        darr = F.array(*dists)
+        # array_position returns the FIRST index of the min → ties break to
+        # the lowest cell, matching the oracle's ORDER BY dist, k
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    for _ in range(n_iters):
+        upd = (
+            e.select(cell_expr(cents).alias("cell"), F.posexplode("e").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # ≤ n_cells × dim rows — driver-held centers, MLlib-style
+        )
+        new_cents = [list(c) for c in cents]
+        for r in upd:
+            new_cents[r.cell][r.i] = r.m
+        cents = new_cents
+    e.unpersist()
+    return cents
+
+
+def _lloyd_oracle_sql(n_cells: int, n_iters: int) -> str:
+    """DuckDB twin of train_ivf_centroids + the trained-IVF probe — the
+    SAME fixed Lloyd rounds unrolled as chained CTEs, so the driver
+    hash-verifies the training itself, not a frozen snapshot. Assignment
+    ties break (dist, k) ascending in both engines; empty cells keep the
+    previous round's centroid via the LEFT JOIN coalesce."""
+    ctes = [
+        """e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )""",
+        f"c0 AS (SELECT vec_id AS k, e AS c FROM e WHERE vec_id < {n_cells})",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""a{t} AS (
+      SELECT vec_id, e, k FROM (
+        SELECT e.vec_id, e.e, c.k,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY list_distance(e.e, c.c), c.k
+               ) AS rn
+        FROM e CROSS JOIN c{t} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{t} AS (
+      SELECT k, i, avg(x) AS m FROM (
+        SELECT k, unnest(range(len(e))) AS i, unnest(e) AS x FROM a{t}
+      ) GROUP BY k, i
+    )""")
+        ctes.append(f"""u{t} AS (
+      SELECT k, list(m ORDER BY i) AS c FROM m{t} GROUP BY k
+    )""")
+        ctes.append(f"""c{t + 1} AS (
+      SELECT c.k, coalesce(u.c, c.c) AS c
+      FROM c{t} c LEFT JOIN u{t} u ON u.k = c.k
+    )""")
+    ctes.append(f"""cells AS (
+      SELECT vec_id, e, nrm, k FROM (
+        SELECT e.vec_id, e.e, e.nrm, c.k,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY list_distance(e.e, c.c), c.k
+               ) AS rn
+        FROM e CROSS JOIN c{n_iters} c
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.e, v.e) / (q.nrm * v.nrm) DESC, v.vec_id
+             ) AS rank
+      FROM cells q JOIN cells v ON q.k = v.k AND q.vec_id <> v.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 3
+    """
+    )
+
+
+@register(
+    "ann_ivf_trained",
+    oracle=_lloyd_oracle_sql(_N_CELLS, _LLOYD_ITERS),
+    doc="IVF ANN with a TRAINED coarse quantizer: deterministic seeded "
+    "Lloyd k-means (fixed rounds, data-point init, ties to lowest cell) "
+    "replaces ann_ivf_probe's integer stand-in centroids — the quantizer "
+    "now adapts to the data distribution, which is what makes IVF recall "
+    "real (Jégou et al. '11 train their coarse quantizer with k-means). "
+    "Training is assignment-broadcast + one groupBy(cell,dim) avg per "
+    "round with ≤ cells×dim rows to the driver (MLlib-style); search is "
+    "the same equi-join-on-cell as the untrained form. The DuckDB oracle "
+    "unrolls the SAME Lloyd rounds as chained CTEs, so the training "
+    "itself is hash-verified.",
+)
+def ann_ivf_trained(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cents = train_ivf_centroids(emb)
+
+    e = emb.select(
+        "vec_id", "nrm", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dists = []
+    for c in cents:
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with("e", carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    cells = e.withColumn(
+        "cell", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("qc"),
+        F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+    )
+    v = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("vc"),
+        F.col("e").alias("ve"), F.col("nrm").alias("vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = dot / (F.col("qn") * F.col("vn"))
+    w = W.partitionBy("query_id").orderBy(sim.desc(), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(v, (F.col("qc") == F.col("vc")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -283,3 +283,18 @@ def test_strip_duplicate_lines_removes_shared_footer(spark):
         ).collect()
     }
     assert all(footer in r.clean_text for r in out_few.values())
+
+
+def test_trained_ivf_beats_untrained_recall(spark):
+    """Lloyd-trained coarse quantizer must dominate the integer-centroid
+    stand-in on recall@3 vs the brute-force cosine ground truth — the
+    point of training the quantizer (round-3 verdict #6)."""
+    ops = all_ops()
+    gt = ops["ann_cosine_topk"].build(spark, SF_DIR).toPandas()
+    trained = ops["ann_ivf_trained"].build(spark, SF_DIR).toPandas()
+    untrained = ops["ann_ivf_probe"].build(spark, SF_DIR).toPandas()
+    gtp = set(zip(gt.query_id, gt.neighbor_id))
+    r_tr = len(set(zip(trained.query_id, trained.neighbor_id)) & gtp) / len(gtp)
+    r_un = len(set(zip(untrained.query_id, untrained.neighbor_id)) & gtp) / len(gtp)
+    assert r_tr >= r_un
+    assert r_tr >= 0.5  # sf0.01 measures 0.867 vs untrained 0.4
