@@ -55,10 +55,12 @@ HEADLINE_QUERIES = [
     "j6_full_outer_compare",  # golden-vs-extracted full-outer classification
     "w1_reading_order",     # window: reading-order reconstruction analog
     "dedup_exact",          # exact dedup over documents
+    "dedup_lines",          # line-level corpus dedup (CCNet pass, round 4)
     "dedup_minhash_lsh",    # MinHash+LSH near-dup over documents
     "dedup_components",     # LSH pairs → transitive clusters (iterative)
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
     "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
+    "ann_ivf_trained",      # Lloyd-trained IVF (training + probe, round 4)
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
     "emb_near_dup_multiband",  # 3-band union (the recall-knob scale path)
     "text_quality",         # quality scoring over documents
@@ -107,6 +109,7 @@ def _run_extraction(cores: int, pages_path: str, reps: int = 3) -> dict:
 
     spark = _new_spark(cores, f"extract_p{cores}")
     best = None
+    rep_walls: list[float] = []
     try:
         warm_out, warm_ctl = os.path.join(WORK, "warm_out"), os.path.join(WORK, "warm_ctl")
         shutil.rmtree(warm_out, ignore_errors=True)
@@ -122,6 +125,7 @@ def _run_extraction(cores: int, pages_path: str, reps: int = 3) -> dict:
             t0 = time.time()
             stats = run_extraction(spark, pages, out, ctl)
             wall = time.time() - t0
+            rep_walls.append(round(wall, 2))
             if best is None or wall < best[0]:
                 best = (wall, stats)
     finally:
@@ -130,6 +134,11 @@ def _run_extraction(cores: int, pages_path: str, reps: int = 3) -> dict:
     return {
         "cores": cores,
         "wall_sec": round(wall, 2),
+        # every rep's wall time, in run order — the artifact itself shows
+        # whether a slow best-of came from a throttle window (round-3
+        # verdict #7: the noise claim must be auditable from BENCH_rN.json,
+        # not trusted from BASELINE.md prose)
+        "rep_walls_sec": rep_walls,
         "docs": stats.docs_processed,
         "docs_per_sec": round(stats.docs_processed / wall, 1),
         "mb_per_sec": round(stats.bytes_parsed / wall / 1e6, 2),
@@ -173,6 +182,10 @@ def main() -> int:
     hi_b = _run_extraction(hi_cores, pages_path, reps=3)
     lo = min(lo_a, lo_b, key=lambda r: r["wall_sec"])
     hi = min(hi_a, hi_b, key=lambda r: r["wall_sec"])
+    # merge both interleaved blocks' rep walls so the JSON shows the full
+    # run-order history per level (block A then block B)
+    lo["rep_walls_sec"] = lo_a["rep_walls_sec"] + lo_b["rep_walls_sec"]
+    hi["rep_walls_sec"] = hi_a["rep_walls_sec"] + hi_b["rep_walls_sec"]
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     # peak throughput: half the machine's slots (= all cores busy with the
     # 2-process-per-task model); not part of the efficiency pair
