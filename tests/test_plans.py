@@ -226,3 +226,44 @@ def test_whole_stage_codegen_covers_scalar_ops(spark):
     plan = _plan(all_ops()["x1_scalar_suite"].build(spark, SF_DIR))
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(1)" in plan
+
+
+def test_dedup_lines_strip_is_equijoin_no_window(spark):
+    """strip_duplicate_lines (round 4): corpus-wide duplicate-line
+    detection must be distinct → hash-groupBy on the line key with the
+    strip as an equi-join back — never a corpus-wide Window over the line
+    hash (same shuffle, no partial agg) and never a per-row Python UDF."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dedup_lines"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan          # no per-row Python
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the dup-line strip joins on the normalized line key
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[norm#\d+\]", plan
+    ), plan[:2000]
+    # partial aggregation happens map-side before the line-key shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ivf_trained_search_is_equijoin_on_cell(spark):
+    """ann_ivf_trained (round 4): after Lloyd training, the SEARCH plan
+    must have the same shape as the untrained IVF — cell assignment is
+    row-local column arithmetic (centroid literals broadcast in the
+    expression, no join), candidate generation is an equi-join on the
+    cell id. No cartesian pair enumeration, no per-row Python."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["ann_ivf_trained"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[qc#\d+\]", plan
+    ), plan[:2000]
+    for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
+        assert m.group(1) == "Cross"
