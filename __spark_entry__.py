@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round 3: 52 registered → the window drops x10_json_parse and
     # x12_ts_format, both rows+schema+hash-green in r1 AND r2).
     priority = [
+        "text_gopher_suite",       # new in round 4 (Gopher quality + repetition rules)
         "dedup_lines",             # new in round 4 (CCNet line-dedup pass)
         "ann_ivf_trained",         # new in round 4 (Lloyd-trained IVF)
         "emb_near_dup_multiband",  # new in round 3

@@ -84,7 +84,7 @@ def _new_spark(cores: int, tag: str):
 
 def _ensure_pages(spark) -> str:
     """Write the bench pages table once; reuse across runs in one invocation."""
-    path = os.path.join(WORK, f"pages_v2_{SEED}_{N_DOCS}_h{HEFT}")
+    path = os.path.join(WORK, f"pages_v3_{SEED}_{N_DOCS}_h{HEFT}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from pdf_extractor_spark.synth import pages_df
@@ -150,7 +150,7 @@ def main() -> int:
     os.makedirs(WORK, exist_ok=True)
 
     # -- part 1: extraction scaling bench (low parallelism first, then high)
-    cached = os.path.join(WORK, f"pages_v2_{SEED}_{N_DOCS}_h{HEFT}")
+    cached = os.path.join(WORK, f"pages_v3_{SEED}_{N_DOCS}_h{HEFT}")
     if os.path.exists(os.path.join(cached, "_SUCCESS")):
         pages_path = cached  # skip JVM startup when the table is cached
     else:
@@ -176,10 +176,20 @@ def main() -> int:
     # were clean → a bogus 0.78), but not both blocks of both levels.
     # The hi level gets more total reps — it suffers proportionally more
     # under steal (16 busy cores vs 4).
+    # peak throughput: half the machine's slots (= all cores busy with the
+    # 2-process-per-task model); not part of the efficiency pair. The peak
+    # leg is interleaved with the others for the same reason the pair is —
+    # a round-4 run caught its single end-of-bench block entirely inside a
+    # throttle window (reps [33.7, 96.2] vs 15.9 clean the round before).
+    peak_cores = max(hi_cores, CPUS // 2)
+    run_peak = peak_cores > hi_cores
+
     lo_a = _run_extraction(lo_cores, pages_path, reps=2)
     hi_a = _run_extraction(hi_cores, pages_path, reps=3)
+    peak_a = _run_extraction(peak_cores, pages_path, reps=2) if run_peak else None
     lo_b = _run_extraction(lo_cores, pages_path, reps=2)
     hi_b = _run_extraction(hi_cores, pages_path, reps=3)
+    peak_b = _run_extraction(peak_cores, pages_path, reps=2) if run_peak else None
     lo = min(lo_a, lo_b, key=lambda r: r["wall_sec"])
     hi = min(hi_a, hi_b, key=lambda r: r["wall_sec"])
     # merge both interleaved blocks' rep walls so the JSON shows the full
@@ -187,10 +197,11 @@ def main() -> int:
     lo["rep_walls_sec"] = lo_a["rep_walls_sec"] + lo_b["rep_walls_sec"]
     hi["rep_walls_sec"] = hi_a["rep_walls_sec"] + hi_b["rep_walls_sec"]
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
-    # peak throughput: half the machine's slots (= all cores busy with the
-    # 2-process-per-task model); not part of the efficiency pair
-    peak_cores = max(hi_cores, CPUS // 2)
-    peak = _run_extraction(peak_cores, pages_path, reps=2) if peak_cores > hi_cores else hi
+    if run_peak:
+        peak = min(peak_a, peak_b, key=lambda r: r["wall_sec"])
+        peak["rep_walls_sec"] = peak_a["rep_walls_sec"] + peak_b["rep_walls_sec"]
+    else:
+        peak = hi
 
     # -- part 2: headline relational queries at SF_DIR
     import __spark_entry__ as entrymod

@@ -268,3 +268,114 @@ def training_corpus_pipeline(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1, scaled to this corpus's
+# ~50-word synthetic documents): word-count window, mean-word-length window,
+# required stopword evidence, and a within-doc duplicate-2-gram ceiling
+# (the "repetition removal" family — MassiveText strips documents whose
+# text is dominated by repeated n-grams).
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 1000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_DUP2 = 0.60
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in")
+_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@register(
+    "text_gopher_suite",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0
+    ),
+    b AS (
+      SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS bg
+      FROM (SELECT doc_id, ws, unnest(range(len(ws)-1)) AS i FROM d)
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+    r AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                   / sum(cnt), 4) AS dup_2gram_frac
+      FROM c GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                 / len(ws), 4) AS mean_word_len,
+           CAST(len(list_filter(ws, w -> w IN ({_STOPS_SQL}))) AS BIGINT)
+             AS stop_hits,
+           r.dup_2gram_frac,
+           (len(ws) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AND (list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+                  BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+             AND len(list_filter(ws, w -> w IN ({_STOPS_SQL}))) >= 1
+             AND r.dup_2gram_frac <= {_GOPHER_MAX_DUP2} AS gopher_ok
+    FROM d JOIN r USING (doc_id)
+    """,
+    doc="Gopher-style document quality rules (Rae et al. 2021 MassiveText "
+    "filtering): word-count window, mean word length, stopword evidence, "
+    "and the repetition rule — fraction of 2-gram occurrences that are "
+    "within-document duplicates. Word metrics are row-local higher-order "
+    "array functions (zero shuffle); the duplicate-2-gram fraction is the "
+    "honest scale path for arbitrarily long documents: explode bigrams → "
+    "groupBy(doc_id, bigram) with map-side partial agg → one per-doc agg "
+    "— linear in corpus token count, never O(words²) per row. One join "
+    "back on doc_id merges the two sides.",
+)
+def text_gopher_suite(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id",
+            F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws"),
+        )
+    )
+    n_words = F.size("ws")
+    mean_wl = F.aggregate(
+        "ws", F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / n_words.cast("double")
+    stop_hits = F.size(
+        F.filter("ws", lambda w: w.isin(*_GOPHER_STOPS))
+    ).cast("long")
+
+    bigrams = F.expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")
+    rep = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double"),
+                4,
+            ).alias("dup_2gram_frac")
+        )
+    )
+    base = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        mean_wl.alias("_mwl"),
+    )
+    return (
+        base.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "stop_hits",
+            "dup_2gram_frac",
+            (
+                F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+                & F.col("_mwl").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+                & (F.col("stop_hits") >= 1)
+                & (F.col("dup_2gram_frac") <= _GOPHER_MAX_DUP2)
+            ).alias("gopher_ok"),
+        )
+    )

@@ -55,6 +55,9 @@ SUBSET = [
     "g1_grouped_trend",
     # round-3 additions
     "emb_near_dup_multiband",
+    # round-4 additions
+    "dedup_lines",
+    "text_gopher_suite",
 ]
 
 
@@ -298,3 +301,44 @@ def test_trained_ivf_beats_untrained_recall(spark):
     r_un = len(set(zip(untrained.query_id, untrained.neighbor_id)) & gtp) / len(gtp)
     assert r_tr >= r_un
     assert r_tr >= 0.5  # sf0.01 measures 0.867 vs untrained 0.4
+
+
+def test_gopher_suite_metrics_hand_computed(spark):
+    """Recompute every text_gopher_suite metric for a few documents in
+    plain Python from the parquet text and require exact agreement —
+    independent of both the Spark expressions and the DuckDB oracle."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import textstats as ts
+
+    got = (
+        all_ops()["text_gopher_suite"].build(spark, SF_DIR).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    checked = 0
+    for doc_id in list(got.index)[:10]:
+        text = docs.loc[doc_id, "text"].strip()
+        ws = [w for w in text.split(" ") if w]
+        assert got.loc[doc_id, "n_words"] == len(ws)
+        mwl = sum(len(w) for w in ws) / len(ws)
+        assert got.loc[doc_id, "mean_word_len"] == round(mwl, 4)
+        stops = sum(1 for w in ws if w in ts._GOPHER_STOPS)
+        assert got.loc[doc_id, "stop_hits"] == stops
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        from collections import Counter
+
+        cnt = Counter(bgs)
+        dup = sum(c for c in cnt.values() if c > 1) / len(bgs)
+        assert got.loc[doc_id, "dup_2gram_frac"] == round(dup, 4)
+        ok = (
+            ts._GOPHER_MIN_WORDS <= len(ws) <= ts._GOPHER_MAX_WORDS
+            and ts._GOPHER_MIN_MWL <= mwl <= ts._GOPHER_MAX_MWL
+            and stops >= 1
+            and round(dup, 4) <= ts._GOPHER_MAX_DUP2
+        )
+        assert bool(got.loc[doc_id, "gopher_ok"]) == ok
+        checked += 1
+    assert checked == 10
+    # the rule set must actually discriminate on this corpus
+    assert got.gopher_ok.any() and (~got.gopher_ok).any()
