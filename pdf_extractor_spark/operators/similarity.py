@@ -695,11 +695,24 @@ def ann_ivf_probe(spark, sf_dir):
 # --- trained IVF: deterministic Lloyd iterations as DataFrame ops ----------
 
 _LLOYD_ITERS = 3
+# Training sample bound: k-means for a coarse quantizer needs O(100×cells)
+# points, not the corpus (FAISS trains IVF quantizers on a bounded sample
+# for exactly this reason) — at 10^12 vectors, 3 full Lloyd passes would be
+# 3 corpus scans for information 512 points already carry. Deterministic
+# prefix sample (vec_id < bound) keeps the oracle mirrorable.
+_IVF_TRAIN_N = 512
 
 
-def train_ivf_centroids(emb, n_cells: int = _N_CELLS, n_iters: int = _LLOYD_ITERS):
+def train_ivf_centroids(
+    emb,
+    n_cells: int = _N_CELLS,
+    n_iters: int = _LLOYD_ITERS,
+    train_n: int = _IVF_TRAIN_N,
+):
     """Deterministic k-means (Lloyd) training for the IVF coarse quantizer.
 
+    Trains on the `train_n` lowest vec_ids only (deterministic prefix
+    sample — the FAISS-style bounded training set; see _IVF_TRAIN_N).
     Init = the embeddings of the n_cells lowest vec_ids (seeded, portable);
     each round assigns every vector to its nearest centroid (squared L2,
     ties to the lowest cell) and recomputes centroids as per-dimension
@@ -712,9 +725,11 @@ def train_ivf_centroids(emb, n_cells: int = _N_CELLS, n_iters: int = _LLOYD_ITER
 
     Returns the trained centroids as a list of n_cells float lists.
     """
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).cache()
+    e = (
+        emb.filter(F.col("vec_id") < train_n)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .cache()
+    )
     cents = [
         list(r.e)
         for r in e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
@@ -751,11 +766,13 @@ def train_ivf_centroids(emb, n_cells: int = _N_CELLS, n_iters: int = _LLOYD_ITER
     return cents
 
 
-def _lloyd_oracle_sql(n_cells: int, n_iters: int) -> str:
+def _lloyd_oracle_sql(n_cells: int, n_iters: int, train_n: int = _IVF_TRAIN_N) -> str:
     """DuckDB twin of train_ivf_centroids + the trained-IVF probe — the
     SAME fixed Lloyd rounds unrolled as chained CTEs, so the driver
-    hash-verifies the training itself, not a frozen snapshot. Assignment
-    ties break (dist, k) ascending in both engines; empty cells keep the
+    hash-verifies the training itself, not a frozen snapshot. Training
+    CTEs run on the same vec_id < train_n prefix sample as the Spark side;
+    the final cell assignment covers the full corpus. Assignment ties
+    break (dist, k) ascending in both engines; empty cells keep the
     previous round's centroid via the LEFT JOIN coalesce."""
     ctes = [
         """e AS (
@@ -763,16 +780,17 @@ def _lloyd_oracle_sql(n_cells: int, n_iters: int) -> str:
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     )""",
-        f"c0 AS (SELECT vec_id AS k, e AS c FROM e WHERE vec_id < {n_cells})",
+        f"tr AS (SELECT vec_id, e FROM e WHERE vec_id < {train_n})",
+        f"c0 AS (SELECT vec_id AS k, e AS c FROM tr WHERE vec_id < {n_cells})",
     ]
     for t in range(n_iters):
         ctes.append(f"""a{t} AS (
       SELECT vec_id, e, k FROM (
-        SELECT e.vec_id, e.e, c.k,
+        SELECT tr.vec_id, tr.e, c.k,
                row_number() OVER (
-                 PARTITION BY e.vec_id ORDER BY list_distance(e.e, c.c), c.k
+                 PARTITION BY tr.vec_id ORDER BY list_distance(tr.e, c.c), c.k
                ) AS rn
-        FROM e CROSS JOIN c{t} c
+        FROM tr CROSS JOIN c{t} c
       ) WHERE rn = 1
     )""")
         ctes.append(f"""m{t} AS (
@@ -819,11 +837,14 @@ def _lloyd_oracle_sql(n_cells: int, n_iters: int) -> str:
     "replaces ann_ivf_probe's integer stand-in centroids — the quantizer "
     "now adapts to the data distribution, which is what makes IVF recall "
     "real (Jégou et al. '11 train their coarse quantizer with k-means). "
-    "Training is assignment-broadcast + one groupBy(cell,dim) avg per "
-    "round with ≤ cells×dim rows to the driver (MLlib-style); search is "
-    "the same equi-join-on-cell as the untrained form. The DuckDB oracle "
-    "unrolls the SAME Lloyd rounds as chained CTEs, so the training "
-    "itself is hash-verified.",
+    "Training runs on a bounded deterministic prefix sample (vec_id < "
+    f"{_IVF_TRAIN_N}, FAISS-style — k-means needs O(100×cells) points, "
+    "not 3 passes over 10^12 vectors): assignment-broadcast + one "
+    "groupBy(cell,dim) avg per round with ≤ cells×dim rows to the driver "
+    "(MLlib-style); search is the same equi-join-on-cell as the untrained "
+    "form over the FULL corpus. The DuckDB oracle unrolls the SAME Lloyd "
+    "rounds over the same sample as chained CTEs, so the training itself "
+    "is hash-verified.",
 )
 def ann_ivf_trained(spark, sf_dir):
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
