@@ -74,6 +74,7 @@ def all_ops() -> dict[str, Op]:
     # import for side effects: modules self-register
     from pdf_extractor_spark import annotate  # noqa: F401
     from pdf_extractor_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         media,
         relational,

@@ -58,6 +58,8 @@ SUBSET = [
     # round-4 additions
     "dedup_lines",
     "text_gopher_suite",
+    "decontam_ngrams",
+    "pii_redact",
 ]
 
 
@@ -342,3 +344,62 @@ def test_gopher_suite_metrics_hand_computed(spark):
     assert checked == 10
     # the rule set must actually discriminate on this corpus
     assert got.gopher_ok.any() and (~got.gopher_ok).any()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Brown-et-al-style n-gram decontamination on a planted fixture: a
+    training doc that embeds a benchmark 8-gram verbatim is flagged with
+    the exact overlapping-gram count; paraphrases (7-word overlap) and
+    unrelated docs are clean; gram totals are hand-computed."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curation import decontaminate
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        # 0: contains benchmark words 0..9 verbatim → 3 shared 8-grams
+        (0, "intro words " + bench_sentence + " trailing tail"),
+        # 1: 7-word overlap only (word 8 differs: 'weary' vs 'lazy') →
+        #    below the 8-gram bar, clean
+        (1, "the quick brown fox jumps over the weary dog tail words here"),
+        # 2: unrelated
+        (2, "completely different content with no benchmark overlap at all whatsoever"),
+    ]
+    train = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws")
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_sentence)], "doc_id long, text string"
+    ).select("doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws"))
+
+    out = {r.doc_id: r for r in decontaminate(train, bench).collect()}
+    # doc 0: 14 words → 7 grams; benchmark has 10 words → 3 grams, all of
+    # which appear verbatim inside doc 0
+    assert out[0].n_grams == 7
+    assert out[0].hit_grams == 3 and out[0].contaminated
+    assert out[1].hit_grams == 0 and not out[1].contaminated
+    assert out[2].hit_grams == 0 and not out[2].contaminated
+
+
+def test_redact_pii_hand_cases(spark):
+    """PII scrub: counts and placements hand-checked, including multiple
+    matches in one doc, PII-free text passing through byte-identically,
+    and the boundary guard (no match inside a longer token)."""
+    from pdf_extractor_spark.operators.curation import redact_pii
+
+    rows = [
+        (0, "mail a.b-c_d@ex-1.co.uk then mail second@x.org done"),
+        (1, "dial 555-0199 or 555-12345 visit 192.168.0.1 end"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+
+    assert out[0].n_email == 2 and out[0].n_phone == 0 and out[0].n_ip == 0
+    assert out[0].redacted == "mail [EMAIL] then mail [EMAIL] done"
+    # 555-12345: \b after 4 digits fails (5th digit is a word char) → the
+    # phone pattern must NOT match a 5-digit extension
+    assert out[1].n_phone == 1 and out[1].n_ip == 1
+    assert out[1].redacted == "dial [PHONE] or 555-12345 visit [IP] end"
+    assert out[2].redacted == "no pii here at all"
+    assert out[2].n_email == out[2].n_phone == out[2].n_ip == 0

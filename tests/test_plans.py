@@ -267,3 +267,35 @@ def test_ivf_trained_search_is_equijoin_on_cell(spark):
     ), plan[:2000]
     for m in re.finditer(r"BroadcastNestedLoopJoin BuildRight, (\w+)", plan):
         assert m.group(1) == "Cross"
+
+
+def test_decontam_probe_is_broadcast_join(spark):
+    """decontam_ngrams (round 4): the benchmark gram set is tiny relative
+    to the corpus (an eval suite vs 10^12 docs), so the contamination
+    probe must be a BROADCAST hash join on the gram hash — the corpus-side
+    gram stream never shuffles to meet the benchmark. The only exchanges
+    allowed are the per-doc hit aggregation and the bench-side distinct.
+    No cartesian enumeration, no per-row Python."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["decontam_ngrams"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[h#\d+\]", plan), plan[:2000]
+
+
+def test_pii_redact_is_single_codegen_stage_no_shuffle(spark):
+    """pii_redact (round 4): detection + redaction are pure regexp column
+    expressions — the plan must contain NO Exchange at all (the final
+    orderBy is the sole allowed sort boundary) and no Python eval; the
+    whole scrub rides one whole-stage-codegen pass over the scan."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["pii_redact"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # rangepartitioning exchange for the deterministic orderBy is fine;
+    # any hash exchange would mean an accidental aggregation/join
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
