@@ -15,11 +15,21 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pdf_extractor_spark.kernel.html_extract import extract_html
-from pdf_extractor_spark.kernel.pdf_extract import PDF_MAGIC, extract_pdf
+from pdf_extractor_spark.kernel.pdf_extract import (
+    PDF_MAGIC,
+    extract_pdf,
+    pdf_is_encrypted,
+)
 
 STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
 STATUS_FAILED = "failed"
+# well-formed PDF whose streams/strings are RC4/AES ciphertext (/Encrypt in
+# the trailer): structurally valid, unreadable without keys. Distinct from
+# 'failed' in the output table so operators can tell crypt from corruption;
+# counted WITH 'failed' in the parse_failures lineage metric.
+STATUS_ENCRYPTED = "encrypted"
+FAILURE_STATUSES = (STATUS_FAILED, STATUS_ENCRYPTED)
 
 # Executor-memory guard (SURVEY §4.2 "spill-aware"): span arrays are
 # bounded per document; a pathological page with more blocks keeps its FULL
@@ -86,6 +96,8 @@ def failure_class(raw: bytes | None) -> str | None:
         return "empty_payload"
     if _is_non_text_binary(raw):
         return "binary_payload"
+    if raw.startswith(PDF_MAGIC) and pdf_is_encrypted(raw):
+        return "encrypted_pdf"
     try:
         if raw.startswith(PDF_MAGIC):
             extract_pdf(raw)
@@ -120,6 +132,10 @@ def extract_document(
             return ExtractResult(parse_status=STATUS_FAILED)
         font_unmapped = 0
         if raw.startswith(PDF_MAGIC):
+            if pdf_is_encrypted(raw):
+                # structurally valid but ciphertext content — flag, never
+                # parse the encrypted streams into mojibake 'ok' rows
+                return ExtractResult(parse_status=STATUS_ENCRYPTED)
             text, spans = extract_pdf(raw)
             truncated = len(spans) > MAX_SPANS_PER_DOC
             if truncated:

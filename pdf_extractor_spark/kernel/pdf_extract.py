@@ -925,6 +925,33 @@ def reading_order_text(runs: list[dict]) -> tuple[str, list[dict]]:
     return "".join(out_parts), spans
 
 
+def pdf_is_encrypted(raw: bytes) -> bool:
+    """True when the document carries an /Encrypt key where the spec puts
+    it (ISO 32000-1 §7.6.1): the file trailer dictionary — the LAST
+    `trailer` keyword governs under incremental saves — or, in the PDF 1.5+
+    cross-reference-stream form, the XRef stream's own dictionary.
+
+    Stream and string content of such a file is RC4/AES ciphertext; parsing
+    it would emit garbage runs as 'ok' rows. The reference gets decryption
+    free from PyMuPDF (reference services/pdf_service.py:16 — fitz.open
+    handles standard-security files); here the honest boundary is explicit
+    detection → parse_status='encrypted', counted as a parse failure in
+    partition lineage and classed 'encrypted_pdf' by dead-letter triage,
+    never silent ciphertext-as-text.
+    """
+    t = raw.rfind(b"trailer")
+    if t != -1 and b"/Encrypt" in raw[t : t + 2048]:
+        return True
+    sxs = _STARTXREF_RE.findall(raw[-2048:]) or _STARTXREF_RE.findall(raw)
+    if sxs:
+        om = _OBJ_RE.match(raw, int(sxs[-1]))
+        if om is not None:
+            head = om.group(2).split(b"stream", 1)[0]
+            if b"/XRef" in head and b"/Encrypt" in head:
+                return True
+    return False
+
+
 def extract_pdf(raw: bytes) -> tuple[str, list[dict]]:
     """Full PDF branch: parse runs → reading order. Raises on non-PDF input."""
     if not raw.startswith(PDF_MAGIC):

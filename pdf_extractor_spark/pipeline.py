@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark import control as ctl
+from pdf_extractor_spark.kernel.extract import FAILURE_STATUSES
 from pdf_extractor_spark.kernel.spark_kernel import extract_batches, EXTRACTED_SCHEMA
 
 DEFAULT_N_BUCKETS = 64
@@ -222,9 +223,9 @@ def run_extraction(
             .agg(
                 F.count("*").alias("docs_processed"),
                 F.sum("n_bytes").alias("bytes_parsed"),
-                F.sum(F.when(F.col("parse_status") == "failed", 1).otherwise(0)).alias(
-                    "parse_failures"
-                ),
+                F.sum(
+                    F.when(F.col("parse_status").isin(*FAILURE_STATUSES), 1).otherwise(0)
+                ).alias("parse_failures"),
                 F.sum("font_unmapped").alias("font_unmapped"),
             )
             .collect()
@@ -486,7 +487,7 @@ def _make_kernel_with_pid(metrics_acc):
             out = next(extract_batches(iter([pdf[in_cols]])))
             out.insert(0, "partition_id", pids.to_numpy())
             if metrics_acc is not None:
-                failed = (out["parse_status"] == "failed").astype("int64")
+                failed = out["parse_status"].isin(FAILURE_STATUSES).astype("int64")
                 grouped = (
                     out.assign(_failed=failed)
                     .groupby("partition_id", sort=False)

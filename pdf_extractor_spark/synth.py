@@ -326,6 +326,38 @@ def _emit_objstm_form(objs: "dict[int, bytes]", rng: np.random.Generator) -> byt
     return bytes(out)
 
 
+def make_encrypted_pdf(rng: np.random.Generator, xref_stream: bool = False) -> bytes:
+    """A standard-security encrypted PDF: structurally valid object graph,
+    /Encrypt in the trailer (classic form) or the XRef stream dict
+    (xref_stream=True), content stream bytes replaced with deterministic
+    pseudo-ciphertext. Golden extraction truth is NO text, parse_status
+    'encrypted'. Used by tests only — NOT part of the default synth draw,
+    which keeps the dead_letter_triage frozen oracle and golden corpora
+    stable (their constants pin synth_row's exact draw sequence)."""
+    cipher = bytes(rng.bytes(96))
+    objs: "dict[int, bytes]" = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: (b"<< /Length %d >>\nstream\n" % len(cipher)) + cipher + b"\nendstream",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 3 0 R >>",
+        5: b"<< /Filter /Standard /V 1 /R 2 /O <%s> /U <%s> /P -44 >>"
+        % (bytes(rng.bytes(32)).hex().encode(), bytes(rng.bytes(32)).hex().encode()),
+    }
+    if xref_stream:
+        out = _emit_objstm_form(objs, rng)
+        # plant /Encrypt inside the XRef stream dict (ISO 32000-1 §7.5.8.2
+        # puts trailer keys there in the stream form)
+        return out.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 5 0 R", 1)
+    out = bytearray(b"%PDF-1.4\n")
+    for n in sorted(objs):
+        out += b"%d 0 obj %s endobj\n" % (n, objs[n])
+    out += (
+        b"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R >>\n"
+        b"startxref\n0\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     """One PDF payload. Returns (payload_bytes, golden_text).
 

@@ -518,3 +518,49 @@ def test_pdf_uncompressed_not_hijacked_by_earlier_filter():
     )
     runs = parse_glyph_runs(pdf)
     assert len(runs) == 1 and runs[0]["text"] == "kept plain"
+
+
+def test_encrypted_pdf_flagged_not_parsed():
+    """/Encrypt in the trailer (classic and xref-stream forms): the kernel
+    must flag parse_status='encrypted' and emit NO text — never run the
+    parser over RC4/AES ciphertext streams. Triage classes it
+    'encrypted_pdf'; an identical file without the /Encrypt key parses
+    normally (proving detection keys on the trailer entry, not file
+    shape)."""
+    import numpy as np
+
+    from pdf_extractor_spark.kernel.extract import failure_class
+    from pdf_extractor_spark.kernel.pdf_extract import pdf_is_encrypted
+    from pdf_extractor_spark.synth import make_encrypted_pdf
+
+    for xref_stream in (False, True):
+        raw = make_encrypted_pdf(np.random.default_rng(7), xref_stream=xref_stream)
+        assert raw.startswith(b"%PDF-")
+        assert pdf_is_encrypted(raw), f"xref_stream={xref_stream}"
+        res = extract_document(raw)
+        assert res.parse_status == "encrypted", f"xref_stream={xref_stream}"
+        assert res.extracted_text == "" and res.span_offsets == []
+        assert failure_class(raw) == "encrypted_pdf"
+
+    # same structure, /Encrypt dropped → not flagged, parses as a normal PDF
+    plain = make_encrypted_pdf(np.random.default_rng(7)).replace(
+        b" /Encrypt 5 0 R", b""
+    )
+    assert not pdf_is_encrypted(plain)
+    assert extract_document(plain).parse_status != "encrypted"
+
+
+def test_corpus_has_no_encrypted_false_positives():
+    """No document in the default synth corpus (which never emits
+    /Encrypt) may trip the encryption detector — the trailer scan must not
+    false-positive on ObjStm/xref-stream or legacy fixtures."""
+    from pdf_extractor_spark.kernel.pdf_extract import pdf_is_encrypted
+
+    checked = 0
+    for i in range(800):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or not r["html"].startswith(b"%PDF-"):
+            continue
+        assert not pdf_is_encrypted(r["html"]), r["url"]
+        checked += 1
+    assert checked > 50

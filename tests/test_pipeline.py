@@ -415,3 +415,41 @@ def test_skew_spread(spark):
     ).withColumn("spid", F.spark_partition_id())
     sizes = [r.cnt for r in salted.groupBy("spid").agg(F.count("*").alias("cnt")).collect()]
     assert max(sizes) < 1000 * 0.25  # no task owns a hot-host-sized chunk
+
+
+def test_encrypted_pdf_counts_as_parse_failure(spark, tmp_path):
+    """An /Encrypt-bearing PDF lands in the output as
+    parse_status='encrypted' with no text, counts toward the
+    parse_failures lineage metric in the control table (crypt is a
+    failure to extract, distinguishable from corruption in the output
+    table), and dead-letter triage classes it 'encrypted_pdf'."""
+    import datetime as dt
+
+    import numpy as np
+
+    from pdf_extractor_spark.pipeline import dead_letter_sample
+    from pdf_extractor_spark.synth import make_encrypted_pdf
+
+    ts = dt.datetime(2024, 3, 4, 5, 6, 7)
+    rows = [
+        ("https://enc.example/doc.pdf", ts,
+         make_encrypted_pdf(np.random.default_rng(11)), "", "en"),
+        ("https://ok.example/a.html", ts,
+         b"<html><body><p>plain healthy body text for the control row.</p></body></html>",
+         "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out, ctl = str(tmp_path / "out"), str(tmp_path / "ctl")
+    stats = run_extraction(spark, pages, out, ctl, n_buckets=4)
+    assert stats.parse_failures == 1
+    ctl_sum = spark.read.parquet(ctl).agg(F.sum("parse_failures")).collect()[0][0]
+    assert ctl_sum == 1
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    enc = got["https://enc.example/doc.pdf"]
+    assert enc.parse_status == "encrypted" and enc.extracted_text == ""
+    assert got["https://ok.example/a.html"].parse_status == "ok"
+
+    triage = {r.url: r.error_class for r in dead_letter_sample(pages).collect()}
+    assert triage == {"https://enc.example/doc.pdf": "encrypted_pdf"}
