@@ -703,6 +703,35 @@ _LLOYD_ITERS = 3
 _IVF_TRAIN_N = 512
 
 
+def _nearest_cell_expr(cents):
+    """Row-local nearest-centroid expression over an `e` array column.
+
+    The centroid matrix ships as ONE nested array<array<double>> literal
+    with the per-cell distance computed by `transform` — not n_cells
+    separately-unrolled aggregate expressions with cells×dim scalar
+    literals each. Same arithmetic per element in the same order (so
+    results are bit-identical to the unrolled form and the DuckDB oracle —
+    A/B-measured identical value hashes and, warm, identical wall time at
+    4×64; the 2× first-run gap BASELINE.md round-4 attributed to literal
+    compile cost turned out to be JVM JIT warmup). The real win is that
+    the analyzed tree is O(1) in cells×dim instead of O(cells×dim): a
+    10^12-vector IVF wants nlist in the thousands, where an unrolled form
+    would put ~10^5 scalar literals in every round's plan.
+    array_position returns the FIRST index of the min →
+    ties break to the lowest cell, matching the oracle's ORDER BY dist, k.
+    """
+    cmat = F.lit([[float(v) for v in c] for c in cents])
+    darr = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with("e", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
 def train_ivf_centroids(
     emb,
     n_cells: int = _N_CELLS,
@@ -736,20 +765,7 @@ def train_ivf_centroids(
     ]
 
     def cell_expr(cs):
-        dists = []
-        for c in cs:
-            carr = F.array(*[F.lit(float(v)) for v in c])
-            dists.append(
-                F.aggregate(
-                    F.zip_with("e", carr, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        darr = F.array(*dists)
-        # array_position returns the FIRST index of the min → ties break to
-        # the lowest cell, matching the oracle's ORDER BY dist, k
-        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        return _nearest_cell_expr(cs)
 
     for _ in range(n_iters):
         upd = (
@@ -853,20 +869,7 @@ def ann_ivf_trained(spark, sf_dir):
     e = emb.select(
         "vec_id", "nrm", F.col("embedding").cast("array<double>").alias("e")
     )
-    dists = []
-    for c in cents:
-        carr = F.array(*[F.lit(float(v)) for v in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with("e", carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-    darr = F.array(*dists)
-    cells = e.withColumn(
-        "cell", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-    )
+    cells = e.withColumn("cell", _nearest_cell_expr(cents))
     q = cells.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("qc"),
         F.col("e").alias("qe"), F.col("nrm").alias("qn"),
