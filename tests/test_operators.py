@@ -403,3 +403,29 @@ def test_redact_pii_hand_cases(spark):
     assert out[1].redacted == "dial [PHONE] or 555-12345 visit [IP] end"
     assert out[2].redacted == "no pii here at all"
     assert out[2].n_email == out[2].n_phone == out[2].n_ip == 0
+
+
+def test_pointer_jump_components_converge_logarithmically(spark):
+    """Adversarial worst case for label propagation: a 256-node chain
+    (sequentially-edited near-dups). Pointer jumping must reach the
+    fixpoint in O(log n) rounds — ≤ 12 for n=256 — where plain
+    neighbor-min needs ~n; labels must all equal the component min, and a
+    second disjoint component must keep its own min (no cross-component
+    label bleed)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import min_label_components
+
+    n = 256
+    chain = [(i, i + 1) for i in range(n - 1)]
+    other = [(1000, 1001), (1001, 1002)]
+    pairs = spark.createDataFrame(chain + other, "da long, db long")
+    edges = pairs.selectExpr("da AS a", "db AS b").unionAll(
+        pairs.selectExpr("db AS a", "da AS b")
+    )
+    pinned, rounds = min_label_components(edges)
+    got = {r.node: r.root for r in pinned.select("node", "root").collect()}
+    pinned.unpersist()
+    assert rounds <= 12, f"chain of {n} took {rounds} rounds"
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
