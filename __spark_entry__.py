@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round 3: 52 registered → the window drops x10_json_parse and
     # x12_ts_format, both rows+schema+hash-green in r1 AND r2).
     priority = [
+        "c4_filter_suite",         # new in round 4 (C4 heuristic cleaning)
+        "sample_stratified",       # new in round 4 (deterministic domain mixing)
         "decontam_ngrams",         # new in round 4 (benchmark n-gram decontamination)
         "pii_redact",              # new in round 4 (PII detect + redact)
         "text_gopher_suite",       # new in round 4 (Gopher quality + repetition rules)

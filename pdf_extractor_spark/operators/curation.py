@@ -220,3 +220,214 @@ def pii_redact(spark, sf_dir):
         .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
         .orderBy("doc_id")
     )
+
+
+# --- C4 heuristic cleaning --------------------------------------------------
+
+# Line- and doc-level rules from the C4 corpus construction (Raffel et al.
+# 2020 §2.2): keep only lines that end in terminal punctuation AND have at
+# least C4_MIN_LINE_WORDS words; drop whole pages with fewer than
+# C4_MIN_KEPT_LINES surviving lines, any page containing "lorem ipsum",
+# and any page containing '{' (code). The bad-word-list rule is modeled by
+# the lorem/brace membership tests — same shape, placeholder list.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_clean(df, lines_col: str = "lines"):
+    """Apply the C4 line+page rules to a frame carrying an array<string>
+    of lines. Entirely row-local (higher-order array functions inside one
+    projection): zero shuffle, zero UDFs, linear in corpus bytes — the
+    shape that survives 10^12 documents because each page is judged
+    independently of every other page.
+    """
+    kept = F.filter(
+        lines_col,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS),
+    )
+    full = F.array_join(lines_col, "\n")
+    has_lorem = F.contains(F.lower(full), F.lit("lorem ipsum"))
+    has_brace = F.contains(full, F.lit("{"))
+    keep = (
+        (F.size(kept) >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+    )
+    return df.select(
+        "*",
+        F.size(lines_col).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("c4_keep"),
+        F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+
+
+# Deterministic line derivation shared by the Spark query and the DuckDB
+# oracle: the synthetic documents table is one long space-separated string
+# with no punctuation or newlines, so (like pii_redact) the query first
+# manufactures C4's input shape — 8-word segments with a rotating terminal
+# mark, every 7th segment truncated short, a lorem line on doc_id%17 and a
+# brace line on doc_id%13 — then applies the real rules to it.
+_C4_SEG = 8
+_C4_PUNCTS = [".", "!", "?", "", "."]  # (doc_id+i)%5 -> terminal mark
+
+
+@register(
+    "c4_filter_suite",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(greatest(CAST(ceil(len(ws) / {_C4_SEG}.0) AS INT), 1)),
+               i -> list_aggregate(
+                      ws[i*{_C4_SEG}+1 :
+                         i*{_C4_SEG} + CASE WHEN (doc_id+i) % 7 = 0
+                                            THEN 2 ELSE {_C4_SEG} END],
+                      'string_agg', ' ')
+                    || (['.', '!', '?', '', '.'])[CAST((doc_id+i) % 5 AS INT) + 1]
+             )
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ['lorem ipsum dolor sit amet.'] ELSE [] END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ['var config = {{ }};'] ELSE [] END AS lines
+      FROM d
+    ), judged AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+               l -> regexp_matches(l, '[.!?"]$')
+                    AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS})
+               AS kept,
+             contains(lower(list_aggregate(lines, 'string_agg', chr(10))),
+                      'lorem ipsum') AS has_lorem,
+             contains(list_aggregate(lines, 'string_agg', chr(10)), '{{')
+               AS has_brace
+      FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           has_lorem, has_brace,
+           len(kept) >= {C4_MIN_KEPT_LINES} AND NOT has_lorem
+             AND NOT has_brace AS c4_keep,
+           CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES} AND NOT has_lorem
+                     AND NOT has_brace
+                THEN list_aggregate(kept, 'string_agg', chr(10))
+                ELSE '' END AS clean_text
+    FROM judged ORDER BY doc_id
+    """,
+    doc="C4 heuristic cleaning (Raffel et al. 2020 §2.2): terminal-"
+    "punctuation + min-word line filter, min-kept-lines / lorem-ipsum / "
+    "curly-brace page filters. The corpus has no line structure, so lines "
+    "are derived deterministically in-query (same derivation in the "
+    "oracle); the cleaned text itself is part of the hash-verified output. "
+    "Row-local higher-order array expressions — zero shuffle, plan-pinned.",
+)
+def c4_filter_suite(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws"),
+        )
+    )
+    punct_arr = ", ".join(f"'{p}'" for p in _C4_PUNCTS)
+    lined = d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            concat(
+              transform(
+                sequence(0, greatest(cast(ceil(size(ws) / {_C4_SEG}.0) as int), 1) - 1),
+                i -> concat(
+                       array_join(
+                         slice(ws, i*{_C4_SEG}+1,
+                               case when (doc_id+i) % 7 = 0
+                                    then 2 else {_C4_SEG} end), ' '),
+                       element_at(array({punct_arr}),
+                                  cast((doc_id+i) % 5 as int) + 1))),
+              case when doc_id % 17 = 0
+                   then array('lorem ipsum dolor sit amet.')
+                   else cast(array() as array<string>) end,
+              case when doc_id % 13 = 0
+                   then array('var config = {{ }};')
+                   else cast(array() as array<string>) end)
+            """
+        ).alias("lines"),
+    )
+    return (
+        c4_clean(lined)
+        .select(
+            "doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+            "c4_keep", "clean_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+# Domain-mixing rates (out of 256 hash buckets) per language — the Pile /
+# FineWeb-style corpus reweighting step. Values are arbitrary demo weights;
+# the mechanism (portable md5 bucket + per-stratum threshold) is the point.
+SAMPLE_RATES_256 = {"en": 224, "de": 128, "es": 64, "fr": 192, "zh": 32}
+
+# md5 hex → 0..255 via two strpos lookups: the ONLY integer-from-hex
+# construction available identically in Spark SQL and DuckDB (no conv() in
+# DuckDB, no from_hex in Spark).
+_BUCKET_EXPR = (
+    "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1"
+)
+_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+)
+
+
+def _rate_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_256.items()
+    )
+    return f"CASE {col} {arms} ELSE 0 END"
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_BUCKET_SQL} AS BIGINT) AS bucket,
+           CAST({_rate_case('lang')} AS BIGINT) AS rate_256
+    FROM documents
+    WHERE {_BUCKET_SQL} < {_rate_case('lang')}
+    ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling for domain mixing (Pile/"
+    "FineWeb-style corpus reweighting): keep a document iff its md5-derived "
+    "bucket (0..255, two hex-digit lookups — the portable Spark∩DuckDB "
+    "hex-to-int construction) falls under its language's rate. Pure filter "
+    "over the scan: zero shuffle, zero UDFs, reproducible across runs and "
+    "cluster sizes — re-running the job yields the SAME sample, which is "
+    "what makes sampled corpora resumable and auditable at 10^12 docs.",
+)
+def sample_stratified(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_EXPR)
+    rate = F.expr(_rate_case("lang"))
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            bucket.cast("long").alias("bucket"),
+            rate.cast("long").alias("rate_256"),
+        )
+        .filter(F.col("bucket") < F.col("rate_256"))
+        .orderBy("doc_id")
+    )

@@ -60,6 +60,8 @@ SUBSET = [
     "text_gopher_suite",
     "decontam_ngrams",
     "pii_redact",
+    "c4_filter_suite",
+    "sample_stratified",
 ]
 
 
@@ -429,3 +431,66 @@ def test_pointer_jump_components_converge_logarithmically(spark):
     assert rounds <= 12, f"chain of {n} took {rounds} rounds"
     assert all(got[i] == 0 for i in range(n))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_c4_clean_rules_hand_computed(spark):
+    """c4_clean judged against hand-applied C4 rules on explicit line
+    arrays — independent of the in-query line derivation AND of the DuckDB
+    oracle (which shares that derivation)."""
+    from pdf_extractor_spark.operators.curation import c4_clean
+
+    good = [
+        "one two three four five.",
+        "six seven eight nine ten!",
+        "alpha beta gamma delta epsilon?",
+    ]
+    rows = [
+        # A: 3 qualifying lines among noise -> kept
+        (0, good + ["short.", "no terminal mark here at all"]),
+        # B: lorem ipsum anywhere kills the page
+        (1, good + ["Lorem Ipsum dolor sit amet."]),
+        # C: a brace anywhere kills the page
+        (2, good + ["var config = { };"]),
+        # D: only 2 qualifying lines -> below the page threshold
+        (3, good[:2] + ["tiny.", "also not terminated"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    a = out[0]
+    assert (a["n_lines"], a["n_kept"]) == (5, 3)
+    assert a["c4_keep"] and not a["has_lorem"] and not a["has_brace"]
+    assert a["clean_text"] == "\n".join(good)
+
+    assert out[1]["has_lorem"] and not out[1]["c4_keep"]
+    assert out[1]["clean_text"] == ""
+    assert out[2]["has_brace"] and not out[2]["c4_keep"]
+    assert out[3]["n_kept"] == 2 and not out[3]["c4_keep"]
+
+
+def test_sample_stratified_matches_python_md5(spark):
+    """The kept set must equal a pure-Python md5 replay of the rule, and a
+    second run must return the identical sample (determinism is the whole
+    point of hash sampling: resumable, auditable, cluster-size-invariant)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.operators.curation import SAMPLE_RATES_256
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang"])
+    expected = set()
+    for doc_id, lang in zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist()):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        bucket = int(h[0], 16) * 16 + int(h[1], 16)
+        if bucket < SAMPLE_RATES_256.get(lang, 0):
+            expected.add(doc_id)
+
+    build = all_ops()["sample_stratified"].build
+    got1 = {r["doc_id"] for r in build(spark, SF_DIR).collect()}
+    got2 = {r["doc_id"] for r in build(spark, SF_DIR).collect()}
+    assert got1 == expected
+    assert got1 == got2
+    # the sample is a strict, non-empty subset on this corpus
+    assert 0 < len(got1) < tbl.num_rows

@@ -299,3 +299,32 @@ def test_pii_redact_is_single_codegen_stage_no_shuffle(spark):
     # any hash exchange would mean an accidental aggregation/join
     assert "hashpartitioning" not in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_c4_filter_suite_is_row_local_no_hash_exchange(spark):
+    """c4_filter_suite (round 4): line derivation + the C4 line/page rules
+    are higher-order array expressions judged per page — the plan must
+    contain no hash exchange (no accidental join/agg), no Python eval, and
+    no cartesian product; the only exchange is the deterministic orderBy's
+    range partitioning. This is the property that makes the pass linear in
+    corpus bytes at 10^12 documents."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["c4_filter_suite"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_sample_stratified_is_pure_filter(spark):
+    """sample_stratified (round 4): deterministic md5-bucket sampling must
+    stay a filter over the scan — zero hash exchanges, zero Python — so a
+    re-run (or a resume) reproduces the identical sample at any cluster
+    size."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["sample_stratified"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
