@@ -64,6 +64,18 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R\b)")
 _LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
 _TEXTOBJ_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
+# inline images (ISO 32000-1 §8.9.7): `BI <dict entries> ID<1 ws byte>
+# <binary data> EI`. The binary payload is unframed — it can legally
+# contain bytes that look like BT/Tj/ET text operators, which would leak
+# garbage into the BT..ET scan (PyMuPDF tokenizes these away natively,
+# reference services/pdf_service.py:16). Stripped before the text-object
+# scan. Terminator heuristic: EI delimited by whitespace on both sides
+# (or EOF) — the standard recovery used by pdfminer/mupdf-family parsers,
+# since the image dict's /Length is optional and usually absent.
+_BI_TOKEN_RE = re.compile(rb"(?:\A|(?<=[\s>\])]))BI(?=[\s/])")
+_ID_TOKEN_RE = re.compile(rb"(?:\A|(?<=[\s>\])]))ID(?=\s)")
+_EI_TOKEN_RE = re.compile(rb"(?<=\s)EI(?=\s|\Z)")
+
 # indirect objects: page tree, content streams, stream-length objects
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
@@ -767,6 +779,40 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None
     return pages if pages else None
 
 
+def _strip_inline_images(stream: bytes) -> bytes:
+    """Remove `BI … ID <binary> EI` inline-image segments from a content
+    stream so their unframed binary payloads cannot masquerade as BT..ET
+    text objects. A `BI` without a following `ID` token is treated as plain
+    content (not an image); an image with no whitespace-delimited `EI`
+    terminator is malformed and swallows the remainder of the stream
+    (failures-are-data: no garbage is ever emitted as text)."""
+    if b"BI" not in stream or b"ID" not in stream:
+        return stream
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(stream):
+        bm = _BI_TOKEN_RE.search(stream, pos)
+        if not bm:
+            out.append(stream[pos:])
+            break
+        # the image dict between BI and ID is a handful of short entries
+        # (/W /H /CS /BPC /F /DP); bounding the ID search keeps a stray
+        # standalone BI token from pairing with a distant unrelated ID and
+        # swallowing real content between them
+        idm = _ID_TOKEN_RE.search(stream, bm.end(), bm.end() + 512)
+        if not idm:
+            out.append(stream[pos : bm.end()])
+            pos = bm.end()
+            continue
+        em = _EI_TOKEN_RE.search(stream, idm.end() + 1)
+        out.append(stream[pos : bm.start()])
+        out.append(b" ")
+        if not em:
+            break
+        pos = em.end()
+    return b"".join(out)
+
+
 def _parse_text_ops(
     stream: bytes,
     page_no: int,
@@ -776,6 +822,7 @@ def _parse_text_ops(
     """Extract positioned runs from one page's content stream into `runs`.
     `fonts` maps font names (Tf operands) to custom code→unicode maps; the
     active font decodes every show string until the next Tf."""
+    stream = _strip_inline_images(stream)
     for tm in _TEXTOBJ_RE.finditer(stream):
         body = tm.group(1)
         x = y = 0.0

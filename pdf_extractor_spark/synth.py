@@ -442,6 +442,20 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
 
     import zlib as _zlib
 
+    # ~20% of PDFs carry an inline image (BI..ID..EI) ahead of page 0's
+    # first text object. The payload is deliberately adversarial: raw
+    # binary bytes, an unframed "EI" that must NOT terminate the scan, and
+    # a fake BT..(..)Tj..ET text object that leaks into the golden text if
+    # the kernel fails to strip the segment. Trigger derives from already-
+    # generated content (crc32 of the golden text) so it consumes ZERO rng
+    # draws — the rest of the corpus byte-stream is unchanged.
+    if page_streams and _zlib.crc32(" ".join(golden_lines).encode("utf-8")) % 5 == 0:
+        page_streams[0][0] = (
+            b"q BI /W 4 /H 2 /CS /DeviceGray /BPC 8 /F /AHx ID "
+            b"\x00\xffxEIx BT 1 0 0 1 72 600 Tm (ZZINLINEGARBAGEZZ) Tj ET \xfe\x00"
+            b" EI Q " + page_streams[0][0]
+        )
+
     def body_of(s: bytes, indirect_len_obj: int | None) -> tuple[bytes, int | None]:
         """(stream body with dict, compressed length if /Length is indirect).
 

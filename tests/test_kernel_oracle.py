@@ -564,3 +564,45 @@ def test_corpus_has_no_encrypted_false_positives():
         assert not pdf_is_encrypted(r["html"]), r["url"]
         checked += 1
     assert checked > 50
+
+
+def test_strip_inline_images_edges():
+    """The BI..ID..EI stripper: unframed 'EI' inside the payload must not
+    terminate early; a BI with no ID token is plain content; a missing EI
+    swallows the tail instead of leaking payload bytes as text."""
+    from pdf_extractor_spark.kernel.pdf_extract import _strip_inline_images
+
+    img = (
+        b"q BI /W 2 /H 1 /CS /DeviceGray /BPC 8 ID "
+        b"\x01xEIx\xff BT (junk) Tj ET \x00 EI Q"
+    )
+    before, after = b"BT (a b c) Tj ET ", b" BT (d e) Tj ET"
+    out = _strip_inline_images(before + img + after)
+    assert b"junk" not in out and b"EIx" not in out
+    assert b"(a b c)" in out and b"(d e)" in out
+
+    # BI that is not an image (no ID token follows): content untouched
+    plain = b"BT (BI alone no image) Tj ET"
+    assert _strip_inline_images(plain) == plain
+
+    # unterminated image: remainder swallowed, nothing leaks
+    trunc = before + b"BI /W 1 ID \x00 BT (leak) Tj ET"  # no EI
+    out2 = _strip_inline_images(trunc)
+    assert b"(a b c)" in out2 and b"leak" not in out2
+
+
+def test_pdf_inline_image_corpus_occurs_and_never_leaks():
+    """The synthesizer plants adversarial inline images (binary payload
+    with a fake BT..Tj..ET object and an unframed EI) in ~20% of PDFs;
+    extraction must stay byte-identical to the golden text for every one —
+    i.e. the payload never surfaces and surrounding text is intact."""
+    seen = 0
+    for i in range(1500):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"ZZINLINEGARBAGEZZ" not in r["html"]:
+            continue
+        seen += 1
+        got = extract_document(r["html"])
+        assert "ZZINLINEGARBAGEZZ" not in got.extracted_text
+        assert got.extracted_text == r["_golden"], r["url"]
+    assert seen >= 10, seen
