@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x12_ts_format, both rows+schema+hash-green in r1 AND r2).
     priority = [
         "c4_filter_suite",         # new in round 4 (C4 heuristic cleaning)
+        "url_canonical",           # new in round 4 (URL canonicalization collapse)
         "sample_stratified",       # new in round 4 (deterministic domain mixing)
         "decontam_ngrams",         # new in round 4 (benchmark n-gram decontamination)
         "pii_redact",              # new in round 4 (PII detect + redact)

@@ -431,3 +431,134 @@ def sample_stratified(spark, sf_dir):
         .filter(F.col("bucket") < F.col("rate_256"))
         .orderBy("doc_id")
     )
+
+
+# --- URL canonicalization ---------------------------------------------------
+
+# Tracking parameters stripped during canonicalization (the crawl-dedup
+# prerequisite: recrawls of one page differ only in scheme/host case,
+# default ports, fragments, tracking params, and query order).
+_TRACK_RE = "^(utm_[a-z]+|fbclid|gclid)="
+_URL_PARTS_RE = "^([A-Za-z]+)://([^/?#:]+)(:[0-9]+)?([^?#]*)"
+
+
+@register(
+    "url_canonical",
+    oracle=f"""
+    WITH messy AS (
+      SELECT doc_id,
+             (['https', 'HTTPS', 'Https'])[CAST(doc_id % 3 AS INT) + 1]
+             || '://'
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN upper(source) || '.EXAMPLE.COM'
+                      ELSE source || '.example.com' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+             || (['?utm_source=feed&id=', '?id=', '?id=', ''])
+                  [CAST(doc_id % 4 AS INT) + 1]
+             || (CASE WHEN doc_id % 4 < 3 THEN CAST(doc_id % 40 AS VARCHAR)
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=c' ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '{_URL_PARTS_RE}', 1)) AS scheme,
+             lower(regexp_extract(url, '{_URL_PARTS_RE}', 2)) AS host,
+             regexp_extract(url, '{_URL_PARTS_RE}', 3) AS port,
+             regexp_extract(url, '{_URL_PARTS_RE}', 4) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM messy
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host
+             || (CASE WHEN (scheme = 'https' AND port = ':443')
+                       OR (scheme = 'http' AND port = ':80')
+                      THEN '' ELSE port END)
+             || path
+             || (CASE WHEN coalesce(list_aggregate(list_sort(
+                        list_filter(string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))),
+                        'string_agg', '&'), '') = ''
+                      THEN ''
+                      ELSE '?' || list_aggregate(list_sort(
+                        list_filter(string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '{_TRACK_RE}'))),
+                        'string_agg', '&') END) AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM canon GROUP BY 1 ORDER BY 1
+    """,
+    doc="URL canonicalization + recrawl collapse: lowercase scheme/host, "
+    "strip default ports, fragments, and tracking params (utm_*/fbclid/"
+    "gclid), sort surviving query params, then group recrawl variants onto "
+    "one canonical form (min doc_id wins — same winner rule as the corpus "
+    "builder). Messy URLs are derived deterministically in-query (the "
+    "corpus has no url column; same derivation in the oracle). "
+    "Canonicalization is row-local regex/array work — the ONLY shuffle is "
+    "the final collapse groupBy, exactly one exchange at any corpus size.",
+)
+def url_canonical(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.expr("element_at(array('https','HTTPS','Https'), cast(doc_id % 3 as int) + 1)"),
+            F.lit("://"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.upper("source"), F.lit(".EXAMPLE.COM")),
+            ).otherwise(F.concat("source", F.lit(".example.com"))),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"), (F.col("doc_id") % 40).cast("string"),
+            F.expr(
+                "element_at(array('?utm_source=feed&id=', '?id=', '?id=', ''), "
+                "cast(doc_id % 4 as int) + 1)"
+            ),
+            F.when(F.col("doc_id") % 4 < 3, (F.col("doc_id") % 40).cast("string"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 2, F.lit("&utm_campaign=c")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    parts = messy.select(
+        "doc_id",
+        F.lower(F.regexp_extract("url", _URL_PARTS_RE, 1)).alias("scheme"),
+        F.lower(F.regexp_extract("url", _URL_PARTS_RE, 2)).alias("host"),
+        F.regexp_extract("url", _URL_PARTS_RE, 3).alias("port"),
+        F.regexp_extract("url", _URL_PARTS_RE, 4).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("q"),
+    )
+    kept_q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("q", "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACK_RE),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "doc_id",
+        F.concat(
+            "scheme", F.lit("://"), "host",
+            F.when(
+                ((F.col("scheme") == "https") & (F.col("port") == ":443"))
+                | ((F.col("scheme") == "http") & (F.col("port") == ":80")),
+                F.lit(""),
+            ).otherwise(F.col("port")),
+            "path",
+            F.when(kept_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept_q)),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )

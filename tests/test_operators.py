@@ -62,6 +62,7 @@ SUBSET = [
     "pii_redact",
     "c4_filter_suite",
     "sample_stratified",
+    "url_canonical",
 ]
 
 

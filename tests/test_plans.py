@@ -328,3 +328,18 @@ def test_sample_stratified_is_pure_filter(spark):
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning" not in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_url_canonical_single_agg_exchange(spark):
+    """url_canonical (round 4): canonicalization is row-local regex/array
+    work — the ONLY hash exchange is the final recrawl-collapse groupBy
+    (plus the deterministic orderBy's range partitioning). No Python, no
+    cartesian product: the property that keeps the pass one-shuffle at
+    10^12 urls."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["url_canonical"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 2  # partial+final of ONE agg
+    assert "rangepartitioning" in plan
