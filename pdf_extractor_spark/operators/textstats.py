@@ -379,3 +379,50 @@ def text_gopher_suite(spark, sf_dir):
             ).alias("gopher_ok"),
         )
     )
+
+
+@register(
+    "text_unigram_nll",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+             '[ \\t\\n\\r\\f\\x0B]+')) AS word
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT word, count(*) AS cnt FROM w GROUP BY 1
+    ), tot AS (SELECT sum(cnt) AS n FROM freq)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(-ln(freq.cnt / tot.n)), 4) AS avg_nll
+    FROM w JOIN freq USING (word) CROSS JOIN tot
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    doc="Unigram language-model quality score (the KenLM-perplexity stand-"
+    "in every CCNet-style pipeline runs, expressed set-at-a-time): train "
+    "the unigram model ON the corpus itself (explode words -> one "
+    "hash-groupBy for counts), then score each document by its mean "
+    "negative log-likelihood. Rare-word-heavy (low-quality/garbled) docs "
+    "score high. Three bounded shuffles — word counts, score join on "
+    "word, per-doc mean — each linear in corpus tokens with map-side "
+    "partial agg; the 1-row total joins via broadcast NLJ. No UDFs.",
+)
+def text_unigram_nll(spark, sf_dir):
+    w = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")).alias("word"),
+        )
+    )
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    scored = w.join(freq, "word").crossJoin(F.broadcast(tot))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -63,6 +63,7 @@ SUBSET = [
     "c4_filter_suite",
     "sample_stratified",
     "url_canonical",
+    "text_unigram_nll",
 ]
 
 
@@ -495,3 +496,32 @@ def test_sample_stratified_matches_python_md5(spark):
     assert got1 == got2
     # the sample is a strict, non-empty subset on this corpus
     assert 0 < len(got1) < tbl.num_rows
+
+
+def test_unigram_nll_matches_python_replay(spark):
+    """avg_nll replayed in pure Python (collections.Counter over the
+    parquet) for every document — independent of both engines."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: t.strip().split()
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t.strip()
+    }
+    freq = Counter(w for ws in docs.values() for w in ws)
+    n = sum(freq.values())
+    got = {
+        r["doc_id"]: (r["n_words"], r["avg_nll"])
+        for r in all_ops()["text_unigram_nll"].build(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for d, ws in docs.items():
+        want = round(sum(-math.log(freq[w] / n) for w in ws) / len(ws), 4)
+        assert got[d][0] == len(ws)
+        assert abs(got[d][1] - want) < 5e-4, (d, got[d][1], want)
