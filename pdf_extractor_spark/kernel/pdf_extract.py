@@ -108,6 +108,16 @@ _TJ_ELEM_RE = re.compile(
     + _PDF_NUM + rb")"
 )
 
+# page geometry (inheritable page-tree attributes, ISO 32000-1 §7.7.3.4):
+# /Rotate turns the page for DISPLAY; reading order must be judged in
+# display space (PyMuPDF normalizes through the page ctm the same way,
+# reference services/pdf_service.py:16)
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(" + _PDF_NUM + rb")\s+(" + _PDF_NUM + rb")\s+("
+    + _PDF_NUM + rb")\s+(" + _PDF_NUM + rb")"
+)
+
 _ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\b": b"\b", b"\\f": b"\f",
     b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
@@ -691,9 +701,65 @@ def _object_stream_bytes(
     )
 
 
-def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None":
-    """Walk the page tree → (decoded content-stream blob, font table) per
-    page.
+def _page_geometry(
+    head: bytes, parent_heads: "list[bytes]"
+) -> tuple[int, float, float]:
+    """(rotation, mediabox width, mediabox height) for one page.
+
+    Both attributes are inheritable: the page's own dict wins, else the
+    first /Pages node that declares them (single-level inheritance — the
+    overwhelmingly common tree shape; deeper chains fall back to the
+    default Letter geometry). Rotation normalizes to {0, 90, 180, 270};
+    anything malformed degrades to the unrotated default, never a throw.
+    """
+    rot, w, h = 0, 612.0, 792.0
+    for src in (head, *parent_heads):
+        m = _ROTATE_RE.search(src)
+        if m:
+            try:
+                r = int(m.group(1)) % 360
+            except ValueError:
+                r = 0
+            if r in (90, 180, 270):
+                rot = r
+            break
+    for src in (head, *parent_heads):
+        m = _MEDIABOX_RE.search(src)
+        if m:
+            x0, y0 = _safe_float(m.group(1)), _safe_float(m.group(2))
+            x1, y1 = _safe_float(m.group(3)), _safe_float(m.group(4))
+            if x1 > x0 and y1 > y0:
+                w, h = x1 - x0, y1 - y0
+            break
+    return rot, w, h
+
+
+def _rotate_runs_to_display(
+    runs: "list[dict]", start: int, rot: int, w: float, h: float
+) -> None:
+    """Map run coordinates (text space) into DISPLAY space for a rotated
+    page, in place, so reading-order reconstruction sorts what a viewer
+    sees. /Rotate 90 turns the page clockwise: (x, y) → (y, w − x);
+    180 → (w − x, h − y); 270 → (h − y, x). Bboxes transform as rectangles
+    (corner map + min/max re-normalization); glyph advance direction is
+    not re-estimated — a documented approximation, order is what matters.
+    """
+    if rot == 90:
+        pt = lambda x, y: (y, w - x)  # noqa: E731
+    elif rot == 180:
+        pt = lambda x, y: (w - x, h - y)  # noqa: E731
+    else:  # 270
+        pt = lambda x, y: (h - y, x)  # noqa: E731
+    for r in runs[start:]:
+        x0, y0, x1, y1 = r["bbox"]
+        (ax, ay), (bx, by) = pt(x0, y0), pt(x1, y1)
+        r["bbox"] = (min(ax, bx), min(ay, by), max(ax, bx), max(ay, by))
+        r["origin"] = pt(*r["origin"])
+
+
+def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None, int, float, float]] | None":
+    """Walk the page tree → (decoded content-stream blob, font table,
+    rotation, mediabox width, mediabox height) per page.
 
     Page order: Catalog → /Pages → /Kids, depth-first (the PDF's declared
     reading order); objects not reachable from a /Kids array but marked
@@ -750,6 +816,13 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None
         if num not in seen:
             ordered.append(num)
 
+    # inheritable-attribute sources for _page_geometry (/Rotate, /MediaBox)
+    parent_heads = [
+        objects[n][1].split(b"stream", 1)[0]
+        for n in pages_nodes
+        if n in objects
+    ]
+
     pages: list[tuple[bytes, dict | None]] = []
     font_memo: dict[int, tuple | None] = {}  # font obj num → parsed map
     for num in ordered:
@@ -773,9 +846,10 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None]] | None
                 parts.append(decoded)
         if parts:
             fonts = _page_font_table(head, raw, objects, bodies, font_memo)
+            rot, mb_w, mb_h = _page_geometry(head, parent_heads)
             # multiple /Contents streams form ONE logical stream (PDF spec:
             # concatenated with whitespace between)
-            pages.append((b"\n".join(parts), fonts))
+            pages.append((b"\n".join(parts), fonts, rot, mb_w, mb_h))
     return pages if pages else None
 
 
@@ -907,8 +981,11 @@ def parse_glyph_runs(raw: bytes) -> list[dict]:
     runs: list[dict] = []
     pages = _page_content_streams(raw)
     if pages is not None:
-        for page_no, (stream, fonts) in enumerate(pages):
+        for page_no, (stream, fonts, rot, mb_w, mb_h) in enumerate(pages):
+            start = len(runs)
             _parse_text_ops(stream, page_no, runs, fonts)
+            if rot:
+                _rotate_runs_to_display(runs, start, rot, mb_w, mb_h)
         return runs
     for page_no, sm in enumerate(_STREAM_RE.finditer(raw)):
         stream = _decode_stream_at(raw, sm.group(1), sm.start(2), sm.group(2))
@@ -933,9 +1010,14 @@ def reading_order_text(runs: list[dict]) -> tuple[str, list[dict]]:
     if not runs:
         return "", []
 
+    # sort anchors come from the run ORIGIN (the pen position): identical
+    # to the bbox min-corner for unrotated runs (emit() anchors the bbox at
+    # the origin), and the only stable anchor for ROTATED pages, where the
+    # display-space bbox min-corner shifts by the run's own advance
+    # estimate and would smear one visual line across several line keys
     pages = np.fromiter((r["page"] for r in runs), dtype=np.int64, count=len(runs))
-    ys = np.fromiter((r["bbox"][1] for r in runs), dtype=np.float64, count=len(runs))
-    xs = np.fromiter((r["bbox"][0] for r in runs), dtype=np.float64, count=len(runs))
+    ys = np.fromiter((r["origin"][1] for r in runs), dtype=np.float64, count=len(runs))
+    xs = np.fromiter((r["origin"][0] for r in runs), dtype=np.float64, count=len(runs))
     line_key = np.round(ys / LINE_Y_QUANTUM).astype(np.int64)
 
     # lexsort: last key is primary → (page asc, line desc(y), x asc)

@@ -24,6 +24,7 @@ to exercise salting / AQE skew handling (SURVEY.md §4.2).
 from __future__ import annotations
 
 import datetime as _dt
+import re
 
 import numpy as np
 
@@ -358,6 +359,11 @@ def make_encrypted_pdf(rng: np.random.Generator, xref_stream: bool = False) -> b
     return bytes(out)
 
 
+# Tm placements as make_pdf writes them (always "1 0 0 1 <x> <y> Tm" with
+# %.1f coordinates) — the rotated-page rewrite retargets exactly these.
+_TM_XY_RE = re.compile(rb"1 0 0 1 (\d+\.\d) (\d+\.\d) Tm")
+
+
 def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     """One PDF payload. Returns (payload_bytes, golden_text).
 
@@ -442,6 +448,26 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
 
     import zlib as _zlib
 
+    _crc = _zlib.crc32(" ".join(golden_lines).encode("utf-8"))
+
+    # ~1/7 of page-tree PDFs are ROTATED (/Rotate 90, the scanned-sideways
+    # case): every Tm coordinate is rewritten into the page's text space so
+    # the text only reads in golden order AFTER the kernel maps runs back
+    # into display space. Display positions shift down 108pt first so they
+    # fit the rotated page's 612pt display height. Zero rng draws (crc32
+    # trigger), so the rest of the corpus byte-stream is unchanged.
+    rotated = use_tree and _crc % 7 == 3
+    if rotated:
+        def _tm_rot90(m: "re.Match[bytes]") -> bytes:
+            dx = float(m.group(1))
+            dy = float(m.group(2)) - 108.0
+            return b"1 0 0 1 %.1f %.1f Tm" % (612.0 - dy, dx)
+
+        page_streams = [
+            [_TM_XY_RE.sub(_tm_rot90, s) for s in streams]
+            for streams in page_streams
+        ]
+
     # ~20% of PDFs carry an inline image (BI..ID..EI) ahead of page 0's
     # first text object. The payload is deliberately adversarial: raw
     # binary bytes, an unframed "EI" that must NOT terminate the scan, and
@@ -449,7 +475,7 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     # the kernel fails to strip the segment. Trigger derives from already-
     # generated content (crc32 of the golden text) so it consumes ZERO rng
     # draws — the rest of the corpus byte-stream is unchanged.
-    if page_streams and _zlib.crc32(" ".join(golden_lines).encode("utf-8")) % 5 == 0:
+    if page_streams and _crc % 5 == 0:
         page_streams[0][0] = (
             b"q BI /W 4 /H 2 /CS /DeviceGray /BPC 8 /F /AHx ID "
             b"\x00\xffxEIx BT 1 0 0 1 72 600 Tm (ZZINLINEGARBAGEZZ) Tj ET \xfe\x00"
@@ -560,12 +586,28 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 if len(refs) == 1
                 else b"/Contents [%s]" % b" ".join(b"%d 0 R" % r for r in refs)
             )
-            objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s%s >>" % (res_entry, contents)
+            # rotated docs declare geometry on the page dict, or (half the
+            # time) inherit it from the parent /Pages node — both legal
+            # placements per ISO 32000-1 §7.7.3.4, both must decode
+            rot_entry = (
+                b"/Rotate 90 /MediaBox [0 0 612 792] "
+                if rotated and (_crc // 7) % 2 == 0
+                else b""
+            )
+            objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s%s%s >>" % (
+                rot_entry, res_entry, contents,
+            )
             page_obj_nums.append(pnum)
         objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-        objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        parent_rot = (
+            b" /Rotate 90 /MediaBox [0 0 612 792]"
+            if rotated and (_crc // 7) % 2 == 1
+            else b""
+        )
+        objs[2] = b"<< /Type /Pages /Kids [%s] /Count %d%s >>" % (
             b" ".join(b"%d 0 R" % n for n in page_obj_nums),
             len(page_obj_nums),
+            parent_rot,
         )
         if use_objstm:
             return _emit_objstm_form(objs, rng), "\n".join(golden_lines)

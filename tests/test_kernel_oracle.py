@@ -606,3 +606,89 @@ def test_pdf_inline_image_corpus_occurs_and_never_leaks():
         assert "ZZINLINEGARBAGEZZ" not in got.extracted_text
         assert got.extracted_text == r["_golden"], r["url"]
     assert seen >= 10, seen
+
+
+def _rotated_pdf(rot_entry_on: str) -> bytes:
+    """Two-line /Rotate 90 page. In TEXT space line B sits ABOVE line A
+    (y 300 vs 72), so an unrotated read returns 'B A'; in DISPLAY space
+    (x,y)→(y, 612−x) A is the top line — the correct read is 'A B'."""
+    rot = b"/Rotate 90 /MediaBox [0 0 612 792] "
+    page_rot = rot if rot_entry_on == "page" else b""
+    parent_rot = rot if rot_entry_on == "parent" else b""
+    # display targets: A at (72, 600), B at (300, 560)
+    # text space (inverse of (x,y)->(y, 612-x)): (612-dy, dx)
+    stream = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 12.0 72.0 Tm (line A first) Tj "    # text (12,72) -> display (72,600)
+        b"1 0 0 1 52.0 300.0 Tm (line B second) Tj "  # text (52,300) -> display (300,560)
+        b"ET"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [5 0 R] /Count 1 " + parent_rot + b">> endobj\n"
+        b"5 0 obj << /Type /Page /Parent 2 0 R " + page_rot + b"/Contents 3 0 R >> endobj\n"
+        b"3 0 obj stream\n" + stream + b"\nendstream endobj\n%%EOF\n"
+    )
+
+
+def test_pdf_rotate_90_reads_in_display_order():
+    """/Rotate 90 pages must read in display order, whether the rotation is
+    declared on the page dict or inherited from the parent /Pages node."""
+    for placement in ("page", "parent"):
+        runs = parse_glyph_runs(_rotated_pdf(placement))
+        text, _ = reading_order_text(runs)
+        assert text == "line A first\nline B second", (placement, text)
+    # sanity: WITHOUT the rotation entry the text-space order is reversed,
+    # proving the transform (not luck) produces the display order
+    unrot = _rotated_pdf("none")
+    text, _ = reading_order_text(parse_glyph_runs(unrot))
+    assert text == "line B second\nline A first", text
+
+
+def test_pdf_rotate_180_and_270():
+    """180/270 transforms: one line above another in each rotation's
+    display space, scrambled in text space."""
+    # 180: (x,y) -> (612-x, 792-y): text y 100 -> display 692 (top)
+    s180 = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 540.0 100.0 Tm (top) Tj "
+        b"1 0 0 1 540.0 200.0 Tm (bottom) Tj ET"
+    )
+    # 270: (x,y) -> (792-y, x): text x 100 -> display y 100... display y
+    # comes from text X: larger x = higher line
+    s270 = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 500.0 72.0 Tm (top) Tj "
+        b"1 0 0 1 100.0 72.0 Tm (bottom) Tj ET"
+    )
+    for rot, stream in ((180, s180), (270, s270)):
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [5 0 R] /Count 1 >> endobj\n"
+            b"5 0 obj << /Type /Page /Parent 2 0 R /Rotate " + str(rot).encode()
+            + b" /MediaBox [0 0 612 792] /Contents 3 0 R >> endobj\n"
+            b"3 0 obj stream\n" + stream + b"\nendstream endobj\n%%EOF\n"
+        )
+        text, _ = reading_order_text(parse_glyph_runs(pdf))
+        assert text == "top\nbottom", (rot, text)
+
+
+def test_pdf_rotated_corpus_occurs_both_placements():
+    """The synthesizer emits rotated docs with the geometry on the page
+    dict AND inherited from the parent node; byte identity over them is
+    enforced by the corpus-wide tests above — here we pin occurrence so a
+    silent synth regression can't hollow the coverage out."""
+    import re as _re
+
+    on_page = on_parent = 0
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"/Rotate 90" not in r["html"]:
+            continue
+        if _re.search(rb"/Type\s*/Pages[^>]*?/Rotate", r["html"]):
+            on_parent += 1
+        else:
+            on_page += 1
+    assert on_page >= 3 and on_parent >= 3, (on_page, on_parent)
