@@ -64,6 +64,8 @@ HEADLINE_QUERIES = [
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
     "emb_near_dup_multiband",  # 3-band union (the recall-knob scale path)
     "text_quality",         # quality scoring over documents
+    "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)
+    "c4_filter_suite",      # C4 cleaning (scan/codegen-bound, round 4)
     "training_corpus_pipeline",  # filter → dedup → stats chain
     "t6_session_window",    # gap-based sessionization
 ]

@@ -562,3 +562,56 @@ def url_canonical(spark, sf_dir):
         )
         .orderBy("canonical_url")
     )
+
+
+# --- salted two-stage aggregation (host-skew pattern) ------------------------
+
+_SALT_N = 16
+
+
+@register(
+    "host_stats_salted",
+    oracle="""
+    SELECT 'h' || CAST(doc_id % 5 AS VARCHAR)
+           || CASE WHEN doc_id % 5 < 2 THEN '.bigportal' ELSE '.longtail' END
+             AS host,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-host corpus stats via a SALTED TWO-STAGE aggregation — the "
+    "agg-skew pattern AQE does not cover (AQE splits skewed JOIN "
+    "partitions, not skewed groupBy keys): stage 1 aggregates on "
+    "(host, doc_id%16 salt) so a hot host's rows spread over 16 reducers, "
+    "stage 2 merges the ≤16 partial rows per host. All aggregates here "
+    "are decomposable (count/sum→sum, max→max). The oracle computes the "
+    "same stats with a plain GROUP BY — salting must be invisible in the "
+    "values, visible only in the plan (pinned: first exchange hashes "
+    "(host, salt), second hashes host).",
+)
+def host_stats_salted(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 5 < 2, F.lit(".bigportal")).otherwise(
+                F.lit(".longtail")
+            ),
+        ).alias("host"),
+        "n_chars",
+        (F.col("doc_id") % _SALT_N).alias("salt"),
+    )
+    partial = d.groupBy("host", "salt").agg(
+        F.count("*").alias("p_docs"),
+        F.sum("n_chars").alias("p_chars"),
+        F.max("n_chars").alias("p_max"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("p_docs").cast("long").alias("docs"),
+            F.sum("p_chars").cast("long").alias("total_chars"),
+            F.max("p_max").cast("long").alias("max_chars"),
+        )
+        .orderBy("host")
+    )

@@ -64,6 +64,7 @@ SUBSET = [
     "sample_stratified",
     "url_canonical",
     "text_unigram_nll",
+    "host_stats_salted",
 ]
 
 

@@ -343,3 +343,19 @@ def test_url_canonical_single_agg_exchange(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning") <= 2  # partial+final of ONE agg
     assert "rangepartitioning" in plan
+
+
+def test_host_stats_salted_two_stage_agg(spark):
+    """host_stats_salted (round 4): the plan must show the salted two-stage
+    shape — the FIRST hash exchange keyed on (host, salt) so a hot host
+    spreads over 16 reducers, the SECOND on host alone merging ≤16 partial
+    rows. This is the groupBy-skew defense AQE does not provide."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["host_stats_salted"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("salt" in e and "host" in e for e in ex), ex
+    assert any("salt" not in e and "host" in e for e in ex), ex
