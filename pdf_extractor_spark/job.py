@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--corpus-out", metavar="DIR", default=None,
                    help="also build the deduplicated training corpus (quality "
                         "filter + exact text dedup) from the extraction output to DIR")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="with --corpus-out: scrub emails/phones/IPs from the "
+                        "corpus text (typed placeholders; drops span_offsets, "
+                        "which would be stale after substitution)")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
                         "payloads (url, error_class, payload head) to DIR for "
@@ -158,10 +162,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.corpus_out:
         from pdf_extractor_spark.pipeline import build_training_corpus
 
-        cs = build_training_corpus(spark, args.output, args.corpus_out)
+        cs = build_training_corpus(
+            spark, args.output, args.corpus_out, redact_pii=args.redact_pii
+        )
         print(
-            "corpus: %d in -> %d quality -> %d deduped (%s)"
-            % (cs.docs_in, cs.docs_quality, cs.docs_corpus, args.corpus_out),
+            "corpus: %d in -> %d quality -> %d deduped%s (%s)"
+            % (
+                cs.docs_in, cs.docs_quality, cs.docs_corpus,
+                ", %d PII redactions" % cs.pii_redactions if args.redact_pii else "",
+                args.corpus_out,
+            ),
             file=sys.stderr,
         )
 

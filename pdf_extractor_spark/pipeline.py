@@ -314,10 +314,14 @@ class CorpusStats:
     docs_in: int
     docs_quality: int
     docs_corpus: int  # after exact dedup
+    pii_redactions: int = 0  # total placeholder substitutions (redact only)
 
 
 def build_training_corpus(
-    spark: SparkSession, extracted_dir: str, corpus_dir: str
+    spark: SparkSession,
+    extracted_dir: str,
+    corpus_dir: str,
+    redact_pii: bool = False,
 ) -> CorpusStats:
     """Corpus builder: extraction output → quality filter → exact dedup →
     deduplicated corpus table, in ONE action.
@@ -332,6 +336,14 @@ def build_training_corpus(
     projection + one shuffle on the text hash at any scale; funnel counts
     (in → quality → deduped) come from observe() on the same action — no
     extra scans.
+
+    `redact_pii=True` additionally scrubs emails/phones/IPs from
+    `extracted_text` (typed placeholders, pure regexp expressions riding
+    the same write projection — zero extra passes) and records the total
+    substitution count in the funnel. Redaction changes text lengths, so
+    the `span_offsets` column (offsets into the ORIGINAL text) is dropped
+    in this mode rather than shipped stale; training corpora don't carry
+    span provenance.
     """
     from pyspark.sql import Observation
 
@@ -352,13 +364,32 @@ def build_training_corpus(
         filtered.groupBy("text_hash")
         .agg(F.min_by(F.struct(*data_cols), F.col("url")).alias("_w"))
         .select("text_hash", "_w.*")
-        .observe(obs_out, F.count(F.lit(1)).alias("n"))
+    )
+    n_redact = F.sum(F.lit(0)).cast("long")
+    if redact_pii:
+        from pdf_extractor_spark.operators.curation import redact_pii as _scrub
+
+        corpus = (
+            _scrub(corpus, "extracted_text")
+            .withColumn(
+                "pii_redactions",
+                (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).cast("long"),
+            )
+            .withColumn("extracted_text", F.col("redacted"))
+            .drop("n_email", "n_phone", "n_ip", "redacted")
+        )
+        if "span_offsets" in corpus.columns:
+            corpus = corpus.drop("span_offsets")
+        n_redact = F.sum("pii_redactions")
+    corpus = corpus.observe(
+        obs_out, F.count(F.lit(1)).alias("n"), n_redact.alias("n_redact")
     )
     corpus.write.mode("overwrite").parquet(corpus_dir)
     return CorpusStats(
         int(obs_in.get["n"]),
         int(obs_in.get["n_quality"] or 0),
         int(obs_out.get["n"]),
+        int(obs_out.get["n_redact"] or 0),
     )
 
 

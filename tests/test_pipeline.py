@@ -453,3 +453,51 @@ def test_encrypted_pdf_counts_as_parse_failure(spark, tmp_path):
 
     triage = {r.url: r.error_class for r in dead_letter_sample(pages).collect()}
     assert triage == {"https://enc.example/doc.pdf": "encrypted_pdf"}
+
+
+def test_build_training_corpus_redact_pii(spark, tmp_path):
+    """--redact-pii corpus mode: emails/phones/IPs become typed
+    placeholders, the substitution count reaches the funnel stats, and
+    span_offsets (stale after substitution) is dropped; without the flag
+    the text and schema are untouched."""
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    rows = [
+        (
+            "https://a/1",
+            "Contact alice@example.com or call 555-0199 about the plain "
+            "prose paragraph with enough ordinary tokens for the gate.",
+            "[]",
+            "ok",
+        ),
+        (
+            "https://b/1",
+            "Server 10.1.2.3 hosts another unique document with plenty of "
+            "ordinary prose tokens to pass the quality gate easily.",
+            "[]",
+            "ok",
+        ),
+    ]
+    src = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        rows,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus_red")
+    cs = build_training_corpus(spark, src, out, redact_pii=True)
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert cs.pii_redactions == 3  # email + phone + ip
+    assert "[EMAIL]" in got["https://a/1"].extracted_text
+    assert "[PHONE]" in got["https://a/1"].extracted_text
+    assert "[IP]" in got["https://b/1"].extracted_text
+    assert "alice@example.com" not in got["https://a/1"].extracted_text
+    assert "span_offsets" not in got["https://a/1"].__fields__
+    assert got["https://a/1"].pii_redactions == 2
+
+    out2 = str(tmp_path / "corpus_plain")
+    cs2 = build_training_corpus(spark, src, out2, redact_pii=False)
+    plain = {r.url: r for r in spark.read.parquet(out2).collect()}
+    assert cs2.pii_redactions == 0
+    assert "alice@example.com" in plain["https://a/1"].extracted_text
+    assert "span_offsets" in plain["https://a/1"].__fields__
