@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical",           # new in round 4 (URL canonicalization collapse)
         "text_unigram_nll",        # new in round 4 (unigram LM quality score)
         "host_stats_salted",       # new in round 4 (salted two-stage skew agg)
+        "dedup_substring",         # new in round 4 (cross-doc 5-gram duplication)
         "sample_stratified",       # new in round 4 (deterministic domain mixing)
         "decontam_ngrams",         # new in round 4 (benchmark n-gram decontamination)
         "pii_redact",              # new in round 4 (PII detect + redact)

@@ -65,6 +65,7 @@ SUBSET = [
     "url_canonical",
     "text_unigram_nll",
     "host_stats_salted",
+    "dedup_substring",
 ]
 
 
@@ -526,3 +527,21 @@ def test_unigram_nll_matches_python_replay(spark):
         want = round(sum(-math.log(freq[w] / n) for w in ws) / len(ws), 4)
         assert got[d][0] == len(ws)
         assert abs(got[d][1] - want) < 5e-4, (d, got[d][1], want)
+
+
+def test_dedup_substring_consistent_with_minhash_family(spark):
+    """Substring-duplication sanity: docs the MinHash-LSH pass pairs as
+    near-dups must show high cross-doc 5-gram overlap, and the corpus
+    baseline must sit far below — the signal separates, it isn't noise."""
+    ops = all_ops()
+    frac = {
+        r["doc_id"]: r["dup_frac"]
+        for r in ops["dedup_substring"].build(spark, SF_DIR).collect()
+    }
+    pairs = ops["dedup_minhash_lsh"].build(spark, SF_DIR).collect()
+    assert pairs, "minhash fixture produced no near-dup pairs"
+    near_ids = {d for r in pairs for d in (r["da"], r["db"])}
+    near = [frac[d] for d in near_ids if d in frac]
+    rest = [v for d, v in frac.items() if d not in near_ids]
+    assert min(near) > 0.5, min(near)  # near-dups share most grams
+    assert sum(rest) / len(rest) < 0.2  # background stays low
