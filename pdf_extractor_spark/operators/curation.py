@@ -47,9 +47,14 @@ def decontaminate(docs, bench, n: int = _DECON_N):
     key is a fixed 32-byte value instead of an unbounded string — at scale
     that is what keeps the broadcast table and the exchange rows small.
     """
+    # guard: Spark's sequence(0, stop) runs DESCENDING when stop < 0
+    # ([0, -1], not empty), so a doc shorter than n words must take the
+    # explicit empty-array branch or slice() sees start 0 and the task dies
     gram_arr = F.expr(
-        f"transform(sequence(0, greatest(size(ws)-{n}, -1)), "
-        f"i -> array_join(slice(ws, i+1, {n}), ' '))"
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"transform(sequence(0, size(ws)-{n}), "
+        f"i -> array_join(slice(ws, i+1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
     )
 
     def grams(df):

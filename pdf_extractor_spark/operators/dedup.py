@@ -582,9 +582,13 @@ def dedup_substring(spark, sf_dir):
             "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws")
         )
     )
+    # sequence(0, stop<0) runs DESCENDING in Spark, so short docs need the
+    # explicit empty branch (matches the oracle's range(greatest(..,0)))
     gram_arr = F.expr(
-        f"transform(sequence(0, greatest(size(ws)-{_SUB_N}, -1)), "
-        f"i -> md5(array_join(slice(ws, i+1, {_SUB_N}), ' ')))"
+        f"CASE WHEN size(ws) >= {_SUB_N} THEN "
+        f"transform(sequence(0, size(ws)-{_SUB_N}), "
+        f"i -> md5(array_join(slice(ws, i+1, {_SUB_N}), ' '))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     grams = d.select("doc_id", F.explode(gram_arr).alias("h")).distinct()
     shared = (

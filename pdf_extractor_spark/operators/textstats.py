@@ -342,7 +342,13 @@ def text_gopher_suite(spark, sf_dir):
         F.filter("ws", lambda w: w.isin(*_GOPHER_STOPS))
     ).cast("long")
 
-    bigrams = F.expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))")
+    # sequence(0, stop<0) runs DESCENDING in Spark — a 1-word doc would
+    # emit null bigrams instead of none without the explicit empty branch
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1])) "
+        "ELSE cast(array() as array<string>) END"
+    )
     rep = (
         d.select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")

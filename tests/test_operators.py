@@ -545,3 +545,42 @@ def test_dedup_substring_consistent_with_minhash_family(spark):
     rest = [v for d, v in frac.items() if d not in near_ids]
     assert min(near) > 0.5, min(near)  # near-dups share most grams
     assert sum(rest) / len(rest) < 0.2  # background stays low
+
+
+def test_ngram_ops_tolerate_short_docs(spark):
+    """Spark's sequence(0, stop) runs DESCENDING when stop < 0, so every
+    n-gram derivation must take an explicit empty branch for docs shorter
+    than n words — otherwise slice() start-0 kills the task (grams) or
+    null bigrams leak into counts (gopher). Pin the guarded behavior."""
+    from pdf_extractor_spark.operators.curation import decontaminate
+
+    short = spark.createDataFrame(
+        [(1, ["only", "three", "words"])], "doc_id long, ws array<string>"
+    )
+    long_ = spark.createDataFrame(
+        [(2, ["w%d" % i for i in range(12)])], "doc_id long, ws array<string>"
+    )
+    # short training doc vs long bench: zero grams, never contaminated
+    rows = decontaminate(short, long_).collect()
+    assert [(r["doc_id"], r["n_grams"], r["hit_grams"], r["contaminated"]) for r in rows] == [
+        (1, 0, 0, False)
+    ]
+    # short BENCH side: empty gram set, long doc scores zero hits
+    rows2 = decontaminate(long_, short).collect()
+    assert rows2[0]["hit_grams"] == 0 and rows2[0]["n_grams"] == 5
+
+    # the guarded gram/bigram expressions yield EMPTY (not [null,...])
+    from pyspark.sql import functions as F
+    for n, expr in ((5, "md5(array_join(slice(ws, i+1, 5), ' '))"),
+                    (2, "concat(ws[i], ' ', ws[i+1])")):
+        out = short.select(
+            F.expr(
+                f"CASE WHEN size(ws) >= {n} THEN "
+                f"transform(sequence(0, size(ws)-{n}), i -> {expr}) "
+                f"ELSE cast(array() as array<string>) END"
+            ).alias("g")
+        ).collect()[0]["g"]
+        if n > 3:
+            assert out == []
+        else:
+            assert len(out) == 2 and all(x is not None for x in out)
