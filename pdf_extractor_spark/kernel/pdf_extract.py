@@ -823,7 +823,7 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None, int, fl
         if n in objects
     ]
 
-    pages: list[tuple[bytes, dict | None]] = []
+    pages: list[tuple[bytes, dict | None, int, float, float]] = []
     font_memo: dict[int, tuple | None] = {}  # font obj num → parsed map
     for num in ordered:
         off, body = objects[num]

@@ -243,3 +243,20 @@ def test_chrome_text_never_leaks(chrome_tag, n_links):
     text, _ = extract_html(payload)
     assert "ZZCHROMEMARKERZZ" not in text
     assert "Genuine article content" in text
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_strip_inline_images_total_and_never_grows(data):
+    """The inline-image stripper is total over arbitrary bytes and can only
+    shrink its input (each stripped BI..EI segment is ≥8 bytes and becomes
+    one space; a BI without ID keeps its span verbatim; a missing EI
+    truncates). Growth would mean the scanner double-emitted a span."""
+    from pdf_extractor_spark.kernel.pdf_extract import _strip_inline_images
+
+    out = _strip_inline_images(data)
+    assert isinstance(out, bytes)
+    assert len(out) <= len(data)
+    # a second pass finds nothing new to do on image-free output
+    if b"BI" not in out:
+        assert _strip_inline_images(out) == out
