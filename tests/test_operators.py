@@ -584,3 +584,28 @@ def test_ngram_ops_tolerate_short_docs(spark):
             assert out == []
         else:
             assert len(out) == 2 and all(x is not None for x in out)
+
+
+def test_pointer_jump_accelerates_deep_chains(spark):
+    """On a 40-node path graph (the adversarial sequential-edit chain),
+    adaptive pointer jumping must converge in far fewer rounds than plain
+    neighbor-min propagation, with identical labels (component min = 0)."""
+    from pdf_extractor_spark.operators.dedup import min_label_components
+
+    n = 40
+    chain = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a long, b long"
+    )
+    fast, fast_rounds = min_label_components(edges, jump_from_round=3)
+    assert {(r.node, r.root) for r in fast.collect()} == {
+        (i, 0) for i in range(n + 1)
+    }
+    fast.unpersist()
+    slow, slow_rounds = min_label_components(edges, jump_from_round=10**9)
+    assert {(r.node, r.root) for r in slow.collect()} == {
+        (i, 0) for i in range(n + 1)
+    }
+    slow.unpersist()
+    assert slow_rounds >= n  # neighbor-min needs ~diameter rounds
+    assert fast_rounds <= 12, fast_rounds  # ~log2 after the jump engages
