@@ -97,7 +97,11 @@ def failure_class(raw: bytes | None) -> str | None:
     if _is_non_text_binary(raw):
         return "binary_payload"
     if raw.startswith(PDF_MAGIC) and pdf_is_encrypted(raw):
-        return "encrypted_pdf"
+        from pdf_extractor_spark.kernel import pdf_crypt
+
+        if pdf_crypt.try_open(raw) is None:
+            return "encrypted_pdf"
+        return None  # empty-user-password RC4: decryptable, extracts fine
     try:
         if raw.startswith(PDF_MAGIC):
             extract_pdf(raw)
@@ -132,11 +136,19 @@ def extract_document(
             return ExtractResult(parse_status=STATUS_FAILED)
         font_unmapped = 0
         if raw.startswith(PDF_MAGIC):
+            crypt = None
             if pdf_is_encrypted(raw):
-                # structurally valid but ciphertext content — flag, never
-                # parse the encrypted streams into mojibake 'ok' rows
-                return ExtractResult(parse_status=STATUS_ENCRYPTED)
-            text, spans = extract_pdf(raw)
+                # standard-security RC4 with an EMPTY user password (the
+                # owner-locked-but-readable crawl case PyMuPDF opens
+                # silently) decrypts from scratch (kernel/pdf_crypt.py);
+                # anything else — AES, crypt filters, a real user
+                # password — is flagged, never parsed into mojibake
+                from pdf_extractor_spark.kernel import pdf_crypt
+
+                crypt = pdf_crypt.try_open(raw)
+                if crypt is None:
+                    return ExtractResult(parse_status=STATUS_ENCRYPTED)
+            text, spans = extract_pdf(raw, crypt)
             truncated = len(spans) > MAX_SPANS_PER_DOC
             if truncated:
                 spans = spans[:MAX_SPANS_PER_DOC]

@@ -335,6 +335,7 @@ def _parse_font(
     raw: bytes,
     objects: "dict[int, tuple[int, bytes]]",
     bodies: "dict[int, bytes]",
+    crypt=None,
 ) -> "tuple[dict[int, str], int, tuple | None] | None":
     """One font object → (code→unicode map, bytes per code, codespaces),
     or None for a standard-encoded font (callers then decode
@@ -362,7 +363,7 @@ def _parse_font(
         ref = int(tum.group(1))
         if ref in objects:
             o_off, o_body = objects[ref]
-            stream = _object_stream_bytes(raw, o_body, o_off, bodies)
+            stream = _object_stream_bytes(raw, o_body, o_off, bodies, crypt, ref)
             if stream:
                 tmap, tn, spaces = _parse_tounicode(stream)
                 cmap.update(tmap)
@@ -383,6 +384,7 @@ def _page_font_table(
     objects: "dict[int, tuple[int, bytes]]",
     bodies: "dict[int, bytes]",
     font_memo: "dict[int, tuple | None]",
+    crypt=None,
 ) -> "dict[str, tuple] | None":
     """/Resources /Font of one page → {font_name: (cmap, nbytes)}; fonts
     without a custom encoding are omitted (latin-1 fallback). None when the
@@ -399,7 +401,9 @@ def _page_font_table(
         if ref not in font_memo:
             body = bodies.get(ref)
             font_memo[ref] = (
-                _parse_font(body, raw, objects, bodies) if body is not None else None
+                _parse_font(body, raw, objects, bodies, crypt)
+                if body is not None
+                else None
             )
         font = font_memo[ref]
         if font is not None:
@@ -528,25 +532,34 @@ def _decode_stream_at(
     body_start: int,
     body_fallback: bytes,
     objects: "dict[int, bytes] | None" = None,
+    decrypt=None,
 ) -> bytes | None:
     """Stream body → decoded bytes (None when a corrupt or non-text stream
     must be skipped — the document degrades to fewer pages, never a task
     failure). The full /Filter chain is honored: Flate (with PNG/TIFF
     predictors), LZW, ASCIIHex, ASCII85, RunLength; image/crypt filters
-    (DCTDecode etc.) return None — no text lives in them."""
+    (DCTDecode etc.) return None — no text lives in them. `decrypt` (a
+    bytes→bytes callable carrying this object's RC4 key) applies BEFORE
+    the filter chain — encryption is the outermost layer (ISO 32000-1
+    §7.6.2); RC4 is length-preserving, so /Length still slices ciphertext
+    exactly."""
     if not sdict:
-        return body_fallback
+        return decrypt(body_fallback) if decrypt else body_fallback
     nd = _nearest_dict(sdict)
     names = pdf_filters.filter_names(nd)
-    if not names:  # unfiltered stream ([]) or unparseable /Filter (None)
-        return body_fallback if names == [] else None
-    # Filtered bodies are binary and can contain bytes the `\r?\nendstream`
-    # terminator regex would swallow, so when the dict declares /Length,
-    # slice the body exactly.
+    if names is None:  # unparseable /Filter
+        return None
+    # Filtered (and encrypted) bodies are binary and can contain bytes the
+    # `\r?\nendstream` terminator regex would swallow, so when the dict
+    # declares /Length, slice the body exactly.
     stream = body_fallback
     length = _resolve_length(nd, objects)
-    if length is not None:
+    if length is not None and (names or decrypt):
         stream = raw[body_start : body_start + length]
+    if decrypt:
+        stream = decrypt(stream)
+    if not names:  # unfiltered stream
+        return stream
     try:
         return pdf_filters.apply_filters(stream, names, pdf_filters.decode_parms(nd))
     except ValueError:
@@ -656,7 +669,7 @@ def _parse_xref_streams(
 
 
 def _expand_object_streams(
-    raw: bytes, objects: "dict[int, tuple[int, bytes]]"
+    raw: bytes, objects: "dict[int, tuple[int, bytes]]", crypt=None
 ) -> None:
     """Inflate every /Type /ObjStm container and add its embedded objects.
 
@@ -678,7 +691,7 @@ def _expand_object_streams(
         first = _int_key(head, b"First")
         if n_objs is None or first is None:
             continue
-        data = _object_stream_bytes(raw, body, off, bodies)
+        data = _object_stream_bytes(raw, body, off, bodies, crypt, num)
         if not data or first > len(data):
             continue
         pairs = _OBJSTM_PAIR_RE.findall(data[:first])[:n_objs]
@@ -690,14 +703,23 @@ def _expand_object_streams(
 
 
 def _object_stream_bytes(
-    raw: bytes, obj_body: bytes, obj_off: int, objects_bodies: "dict[int, bytes]"
+    raw: bytes,
+    obj_body: bytes,
+    obj_off: int,
+    objects_bodies: "dict[int, bytes]",
+    crypt=None,
+    objnum: int = 0,
 ) -> bytes | None:
-    """Decoded stream content of one object (None if it has no stream)."""
+    """Decoded stream content of one object (None if it has no stream).
+    `crypt` is a verified StandardCrypt; the object's own number keys the
+    RC4 decryption (§7.6.2 Algorithm 1)."""
     sm = _STREAM_RE.search(obj_body)
     if sm is None:
         return None
+    decrypt = (lambda b: crypt.decrypt(objnum, b)) if crypt else None
     return _decode_stream_at(
-        raw, sm.group(1), obj_off + sm.start(2), sm.group(2), objects_bodies
+        raw, sm.group(1), obj_off + sm.start(2), sm.group(2), objects_bodies,
+        decrypt
     )
 
 
@@ -757,7 +779,9 @@ def _rotate_runs_to_display(
         r["origin"] = pt(*r["origin"])
 
 
-def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None, int, float, float]] | None":
+def _page_content_streams(
+    raw: bytes, crypt=None
+) -> "list[tuple[bytes, dict | None, int, float, float]] | None":
     """Walk the page tree → (decoded content-stream blob, font table,
     rotation, mediabox width, mediabox height) per page.
 
@@ -776,8 +800,8 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None, int, fl
     # then inflate ObjStm containers so compressed dict objects (Catalog /
     # Pages / Page / Font) are visible to the walk below
     if b"/ObjStm" in raw or b"/XRef" in raw:
-        _parse_xref_streams(raw, objects)
-        _expand_object_streams(raw, objects)
+        _parse_xref_streams(raw, objects)  # xref streams are NEVER encrypted
+        _expand_object_streams(raw, objects, crypt)
     bodies = {n: b for n, (_, b) in objects.items()}
 
     page_ids: list[int] = []
@@ -841,11 +865,11 @@ def _page_content_streams(raw: bytes) -> "list[tuple[bytes, dict | None, int, fl
             if ref not in objects:
                 continue
             o_off, o_body = objects[ref]
-            decoded = _object_stream_bytes(raw, o_body, o_off, bodies)
+            decoded = _object_stream_bytes(raw, o_body, o_off, bodies, crypt, ref)
             if decoded:
                 parts.append(decoded)
         if parts:
-            fonts = _page_font_table(head, raw, objects, bodies, font_memo)
+            fonts = _page_font_table(head, raw, objects, bodies, font_memo, crypt)
             rot, mb_w, mb_h = _page_geometry(head, parent_heads)
             # multiple /Contents streams form ONE logical stream (PDF spec:
             # concatenated with whitespace between)
@@ -969,7 +993,7 @@ def _parse_text_ops(
                 leading = _safe_float(om.group("tl"))
 
 
-def parse_glyph_runs(raw: bytes) -> list[dict]:
+def parse_glyph_runs(raw: bytes, crypt=None) -> list[dict]:
     """Parse positioned text runs from a PDF byte payload.
 
     Returns the reference's span-record shape (services/pdf_service.py:30-36):
@@ -979,7 +1003,7 @@ def parse_glyph_runs(raw: bytes) -> list[dict]:
     back to one content stream == one page, in byte order.
     """
     runs: list[dict] = []
-    pages = _page_content_streams(raw)
+    pages = _page_content_streams(raw, crypt)
     if pages is not None:
         for page_no, (stream, fonts, rot, mb_w, mb_h) in enumerate(pages):
             start = len(runs)
@@ -1081,8 +1105,10 @@ def pdf_is_encrypted(raw: bytes) -> bool:
     return False
 
 
-def extract_pdf(raw: bytes) -> tuple[str, list[dict]]:
-    """Full PDF branch: parse runs → reading order. Raises on non-PDF input."""
+def extract_pdf(raw: bytes, crypt=None) -> tuple[str, list[dict]]:
+    """Full PDF branch: parse runs → reading order. Raises on non-PDF input.
+    `crypt` is a verified StandardCrypt for RC4 standard-security docs
+    whose empty-user-password /U check passed (kernel/pdf_crypt.py)."""
     if not raw.startswith(PDF_MAGIC):
         raise ValueError("not a PDF payload")
-    return reading_order_text(parse_glyph_runs(raw))
+    return reading_order_text(parse_glyph_runs(raw, crypt))

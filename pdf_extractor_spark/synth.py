@@ -706,3 +706,68 @@ def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = No
         spark.range(0, n_docs, numPartitions=num_partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA_DDL)
     )
+
+
+def encrypt_pdf_rc4(
+    raw: bytes,
+    owner_pw: bytes = b"owner-secret",
+    r: int = 3,
+    p: int = -44,
+    id0: bytes = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2,
+) -> bytes:
+    """Standard-security-encrypt a CLASSIC-form PDF (test twin).
+
+    RC4-encrypts every stream body with the per-object key, appends the
+    /Encrypt dictionary (R=2 → V1 40-bit, R=3 → V2 128-bit; owner password
+    set, user password EMPTY — the owner-locked-but-readable crawl case)
+    and a trailer carrying /Encrypt + /ID. RC4 is symmetric, so this twin
+    exercises the kernel's pdf_crypt decryption end to end; the cipher
+    itself is pinned by published vectors in tests, so twin and kernel
+    cannot share a mirrored RC4 bug. Raises when a stream lacks a /Length
+    dict or the ciphertext would break object/stream framing — fixture
+    construction is fail-fast, never silently unparseable.
+    """
+    import re as _re
+
+    from pdf_extractor_spark.kernel import pdf_crypt as pc
+
+    n = 16 if r >= 3 else 5
+    o = pc.compute_o(owner_pw, b"", r, n)
+    key = pc.compute_key(o, p, id0, r, n)
+    u = pc.compute_u(key, id0, r)
+    crypt = pc.StandardCrypt(key)
+
+    obj_re = _re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", _re.DOTALL)
+    stream_re = _re.compile(rb"stream\r?\n(.*?)\r?\nendstream", _re.DOTALL)
+    nums = [int(m.group(1)) for m in obj_re.finditer(raw)]
+    out = bytearray()
+    last = 0
+    for m in obj_re.finditer(raw):
+        num, body = int(m.group(1)), m.group(2)
+        sm = stream_re.search(body)
+        if sm is None:
+            continue
+        if b"/Length" not in body[: sm.start()]:
+            raise ValueError("stream without /Length cannot be framed once encrypted")
+        ct = crypt.encrypt(num, sm.group(1))
+        out += raw[last : m.start(2)]
+        out += body[: sm.start(1)] + ct + body[sm.end(1) :]
+        last = m.end(2)
+    out += raw[last:]
+
+    enc_num = max(nums) + 1
+    v, lengths = (2, b" /Length 128") if r >= 3 else (1, b"")
+    enc_obj = (
+        b"%d 0 obj << /Filter /Standard /V %d /R %d%s /P %d /O <%s> /U <%s> >> endobj\n"
+        % (enc_num, v, r, lengths, p, o.hex().encode(), u.hex().encode())
+    )
+    trailer = b"trailer << /Size %d /Encrypt %d 0 R /ID [<%s> <%s>] >>\n" % (
+        enc_num + 1, enc_num, id0.hex().encode(), id0.hex().encode(),
+    )
+    eof = bytes(out).rfind(b"%%EOF")
+    assembled = bytes(out[:eof]) + enc_obj + trailer + bytes(out[eof:])
+    # fail-fast framing audit: ciphertext must not have minted or destroyed
+    # object/stream boundaries
+    if [int(m.group(1)) for m in obj_re.finditer(assembled)] != nums + [enc_num]:
+        raise ValueError("ciphertext broke object framing; change id0/owner_pw")
+    return assembled

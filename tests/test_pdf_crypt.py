@@ -1,0 +1,128 @@
+"""Standard-security (RC4) decryption: published-vector-pinned cipher,
+empty-user-password roundtrips through the full kernel, graceful refusal
+for everything else. The reference gets all of this from PyMuPDF
+(reference services/pdf_service.py:16); kernel/pdf_crypt.py is the
+from-scratch ISO 32000-1 §7.6 equivalent for the crawl-dominant case."""
+
+from __future__ import annotations
+
+import zlib
+
+from pdf_extractor_spark.kernel import pdf_crypt
+from pdf_extractor_spark.kernel.extract import (
+    STATUS_ENCRYPTED,
+    extract_document,
+    failure_class,
+)
+from pdf_extractor_spark.kernel.pdf_extract import pdf_is_encrypted
+from pdf_extractor_spark.synth import encrypt_pdf_rc4
+
+
+def test_rc4_published_vectors():
+    """RC4 itself is pinned by public test vectors, so the synth encrypt
+    twin and the kernel decryptor cannot share a mirrored cipher bug."""
+    assert pdf_crypt.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert pdf_crypt.rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert (
+        pdf_crypt.rc4(b"Secret", b"Attack at dawn").hex().upper()
+        == "45A01F645FC35B383552544B9BF5"
+    )
+    # symmetry: decrypt(encrypt(x)) == x
+    assert pdf_crypt.rc4(b"k", pdf_crypt.rc4(b"k", b"abc" * 100)) == b"abc" * 100
+
+
+def _mini_pdf() -> bytes:
+    """Two-page classic tree PDF; every stream carries /Length (required
+    for exact ciphertext framing). Page 2's content stream is Flate-
+    compressed to prove decryption composes with the filter chain."""
+    s1 = b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (Secret page one text) Tj ET"
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72.0 700.0 Tm (Second page behind flate) Tj ET"
+    z2 = zlib.compress(s2, 6)
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+        + s1 + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n"
+        b"6 0 obj << /Filter /FlateDecode /Length " + str(len(z2)).encode()
+        + b" >>\nstream\n" + z2 + b"\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+def test_rc4_empty_user_password_roundtrip():
+    """Owner-locked, empty-user-password files (both R=2/40-bit and
+    R=3/128-bit) must extract byte-identically to their plaintext twin."""
+    plain = _mini_pdf()
+    want = extract_document(plain)
+    assert want.parse_status == "ok"
+    assert "Secret page one text" in want.extracted_text
+    assert "Second page behind flate" in want.extracted_text
+
+    for r in (2, 3):
+        enc = encrypt_pdf_rc4(plain, r=r)
+        assert pdf_is_encrypted(enc), r
+        assert b"Secret page one text" not in enc  # really ciphertext
+        got = extract_document(enc)
+        assert got.parse_status == "ok", (r, got.parse_status)
+        assert got.extracted_text == want.extracted_text, r
+        assert failure_class(enc) is None, r
+
+
+def test_real_user_password_stays_encrypted():
+    """A wrong /U (i.e. a non-empty user password) must refuse to decrypt:
+    explicit 'encrypted' status, never ciphertext-derived text."""
+    enc = bytearray(encrypt_pdf_rc4(_mini_pdf()))
+    # corrupt the /U entry in place (flip one hex digit)
+    at = bytes(enc).index(b"/U <") + 4
+    enc[at] = ord("0") if enc[at : at + 1] != b"0" else ord("1")
+    enc = bytes(enc)
+    assert pdf_is_encrypted(enc)
+    assert pdf_crypt.try_open(enc) is None
+    got = extract_document(enc)
+    assert got.parse_status == STATUS_ENCRYPTED and got.extracted_text == ""
+    assert failure_class(enc) == "encrypted_pdf"
+
+
+def test_unsupported_handler_stays_encrypted():
+    """The legacy junk-ciphertext fixture (no /Standard V/R structure the
+    handler supports) still reports 'encrypted'."""
+    import numpy as np
+
+    from pdf_extractor_spark.synth import make_encrypted_pdf
+
+    for xref in (False, True):
+        raw = make_encrypted_pdf(np.random.default_rng(7), xref_stream=xref)
+        assert pdf_is_encrypted(raw)
+        assert pdf_crypt.try_open(raw) is None
+        assert extract_document(raw).parse_status == STATUS_ENCRYPTED
+
+
+def test_encrypted_tounicode_stream_decrypts():
+    """Font machinery behind encryption: an encrypted /ToUnicode CMap
+    stream must decode through the same per-object key path."""
+    cmap = (
+        b"begincmap\n1 beginbfchar\n<80> <00E9>\nendbfchar\nendcmap"
+    )
+    s1 = b"BT /F2 12 Tf 1 0 0 1 72.0 700.0 Tm (caf\x80) Tj ET"
+    plain = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(s1)).encode() + b" >>\nstream\n"
+        + s1 + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+    want = extract_document(plain)
+    assert want.extracted_text == "café"
+    enc = encrypt_pdf_rc4(plain)
+    got = extract_document(enc)
+    assert got.parse_status == "ok"
+    assert got.extracted_text == "café"
