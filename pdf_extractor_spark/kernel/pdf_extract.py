@@ -108,6 +108,38 @@ _TJ_ELEM_RE = re.compile(
     + _PDF_NUM + rb")"
 )
 
+# form XObjects (ISO 32000-1 §8.10): `/Name Do` splices another content
+# stream into the page, positioned by the form's /Matrix composed with the
+# CTM built by `cm` operators under the `q`/`Q` graphics-state stack.
+# PyMuPDF extracts text inside forms transparently (reference
+# services/pdf_service.py:16 — fitz renders the full display list);
+# real-crawl generators (letterheads, stamps, pdftex overlays) routinely
+# put body text there, so a /Contents-only walk silently drops it.
+# The invocation scan skips string literals so show-string payload bytes
+# can never fake a `Do`; /Subtype /Image XObjects are never spliced (their
+# unframed binary bodies are exactly the fake-text hazard the inline-image
+# stripper exists for).
+_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*(" + _PDF_NUM + rb")\s+(" + _PDF_NUM + rb")\s+("
+    + _PDF_NUM + rb")\s+(" + _PDF_NUM + rb")\s+(" + _PDF_NUM + rb")\s+("
+    + _PDF_NUM + rb")"
+)
+_FORMSCAN_RE = re.compile(
+    _LIT_STR + rb"|" + _HEX_STR
+    + rb"|(?P<push>(?<![\w/])q(?!\w))"
+    + rb"|(?P<pop>(?<![\w/])Q(?!\w))"
+    + rb"|(?P<cm>(?:" + _PDF_NUM + rb"\s+){5}" + _PDF_NUM + rb")\s+cm(?!\w)"
+    + rb"|/(?P<do>\w+)\s+Do(?!\w)",
+    re.DOTALL,
+)
+_SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
+_ID_MATRIX = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+# crafted payloads must degrade to fewer forms, never a blown stack or a
+# quadratic splice: depth caps form-in-form recursion, the per-page cap
+# bounds a single form Do'd thousands of times
+MAX_FORM_DEPTH = 4
+MAX_FORMS_PER_PAGE = 64
+
 # page geometry (inheritable page-tree attributes, ISO 32000-1 §7.7.3.4):
 # /Rotate turns the page for DISPLAY; reading order must be judged in
 # display space (PyMuPDF normalizes through the page ctm the same way,
@@ -779,9 +811,133 @@ def _rotate_runs_to_display(
         r["origin"] = pt(*r["origin"])
 
 
+def _mat_compose(m1: tuple, m2: tuple) -> tuple:
+    """Affine compose, row-vector convention: apply m1, THEN m2 — the PDF
+    CTM rule (`cm` premultiplies, a form's /Matrix maps form space into the
+    space the CTM then maps onward)."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _apply_matrix_to_runs(runs: "list[dict]", start: int, m: tuple) -> None:
+    """Map runs[start:] from form space to page space through matrix `m`:
+    bbox corners and origin transform; font size scales by the vertical
+    unit vector's magnitude (what a renderer's glyph height does)."""
+    if m == _ID_MATRIX:
+        return
+    a, b, c, d, e, f = m
+    vscale = (c * c + d * d) ** 0.5
+    pt = lambda x, y: (a * x + c * y + e, b * x + d * y + f)  # noqa: E731
+    for r in runs[start:]:
+        x0, y0, x1, y1 = r["bbox"]
+        cs = (pt(x0, y0), pt(x1, y0), pt(x0, y1), pt(x1, y1))
+        r["bbox"] = (
+            min(p[0] for p in cs),
+            min(p[1] for p in cs),
+            max(p[0] for p in cs),
+            max(p[1] for p in cs),
+        )
+        r["origin"] = pt(*r["origin"])
+        r["font_size"] *= vscale
+
+
+def _collect_forms(
+    content: bytes,
+    owner_head: bytes,
+    owner_fonts: "dict[str, tuple] | None",
+    raw: bytes,
+    objects: "dict[int, tuple[int, bytes]]",
+    bodies: "dict[int, bytes]",
+    font_memo: "dict[int, tuple | None]",
+    crypt,
+    base: tuple,
+    chain: frozenset,
+    out: "list[tuple[bytes, dict | None, tuple]]",
+) -> None:
+    """Scan one decoded content stream for `/Name Do` form-XObject
+    invocations and append (form_stream, font_table, matrix) per hit.
+
+    The scan tracks the graphics-state stack (`q`/`Q`) and `cm` CTM
+    composition so each form lands where a renderer would put it; string
+    literals/hex strings are consumed by the regex alternation so payload
+    bytes inside show strings can't fake operators. A form with its own
+    /Resources /Font decodes through its own table, otherwise it inherits
+    the invoking context's (§8.10.2 legacy inheritance). Recurses into
+    form-in-form with a depth cap and a per-chain seen-set so reference
+    cycles terminate."""
+    if b"Do" not in content:
+        return
+    res = _dict_value(owner_head, b"Resources", bodies)
+    if res is None:
+        return
+    xdict = _dict_value(res, b"XObject", bodies)
+    if xdict is None:
+        return
+    xmap = {
+        m.group(1).decode("latin-1"): int(m.group(2))
+        for m in _FONT_REF_RE.finditer(xdict)
+    }
+    if not xmap:
+        return
+    ctm = base
+    stack: list[tuple] = []
+    for m in _FORMSCAN_RE.finditer(_strip_inline_images(content)):
+        kind = m.lastgroup
+        if kind is None:  # string literal / hex string — skipped
+            continue
+        if kind == "push":
+            if len(stack) < 256:  # crafted q-floods stay bounded
+                stack.append(ctm)
+        elif kind == "pop":
+            if stack:
+                ctm = stack.pop()
+        elif kind == "cm":
+            nums = m.group("cm").split()
+            ctm = _mat_compose(tuple(_safe_float(n) for n in nums[:6]), ctm)
+        else:  # Do
+            if len(out) >= MAX_FORMS_PER_PAGE:
+                return
+            ref = xmap.get(m.group("do").decode("latin-1"))
+            if ref is None or ref in chain or ref not in objects:
+                continue
+            o_off, o_body = objects[ref]
+            head = o_body.split(b"stream", 1)[0]
+            if not _SUBTYPE_FORM_RE.search(head):
+                continue  # /Image etc. — no text lives there
+            decoded = _object_stream_bytes(raw, o_body, o_off, bodies, crypt, ref)
+            if not decoded:
+                continue
+            fm = _MATRIX_RE.search(head)
+            fmat = (
+                tuple(_safe_float(g) for g in fm.groups()) if fm else _ID_MATRIX
+            )
+            total = _mat_compose(fmat, ctm)
+            fres = _dict_value(head, b"Resources", bodies)
+            own_fonts = fres is not None and _dict_value(fres, b"Font", bodies)
+            ffonts = (
+                _page_font_table(head, raw, objects, bodies, font_memo, crypt)
+                if own_fonts
+                else owner_fonts
+            )
+            out.append((decoded, ffonts, total))
+            if len(chain) < MAX_FORM_DEPTH:
+                _collect_forms(
+                    decoded, head, ffonts, raw, objects, bodies, font_memo,
+                    crypt, total, chain | {ref}, out,
+                )
+
+
 def _page_content_streams(
     raw: bytes, crypt=None
-) -> "list[tuple[bytes, dict | None, int, float, float]] | None":
+) -> "list[tuple[bytes, dict | None, int, float, float, list]] | None":
     """Walk the page tree → (decoded content-stream blob, font table,
     rotation, mediabox width, mediabox height) per page.
 
@@ -873,7 +1029,13 @@ def _page_content_streams(
             rot, mb_w, mb_h = _page_geometry(head, parent_heads)
             # multiple /Contents streams form ONE logical stream (PDF spec:
             # concatenated with whitespace between)
-            pages.append((b"\n".join(parts), fonts, rot, mb_w, mb_h))
+            blob = b"\n".join(parts)
+            forms: list = []
+            _collect_forms(
+                blob, head, fonts, raw, objects, bodies, font_memo, crypt,
+                _ID_MATRIX, frozenset(), forms,
+            )
+            pages.append((blob, fonts, rot, mb_w, mb_h, forms))
     return pages if pages else None
 
 
@@ -1005,9 +1167,16 @@ def parse_glyph_runs(raw: bytes, crypt=None) -> list[dict]:
     runs: list[dict] = []
     pages = _page_content_streams(raw, crypt)
     if pages is not None:
-        for page_no, (stream, fonts, rot, mb_w, mb_h) in enumerate(pages):
+        for page_no, (stream, fonts, rot, mb_w, mb_h, forms) in enumerate(pages):
             start = len(runs)
             _parse_text_ops(stream, page_no, runs, fonts)
+            # form-XObject text joins the page's runs in page space; the
+            # geometric reading-order sort then interleaves it exactly
+            # where a renderer displays it
+            for fstream, ffonts, fmat in forms:
+                fstart = len(runs)
+                _parse_text_ops(fstream, page_no, runs, ffonts)
+                _apply_matrix_to_runs(runs, fstart, fmat)
             if rot:
                 _rotate_runs_to_display(runs, start, rot, mb_w, mb_h)
         return runs

@@ -482,6 +482,21 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             b" EI Q " + page_streams[0][0]
         )
 
+    # ~9% of page-tree PDFs move page 0's ENTIRE content into a form
+    # XObject invoked via `/XF0 Do` (the letterhead/stamp/pdftex-overlay
+    # shape real generators emit; PyMuPDF splices these transparently).
+    # The whole page translates by a uniform (7, -11) — line grouping and
+    # reading order are invariant under a rigid shift, so the golden text
+    # is unchanged and byte-identity holds only if the kernel walks the
+    # form. crc bits pick the flavor: translation declared via the form's
+    # /Matrix vs a `cm` at the invocation; a nested form-in-form wrapper;
+    # and (custom docs) the form carrying its OWN /Resources /Font vs
+    # inheriting the page's. Zero rng draws for untriggered docs.
+    form_trig = use_tree and _crc % 11 == 4
+    v_matrix = (_crc // 11) % 2 == 1
+    v_nested = (_crc // 33) % 2 == 1
+    v_ownres = (_crc // 66) % 2 == 1
+
     def body_of(s: bytes, indirect_len_obj: int | None) -> tuple[bytes, int | None]:
         """(stream body with dict, compressed length if /Length is indirect).
 
@@ -565,8 +580,88 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 res_entry = b"/Resources %d 0 R " % rn
             else:
                 res_entry = b"/Resources " + font_dict + b" "
+        def form_stream_obj(s: bytes, extra: bytes) -> bytes:
+            """Form XObjects carry /Type /Subtype (and optional /Matrix,
+            /Resources) in the SAME dict as the filter entries, so the
+            generic body_of cannot emit them; ~half Flate-compress."""
+            if rng.random() < 0.5:
+                z = _zlib.compress(s, 6)
+                return (
+                    b"<< %s/Filter /FlateDecode /Length %d >>\nstream\n"
+                    % (extra, len(z)) + z + b"\nendstream"
+                )
+            return (
+                b"<< %s/Length %d >>\nstream\n" % (extra, len(s))
+                + s + b"\nendstream"
+            )
+
         page_obj_nums: list[int] = []
-        for streams in page_streams:
+        for p_idx, streams in enumerate(page_streams):
+            # rotated docs declare geometry on the page dict, or (half the
+            # time) inherit it from the parent /Pages node — both legal
+            # placements per ISO 32000-1 §7.7.3.4, both must decode
+            rot_entry = (
+                b"/Rotate 90 /MediaBox [0 0 612 792] "
+                if rotated and (_crc // 7) % 2 == 0
+                else b""
+            )
+            if p_idx == 0 and form_trig:
+                merged = b"\n".join(streams)
+                tx, ty = 7.0, -11.0
+                fnum = next_num
+                next_num += 1
+                extra = b"/Type /XObject /Subtype /Form "
+                if v_matrix:
+                    extra += b"/Matrix [1 0 0 1 %.1f %.1f] " % (tx, ty)
+                if custom and v_ownres:
+                    extra += (
+                        b"/Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> "
+                        % (f1, f2)
+                    )
+                objs[fnum] = form_stream_obj(merged, extra)
+                top = fnum
+                if v_nested:
+                    # wrapper form: own /XObject resources, a cm of (3, 5),
+                    # no text of its own; the page invocation compensates
+                    # so the composed translation stays exactly (tx, ty)
+                    wnum = next_num
+                    next_num += 1
+                    inner = b"q 1 0 0 1 3.0 5.0 cm /XF0 Do Q"
+                    objs[wnum] = form_stream_obj(
+                        inner,
+                        b"/Type /XObject /Subtype /Form "
+                        b"/Resources << /XObject << /XF0 %d 0 R >> >> " % fnum,
+                    )
+                    top = wnum
+                if v_matrix:
+                    invoke = (
+                        b"q 1 0 0 1 -3.0 -5.0 cm /XF0 Do Q"
+                        if v_nested
+                        else b"/XF0 Do"
+                    )
+                else:
+                    ix, iy = (tx - 3.0, ty - 5.0) if v_nested else (tx, ty)
+                    invoke = b"q 1 0 0 1 %.1f %.1f cm /XF0 Do Q" % (ix, iy)
+                cnum = next_num
+                next_num += 1
+                objs[cnum] = (
+                    b"<< /Length %d >>\nstream\n" % len(invoke)
+                    + invoke + b"\nendstream"
+                )
+                pnum = next_num
+                next_num += 1
+                font_part = (
+                    b"/Font << /F1 %d 0 R /F2 %d 0 R >> " % (f1, f2)
+                    if custom
+                    else b""
+                )
+                objs[pnum] = (
+                    b"<< /Type /Page /Parent 2 0 R %s/Resources << %s"
+                    b"/XObject << /XF0 %d 0 R >> >> /Contents %d 0 R >>"
+                    % (rot_entry, font_part, top, cnum)
+                )
+                page_obj_nums.append(pnum)
+                continue
             refs = []
             for s in streams:
                 snum = next_num
@@ -585,14 +680,6 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
                 b"/Contents %d 0 R" % refs[0]
                 if len(refs) == 1
                 else b"/Contents [%s]" % b" ".join(b"%d 0 R" % r for r in refs)
-            )
-            # rotated docs declare geometry on the page dict, or (half the
-            # time) inherit it from the parent /Pages node — both legal
-            # placements per ISO 32000-1 §7.7.3.4, both must decode
-            rot_entry = (
-                b"/Rotate 90 /MediaBox [0 0 612 792] "
-                if rotated and (_crc // 7) % 2 == 0
-                else b""
             )
             objs[pnum] = b"<< /Type /Page /Parent 2 0 R %s%s%s >>" % (
                 rot_entry, res_entry, contents,

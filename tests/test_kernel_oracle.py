@@ -597,7 +597,10 @@ def test_pdf_inline_image_corpus_occurs_and_never_leaks():
     extraction must stay byte-identical to the golden text for every one —
     i.e. the payload never surfaces and surrounding text is intact."""
     seen = 0
-    for i in range(1500):
+    # raw-byte detection misses docs where the form-XObject trigger ALSO
+    # fired and Flate-compressed the segment into the form stream (the
+    # corpus test for forms covers those), so scan a wider window
+    for i in range(2500):
         r = synth_row(SEED, i)
         if r["_kind"] != "pdf" or b"ZZINLINEGARBAGEZZ" not in r["html"]:
             continue
@@ -692,3 +695,138 @@ def test_pdf_rotated_corpus_occurs_both_placements():
         else:
             on_page += 1
     assert on_page >= 3 and on_parent >= 3, (on_page, on_parent)
+
+
+# --- form XObjects (/Subtype /Form invoked via Do) --------------------------
+
+
+def _form_pdf(content: bytes, xobjects: "dict[bytes, bytes]") -> bytes:
+    """One-page tree PDF whose /Resources /XObject carries `xobjects`
+    (name → full object body bytes, numbered from 5)."""
+    names = sorted(xobjects)
+    refs = b" ".join(
+        b"/%s %d 0 R" % (n, 5 + i) for i, n in enumerate(names)
+    )
+    parts = [
+        b"%PDF-1.4\n",
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject << "
+        + refs + b" >> >> /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream endobj\n",
+    ]
+    for i, n in enumerate(names):
+        parts.append(b"%d 0 obj %s endobj\n" % (5 + i, xobjects[n]))
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def _form_obj(stream: bytes, extra: bytes = b"") -> bytes:
+    return (
+        b"<< /Type /XObject /Subtype /Form %s/Length %d >>\nstream\n"
+        % (extra, len(stream)) + stream + b"\nendstream"
+    )
+
+
+def test_form_xobject_spliced_in_reading_order():
+    """Form text lands at its rendered position: the geometric sort
+    interleaves it between page lines, and /Subtype /Image XObjects are
+    never parsed (their unframed bodies may contain fake text ops)."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (alpha heading) Tj "
+        b"1 0 0 1 72 640 Tm (omega footer) Tj ET "
+        b"q 1 0 0 1 0 -40 cm /XF0 Do Q /IM0 Do"
+    )
+    form = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (middle via form) Tj ET"
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Length 46 >>\nstream\n"
+        b"BT 1 0 0 1 72 500 Tm (IMGGARBAGE) Tj ET xx\nendstream"
+    )
+    raw = _form_pdf(content, {b"XF0": _form_obj(form), b"IM0": img})
+    got = extract_document(raw)
+    assert got.parse_status == "ok"
+    # form line at 720-40=680 sorts between 720 and 640
+    assert got.extracted_text == "alpha heading\nmiddle via form\nomega footer"
+
+
+def test_form_xobject_matrix_scales_and_places():
+    """/Matrix applies to run geometry: a [2 0 0 2 10 20] form doubles the
+    font size and maps the origin through the affine."""
+    form = b"BT /F1 10 Tf 1 0 0 1 30 40 Tm (scaled) Tj ET"
+    raw = _form_pdf(
+        b"/XF0 Do", {b"XF0": _form_obj(form, b"/Matrix [2 0 0 2 10 20] ")}
+    )
+    runs = parse_glyph_runs(raw)
+    assert len(runs) == 1
+    r = runs[0]
+    assert r["origin"] == (2 * 30 + 10, 2 * 40 + 20)
+    assert r["font_size"] == 20.0
+
+
+def test_form_q_stack_scopes_cm():
+    """A cm inside a closed q..Q must NOT leak into a later Do."""
+    form = b"BT /F1 12 Tf 1 0 0 1 100 200 Tm (anchored) Tj ET"
+    raw = _form_pdf(
+        b"q 1 0 0 1 50 60 cm Q /XF0 Do", {b"XF0": _form_obj(form)}
+    )
+    runs = parse_glyph_runs(raw)
+    assert runs[0]["origin"] == (100.0, 200.0)
+
+
+def test_form_cycles_and_depth_terminate():
+    """A self-invoking form and an over-deep chain degrade to bounded
+    output, never an infinite loop or a blown stack."""
+    selfref = _form_obj(
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (once only) Tj ET /XF0 Do",
+        b"/Resources << /XObject << /XF0 5 0 R >> >> ",
+    )
+    got = extract_document(_form_pdf(b"/XF0 Do", {b"XF0": selfref}))
+    assert got.parse_status == "ok"
+    assert got.extracted_text == "once only"
+
+    # mutual recursion A->B->A also terminates (per-chain seen-set)
+    a = _form_obj(
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (from A) Tj ET /XB Do",
+        b"/Resources << /XObject << /XB 6 0 R >> >> ",
+    )
+    b = _form_obj(
+        b"BT /F1 12 Tf 1 0 0 1 72 650 Tm (from B) Tj ET /XA Do",
+        b"/Resources << /XObject << /XA 5 0 R >> >> ",
+    )
+    got = extract_document(_form_pdf(b"/XA Do", {b"XA": a, b"XB": b}))
+    assert got.parse_status == "ok"
+    # A invokes B; B's re-invocation of A is cut by the chain seen-set,
+    # and MAX_FORM_DEPTH bounds how many A/B alternations can stack
+    assert "from A" in got.extracted_text and "from B" in got.extracted_text
+
+
+def test_form_string_bytes_cannot_fake_do():
+    """`/XF0 Do` inside a show string is text, not an invocation."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (say /XF0 Do now) Tj ET"
+    form = b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (MUSTNOTAPPEAR) Tj ET"
+    raw = _form_pdf(content, {b"XF0": _form_obj(form)})
+    got = extract_document(raw)
+    assert got.extracted_text == "say /XF0 Do now"
+
+
+def test_pdf_form_xobject_corpus_byte_identity():
+    """The synthesizer moves page 0's whole content into a form XObject on
+    ~9% of tree PDFs (uniform (7,-11) translation via /Matrix or cm, with
+    nested and own-resources flavors); extraction stays byte-identical
+    corpus-wide and every flavor pair occurs."""
+    seen = 0
+    flavors = set()
+    for i in range(4000):
+        r = synth_row(SEED, i)
+        if r["_kind"] != "pdf" or b"/Subtype /Form" not in r["html"]:
+            continue
+        seen += 1
+        flavors.add(
+            (b"/Matrix" in r["html"], r["html"].count(b"/Subtype /Form") > 1)
+        )
+        got = extract_document(r["html"])
+        assert got.parse_status == "ok", (i, r["url"])
+        assert got.extracted_text == r["_golden"], (i, r["url"])
+    assert seen >= 5, seen
+    assert len(flavors) == 4, flavors
