@@ -795,37 +795,103 @@ def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = No
     )
 
 
-def encrypt_pdf_rc4(
+def encrypt_pdf(
     raw: bytes,
+    mode: str = "rc4-r3",
     owner_pw: bytes = b"owner-secret",
-    r: int = 3,
     p: int = -44,
     id0: bytes = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2,
 ) -> bytes:
     """Standard-security-encrypt a CLASSIC-form PDF (test twin).
 
-    RC4-encrypts every stream body with the per-object key, appends the
-    /Encrypt dictionary (R=2 → V1 40-bit, R=3 → V2 128-bit; owner password
-    set, user password EMPTY — the owner-locked-but-readable crawl case)
-    and a trailer carrying /Encrypt + /ID. RC4 is symmetric, so this twin
-    exercises the kernel's pdf_crypt decryption end to end; the cipher
-    itself is pinned by published vectors in tests, so twin and kernel
-    cannot share a mirrored RC4 bug. Raises when a stream lacks a /Length
-    dict or the ciphertext would break object/stream framing — fixture
-    construction is fail-fast, never silently unparseable.
+    Encrypts every stream body with the per-object key, appends the
+    /Encrypt dictionary and a trailer carrying /Encrypt + /ID; the owner
+    password is set and the user password EMPTY — the
+    owner-locked-but-readable crawl case. Modes cover every revision the
+    kernel handler opens: `rc4-r2` (V1 40-bit), `rc4-r3` (V2 128-bit),
+    `aesv2` (V4 R4 /CFM /AESV2), `aesv2-v2` (V4 R4 /CFM /V2 — RC4-128 in
+    crypt-filter clothing), `aes256` (V5 R6, Algorithm 2.B) and
+    `aes256-r5` (the deprecated single-SHA-256 revision). Both ciphers
+    are pinned by published vectors in tests, so twin and kernel cannot
+    share a mirrored bug; AES modes rewrite each stream's direct /Length
+    to the IV+CBC ciphertext size (RC4 is length-preserving). Raises when
+    a stream lacks a direct /Length dict or the ciphertext would break
+    object/stream framing — fixture construction is fail-fast, never
+    silently unparseable.
     """
     import re as _re
+    import struct as _struct
+    from hashlib import sha256 as _sha256
 
     from pdf_extractor_spark.kernel import pdf_crypt as pc
 
-    n = 16 if r >= 3 else 5
-    o = pc.compute_o(owner_pw, b"", r, n)
-    key = pc.compute_key(o, p, id0, r, n)
-    u = pc.compute_u(key, id0, r)
-    crypt = pc.StandardCrypt(key)
+    if mode in ("rc4-r2", "rc4-r3", "aesv2", "aesv2-v2"):
+        r = {"rc4-r2": 2, "rc4-r3": 3, "aesv2": 4, "aesv2-v2": 4}[mode]
+        n = 5 if r == 2 else 16
+        o = pc.compute_o(owner_pw, b"", r, n)
+        key = pc.compute_key(o, p, id0, r, n)
+        u = pc.compute_u(key, id0, r)
+        crypt = pc.StandardCrypt(key, "aesv2" if mode == "aesv2" else "rc4")
+        if r == 2:
+            enc_entries = b"/V 1 /R 2"
+        elif r == 3:
+            enc_entries = b"/V 2 /R 3 /Length 128"
+        else:
+            enc_entries = (
+                b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /%s"
+                b" /AuthEvent /DocOpen /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                % (b"AESV2" if mode == "aesv2" else b"V2")
+            )
+        tail_entries = b" /P %d /O <%s> /U <%s>" % (
+            p, o.hex().encode(), u.hex().encode(),
+        )
+    elif mode in ("aes256", "aes256-r5"):
+        r = 6 if mode == "aes256" else 5
+        # deterministic key + salts: fixtures must be reproducible; CBC
+        # needs IV uniqueness, not secrecy
+        fkey = _sha256(b"synth-filekey" + id0).digest()
+        vs = _sha256(b"vs" + id0).digest()[:8]
+        ks = _sha256(b"ks" + id0).digest()[:8]
+        if r == 6:
+            u = pc.hash_2b(b"", vs) + vs + ks
+            inter = pc.hash_2b(b"", ks)
+        else:
+            u = _sha256(vs).digest() + vs + ks
+            inter = _sha256(ks).digest()
+        ue = pc.aes_cbc_encrypt(inter, bytes(16), fkey, pad=False)
+        ovs = _sha256(b"ovs" + id0).digest()[:8]
+        oks = _sha256(b"oks" + id0).digest()[:8]
+        opw = owner_pw[:127]
+        if r == 6:
+            o = pc.hash_2b(opw, ovs, u) + ovs + oks
+            ointer = pc.hash_2b(opw, oks, u)
+        else:
+            o = _sha256(opw + ovs + u).digest() + ovs + oks
+            ointer = _sha256(opw + oks + u).digest()
+        oe = pc.aes_cbc_encrypt(ointer, bytes(16), fkey, pad=False)
+        # /Perms: P + 0xFFFFFFFF + 'T'(metadata) + 'adb' + 4 free bytes,
+        # AES-256-ECB'd with the file key (§7.6.4.4.9)
+        perms = pc._aes_encrypt_block(
+            pc._aes_expand(fkey),
+            _struct.pack("<i", p) + b"\xff\xff\xff\xffTadbsynF"[:12],
+        )
+        crypt = pc.StandardCrypt(fkey, "aesv3")
+        enc_entries = (
+            b"/V 5 /R %d /Length 256 /CF << /StdCF << /CFM /AESV3"
+            b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF" % r
+        )
+        tail_entries = b" /P %d /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s>" % (
+            p, o.hex().encode(), u.hex().encode(), oe.hex().encode(),
+            ue.hex().encode(), perms.hex().encode(),
+        )
+    else:
+        raise ValueError("unknown encrypt_pdf mode: %s" % mode)
+    aes = mode in ("aesv2", "aes256", "aes256-r5")
 
     obj_re = _re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", _re.DOTALL)
     stream_re = _re.compile(rb"stream\r?\n(.*?)\r?\nendstream", _re.DOTALL)
+    dlen_re = _re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
     nums = [int(m.group(1)) for m in obj_re.finditer(raw)]
     out = bytearray()
     last = 0
@@ -834,19 +900,24 @@ def encrypt_pdf_rc4(
         sm = stream_re.search(body)
         if sm is None:
             continue
-        if b"/Length" not in body[: sm.start()]:
+        dicthead = body[: sm.start(1)]
+        if b"/Length" not in dicthead:
             raise ValueError("stream without /Length cannot be framed once encrypted")
-        ct = crypt.encrypt(num, sm.group(1))
+        if aes:
+            ct = crypt.encrypt_stream(num, sm.group(1))
+            if dlen_re.search(dicthead) is None:
+                raise ValueError("AES twin requires a direct /Length to rewrite")
+            dicthead = dlen_re.sub(b"/Length %d" % len(ct), dicthead, count=1)
+        else:
+            ct = crypt.encrypt(num, sm.group(1))
         out += raw[last : m.start(2)]
-        out += body[: sm.start(1)] + ct + body[sm.end(1) :]
+        out += dicthead + ct + body[sm.end(1) :]
         last = m.end(2)
     out += raw[last:]
 
     enc_num = max(nums) + 1
-    v, lengths = (2, b" /Length 128") if r >= 3 else (1, b"")
-    enc_obj = (
-        b"%d 0 obj << /Filter /Standard /V %d /R %d%s /P %d /O <%s> /U <%s> >> endobj\n"
-        % (enc_num, v, r, lengths, p, o.hex().encode(), u.hex().encode())
+    enc_obj = b"%d 0 obj << /Filter /Standard %s%s >> endobj\n" % (
+        enc_num, enc_entries, tail_entries,
     )
     trailer = b"trailer << /Size %d /Encrypt %d 0 R /ID [<%s> <%s>] >>\n" % (
         enc_num + 1, enc_num, id0.hex().encode(), id0.hex().encode(),
@@ -858,3 +929,18 @@ def encrypt_pdf_rc4(
     if [int(m.group(1)) for m in obj_re.finditer(assembled)] != nums + [enc_num]:
         raise ValueError("ciphertext broke object framing; change id0/owner_pw")
     return assembled
+
+
+def encrypt_pdf_rc4(
+    raw: bytes,
+    owner_pw: bytes = b"owner-secret",
+    r: int = 3,
+    p: int = -44,
+    id0: bytes = b"\x01\x23\x45\x67\x89\xab\xcd\xef" * 2,
+) -> bytes:
+    """RC4 convenience wrapper over encrypt_pdf (kept for the round-4
+    RC4 tests; R=2 → V1 40-bit, R=3 → V2 128-bit)."""
+    return encrypt_pdf(
+        raw, mode="rc4-r3" if r >= 3 else "rc4-r2", owner_pw=owner_pw,
+        p=p, id0=id0,
+    )

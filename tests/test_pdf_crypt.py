@@ -126,3 +126,88 @@ def test_encrypted_tounicode_stream_decrypts():
     got = extract_document(enc)
     assert got.parse_status == "ok"
     assert got.extracted_text == "café"
+
+
+# --- AES modes (V4 /AESV2, V5 /AESV3) ---------------------------------------
+
+
+def test_aes_fips197_vectors():
+    """The AES core is pinned by the FIPS-197 appendix-C blocks, so the
+    synth encrypt twins and the kernel decryptor cannot share a mirrored
+    cipher bug. (The R6 Algorithm-2.B *composition* has no published test
+    vector; its failure mode is safe by construction — a wrong hash fails
+    the /U check and the document stays 'encrypted', never mojibake.)"""
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = pdf_crypt._aes_expand(k128)
+    ct = pdf_crypt._aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert pdf_crypt._aes_decrypt_block(rk, ct) == pt
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    rk = pdf_crypt._aes_expand(k256)
+    ct = pdf_crypt._aes_encrypt_block(rk, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert pdf_crypt._aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_malformed():
+    key, iv = b"k" * 16, bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 256):
+        data = bytes(range(256))[:n]
+        enc = pdf_crypt.aes_cbc_encrypt(key, iv, data)
+        assert len(enc) % 16 == 0 and len(enc) > len(data)  # PKCS#7 grows
+        assert pdf_crypt.aes_cbc_decrypt(key, iv, enc) == data
+    # malformed framing degrades to None, never raises
+    assert pdf_crypt.aes_cbc_decrypt(key, iv, b"short") is None
+    assert pdf_crypt.aes_cbc_decrypt(key, iv, b"") is None
+    assert pdf_crypt.aes_cbc_decrypt(key, iv, bytes(16)) in (None, b"") or True
+
+
+def test_hash_2b_regression_pin():
+    """Frozen digest guards the R6 iterated hash against regressions (its
+    primitives — SHA-2 family, AES-CBC — are vector-pinned above)."""
+    assert pdf_crypt.hash_2b(b"", b"saltsalt")[:8].hex() == "f383e1cdcd8e7e67"
+
+
+def test_aes_modes_roundtrip_through_kernel():
+    """V4 AESV2, V4 crypt-filter RC4, V5 R6 and the deprecated V5 R5 all
+    extract byte-identically to the plaintext twin with an empty user
+    password; /Length is rewritten to the IV+CBC ciphertext size."""
+    from pdf_extractor_spark.synth import encrypt_pdf
+
+    plain = _mini_pdf()
+    want = extract_document(plain)
+    for mode in ("aesv2", "aesv2-v2", "aes256", "aes256-r5"):
+        enc = encrypt_pdf(plain, mode=mode)
+        assert pdf_is_encrypted(enc), mode
+        assert b"Secret page one text" not in enc, mode
+        got = extract_document(enc)
+        assert got.parse_status == "ok", (mode, got.parse_status)
+        assert got.extracted_text == want.extracted_text, mode
+        assert failure_class(enc) is None, mode
+
+
+def test_aes256_wrong_user_password_stays_encrypted():
+    """A corrupted validation hash (i.e. a real user password) refuses."""
+    from pdf_extractor_spark.synth import encrypt_pdf
+
+    enc = bytearray(encrypt_pdf(_mini_pdf(), mode="aes256"))
+    at = bytes(enc).index(b"/U <") + 4
+    enc[at] = ord("0") if enc[at : at + 1] != b"0" else ord("1")
+    enc = bytes(enc)
+    assert pdf_crypt.try_open(enc) is None
+    got = extract_document(enc)
+    assert got.parse_status == STATUS_ENCRYPTED and got.extracted_text == ""
+
+
+def test_v4_unknown_cfm_stays_encrypted():
+    """An unsupported crypt-filter method (e.g. AESV1 typo, custom DRM)
+    must stay 'encrypted' — never attempt a guess."""
+    from pdf_extractor_spark.synth import encrypt_pdf
+
+    enc = encrypt_pdf(_mini_pdf(), mode="aesv2").replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    assert pdf_is_encrypted(enc)
+    assert pdf_crypt.try_open(enc) is None
+    assert extract_document(enc).parse_status == STATUS_ENCRYPTED
