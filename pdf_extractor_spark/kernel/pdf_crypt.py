@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import re
 import struct
+from functools import lru_cache
 from hashlib import md5, sha256, sha384, sha512
 
 # §7.6.3.3 padding string
@@ -348,10 +349,14 @@ def compute_key(
     return h[:n]
 
 
+@lru_cache(maxsize=64)
 def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 iterated hash
     (SHA-256 seed, then AES-128-CBC rounds steering between
-    SHA-256/384/512 until the ≥64-round termination test passes)."""
+    SHA-256/384/512 until the ≥64-round termination test passes).
+    Deliberately expensive (~0.2 s here); the cache collapses the
+    repeated validation+key derivations a single file needs — and, for
+    any (rare) salt collision across files, the whole derivation."""
     k = sha256(pw + salt + udata).digest()
     i = 0
     while True:

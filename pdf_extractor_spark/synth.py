@@ -497,6 +497,18 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     v_nested = (_crc // 33) % 2 == 1
     v_ownres = (_crc // 66) % 2 == 1
 
+    # ~1/13 of classic tree PDFs ship ENCRYPTED with an empty user password
+    # (the owner-locked crawl case the kernel decrypts from scratch),
+    # cycling through every supported revision. ObjStm docs are excluded —
+    # the classic-trailer twin cannot frame an xref-stream file (xref
+    # streams are never encrypted). Golden text is unchanged: decryption
+    # must be transparent, so corpus byte-identity proves the crypt path.
+    enc_trig = use_tree and not use_objstm and _crc % 13 == 6
+    enc_mode = (
+        "rc4-r3", "aesv2", "aes256", "rc4-r2", "aesv2-v2", "aes256-r5",
+    )[(_crc // 13) % 6]
+    aes_enc = enc_trig and enc_mode.startswith("aes")
+
     def body_of(s: bytes, indirect_len_obj: int | None) -> tuple[bytes, int | None]:
         """(stream body with dict, compressed length if /Length is indirect).
 
@@ -508,6 +520,10 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
         """
         draw = rng.random()
         if draw < 0.35:
+            if enc_trig:  # ciphertext framing needs an exact /Length
+                return (
+                    b"<< /Length %d >>\nstream\n" % len(s) + s + b"\nendstream"
+                ), None
             return b"stream\n" + s + b"\nendstream", None
         if draw < 0.65:
             z = _zlib.compress(s, 6)
@@ -666,7 +682,9 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             for s in streams:
                 snum = next_num
                 next_num += 1
-                use_indirect = rng.random() < 0.25
+                # AES twins must REWRITE /Length (IV + CBC padding grows
+                # the body), so those docs keep lengths direct
+                use_indirect = rng.random() < 0.25 and not aes_enc
                 len_obj = next_num if use_indirect else None
                 body, zlen = body_of(s, len_obj)
                 objs[snum] = body
@@ -713,6 +731,8 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             parts.append(body_bytes + b"\n")
         body = b"".join(parts)
     payload = b"%PDF-1.4\n" + body + b"%%EOF\n"
+    if enc_trig:
+        payload = encrypt_pdf(payload, mode=enc_mode)
     return payload, "\n".join(golden_lines)
 
 

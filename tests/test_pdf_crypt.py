@@ -211,3 +211,27 @@ def test_v4_unknown_cfm_stays_encrypted():
     assert pdf_is_encrypted(enc)
     assert pdf_crypt.try_open(enc) is None
     assert extract_document(enc).parse_status == STATUS_ENCRYPTED
+
+
+def test_encrypted_corpus_byte_identity():
+    """~1/13 of classic tree PDFs in the synth corpus ship encrypted with
+    an empty user password, cycling through every supported revision;
+    extraction must be byte-identical to the plaintext golden text —
+    decryption is transparent, or it is nothing."""
+    import re
+
+    from pdf_extractor_spark.synth import synth_row
+
+    revs = {}
+    for i in range(8000):
+        r = synth_row(42, i)
+        if r["_kind"] != "pdf" or b"/Encrypt" not in r["html"]:
+            continue
+        m = re.search(rb"/V (\d+) /R (\d+)", r["html"])
+        revs[m.groups()] = revs.get(m.groups(), 0) + 1
+        assert pdf_is_encrypted(r["html"]), r["url"]
+        got = extract_document(r["html"])
+        assert got.parse_status == "ok", (r["url"], got.parse_status)
+        assert got.extracted_text == r["_golden"], r["url"]
+    assert sum(revs.values()) >= 8, revs
+    assert len(revs) >= 3, revs  # several distinct revisions in-window
