@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+from hashlib import md5 as _md5
 
 import numpy as np
 
@@ -732,7 +733,14 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
         body = b"".join(parts)
     payload = b"%PDF-1.4\n" + body + b"%%EOF\n"
     if enc_trig:
-        payload = encrypt_pdf(payload, mode=enc_mode)
+        # per-document /ID (deterministic from the plaintext): real files
+        # carry unique IDs, so every encrypted doc derives its own keys
+        # and salts — a shared default ID would let pdf_crypt's KDF cache
+        # collapse the R6 derivation cost across files and understate the
+        # honest per-file decryption work in the bench
+        payload = encrypt_pdf(
+            payload, mode=enc_mode, id0=_md5(payload).digest()
+        )
     return payload, "\n".join(golden_lines)
 
 

@@ -235,3 +235,28 @@ def test_encrypted_corpus_byte_identity():
         assert got.extracted_text == r["_golden"], r["url"]
     assert sum(revs.values()) >= 8, revs
     assert len(revs) >= 3, revs  # several distinct revisions in-window
+
+
+def test_vectorized_cbc_decrypt_equals_scalar():
+    """The numpy inverse-cipher path (≥4 blocks) must byte-match the
+    scalar block loop on both key sizes, odd block counts, and the
+    unpad/no-unpad forms — the vectorization is a pure speedup, never a
+    semantic fork."""
+    import os
+
+    for key in (bytes(range(16)), bytes(range(32))):
+        rk = pdf_crypt._aes_expand(key)
+        for nblk in (4, 5, 17, 64):
+            data, iv = os.urandom(16 * nblk), os.urandom(16)
+            out, prev = bytearray(), iv
+            for i in range(0, len(data), 16):
+                blk = data[i : i + 16]
+                out += bytes(
+                    a ^ b
+                    for a, b in zip(pdf_crypt._aes_decrypt_block(rk, blk), prev)
+                )
+                prev = blk
+            assert pdf_crypt.aes_cbc_decrypt(key, iv, data, unpad=False) == bytes(out)
+            pt = os.urandom(16 * nblk - 7)
+            enc = pdf_crypt.aes_cbc_encrypt(key, iv, pt)
+            assert pdf_crypt.aes_cbc_decrypt(key, iv, enc) == pt
