@@ -41,6 +41,32 @@ from hashlib import md5, sha256, sha384, sha512
 
 import numpy as np
 
+# Optional C-speed cipher backend. The from-scratch implementations below
+# are the reference semantics and the always-available fallback (this repo
+# must run from a bare pyspark image); when the `cryptography` wheel is
+# present its OpenSSL AES/RC4 take over the raw cipher transforms —
+# ~100× on the R6 Algorithm 2.B KDF, which matters at crawl scale
+# (10^12 docs × ~0.15% encrypted ≈ 10^9 files; pure-Python KDF alone
+# would be ~10^3 CPU-days). Equality is pinned in tests, which run BOTH
+# paths in this environment.
+try:  # pragma: no cover - exercised via the equality-pin tests
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _CgCipher,
+        algorithms as _cg_algorithms,
+        modes as _cg_modes,
+    )
+
+    try:  # RC4 moved to the decrepit module in cryptography >= 43
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _CgARC4,
+        )
+    except ImportError:
+        _CgARC4 = getattr(_cg_algorithms, "ARC4", None)
+    _HAVE_CG = True
+except ImportError:
+    _CgCipher = _cg_algorithms = _cg_modes = _CgARC4 = None
+    _HAVE_CG = False
+
 # §7.6.3.3 padding string
 PAD = bytes(
     [
@@ -62,8 +88,21 @@ _ESC = {
 }
 
 
+# the only key sizes OpenSSL's ARC4 accepts (bytes); PDF keys are any
+# 5–16 bytes, so odd /Length values fall back to the pure path
+_ARC4_KEY_SIZES = frozenset((5, 7, 8, 10, 16, 20, 24, 32))
+
+
 def rc4(key: bytes, data: bytes) -> bytes:
-    """Plain RC4 (KSA + PRGA). Symmetric: encrypt == decrypt."""
+    """Plain RC4 (KSA + PRGA). Symmetric: encrypt == decrypt. OpenSSL's
+    ARC4 takes over when available AND the key length is one it accepts
+    (PDF /Length is any multiple of 8 bits — an 11-byte object key is
+    legal PDF but not an OpenSSL ARC4 size); other keys and the short
+    published-vector keys exercise the pure path, and an equality-pin
+    test locks the two together."""
+    if _HAVE_CG and _CgARC4 is not None and len(key) in _ARC4_KEY_SIZES:
+        enc = _CgCipher(_CgARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -270,6 +309,11 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> byt
         data += bytes([n]) * n
     elif len(data) % 16:
         raise ValueError("unpadded CBC input must be block-aligned")
+    if _HAVE_CG:
+        enc = _CgCipher(
+            _cg_algorithms.AES(key), _cg_modes.CBC(iv[:16])
+        ).encryptor()
+        return enc.update(data) + enc.finalize()
     rkw = _rk_words(_aes_expand(key))
     nw = len(data) // 4
     # one unpack/pack for the whole stream instead of four slices +
@@ -299,12 +343,22 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> b
     path, equality-pinned to it in tests."""
     if len(data) % 16 or (unpad and not data):
         return None
-    rk = _aes_expand(key)
-    if len(data) >= 64:
+    if not data:
+        return b""  # unpad=False with empty input
+    if len(iv) < 16:
+        return None  # malformed framing — degrade, never raise
+    if _HAVE_CG:
+        dec = _CgCipher(
+            _cg_algorithms.AES(key), _cg_modes.CBC(iv[:16])
+        ).decryptor()
+        out = bytearray(dec.update(data) + dec.finalize())
+    elif len(data) >= 64:
+        rk = _aes_expand(key)
         dec = _aes_ecb_decrypt_np(rk, data)
         prev = np.frombuffer(iv + data[:-16], dtype=np.uint8).reshape(-1, 16)
         out = bytearray((dec ^ prev).tobytes())
     else:
+        rk = _aes_expand(key)
         out = bytearray()
         prev = iv
         for i in range(0, len(data), 16):
@@ -395,9 +449,11 @@ def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 iterated hash
     (SHA-256 seed, then AES-128-CBC rounds steering between
     SHA-256/384/512 until the ≥64-round termination test passes).
-    Deliberately expensive (~0.2 s here); the cache collapses the
-    repeated validation+key derivations a single file needs — and, for
-    any (rare) salt collision across files, the whole derivation."""
+    Deliberately expensive per spec (~0.18 s on the pure-Python cipher,
+    ~2 ms via OpenSSL when `cryptography` is present); the cache
+    collapses the repeated validation+key derivations a single file
+    needs — and, for any (rare) salt collision across files, the whole
+    derivation."""
     k = sha256(pw + salt + udata).digest()
     i = 0
     while True:

@@ -260,3 +260,58 @@ def test_vectorized_cbc_decrypt_equals_scalar():
             pt = os.urandom(16 * nblk - 7)
             enc = pdf_crypt.aes_cbc_encrypt(key, iv, pt)
             assert pdf_crypt.aes_cbc_decrypt(key, iv, enc) == pt
+
+
+def test_openssl_backend_equals_pure(monkeypatch):
+    """When the optional `cryptography` wheel is present, OpenSSL handles
+    the raw RC4/AES transforms; every output must byte-match the
+    from-scratch fallback (which the FIPS/published vectors pin), so the
+    backend swap can never change extraction results."""
+    import os
+
+    if not pdf_crypt._HAVE_CG:
+        pytest.skip("cryptography not installed — pure path is the only path")
+
+    cases = []
+    for key in (bytes(range(5)), bytes(range(16)), bytes(range(32))):
+        data, iv = os.urandom(16 * 9 - 7), os.urandom(16)
+        cases.append(("rc4", key, None, os.urandom(100)))
+        if len(key) in (16, 32):
+            cases.append(("enc", key, iv, data))
+    pdf_crypt.hash_2b.cache_clear()
+    fast = [
+        (
+            pdf_crypt.rc4(k, d)
+            if kind == "rc4"
+            else pdf_crypt.aes_cbc_decrypt(k, iv, pdf_crypt.aes_cbc_encrypt(k, iv, d))
+        )
+        for kind, k, iv, d in cases
+    ]
+    fast_enc = [
+        pdf_crypt.aes_cbc_encrypt(k, iv, d)
+        for kind, k, iv, d in cases
+        if kind == "enc"
+    ]
+    fast_2b = pdf_crypt.hash_2b(b"", b"backend-pin")
+
+    monkeypatch.setattr(pdf_crypt, "_HAVE_CG", False)
+    pdf_crypt.hash_2b.cache_clear()
+    pure = [
+        (
+            pdf_crypt.rc4(k, d)
+            if kind == "rc4"
+            else pdf_crypt.aes_cbc_decrypt(k, iv, pdf_crypt.aes_cbc_encrypt(k, iv, d))
+        )
+        for kind, k, iv, d in cases
+    ]
+    pure_enc = [
+        pdf_crypt.aes_cbc_encrypt(k, iv, d)
+        for kind, k, iv, d in cases
+        if kind == "enc"
+    ]
+    pure_2b = pdf_crypt.hash_2b(b"", b"backend-pin")
+    pdf_crypt.hash_2b.cache_clear()
+
+    assert fast == pure
+    assert fast_enc == pure_enc
+    assert fast_2b == pure_2b
