@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round 3: 52 registered → the window drops x10_json_parse and
     # x12_ts_format, both rows+schema+hash-green in r1 AND r2).
     priority = [
+        "s4_excel_dim",            # new in round 4 (xlsx scan -> broadcast dim)
         "c4_filter_suite",         # new in round 4 (C4 heuristic cleaning)
         "url_canonical",           # new in round 4 (URL canonicalization collapse)
         "text_unigram_nll",        # new in round 4 (unigram LM quality score)

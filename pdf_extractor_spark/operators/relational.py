@@ -1161,3 +1161,110 @@ def dead_letter_triage(spark, sf_dir):
         )
         .orderBy("error_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4: Excel workbook scan → broadcast dimension (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+# Deterministic dimension content shared by the Spark side (written to a
+# real .xlsx and read back through sources_excel's from-scratch parser)
+# and the DuckDB oracle (inlined as a VALUES literal): the workbook
+# round-trip itself is inside the hash-verified path. The testdata's 25
+# nation names; weights are exact binary quarters so round(sum) can't
+# drift between engines; APPROVED mixes 'Y'/'y'/'n'/'' to exercise the
+# reference's fillna('')+upper()=='Y' filter (excel2training.py:150-153).
+_S4_NATIONS = ["NATION_%d" % i for i in range(25)]
+
+
+def _s4_dim_rows():
+    rows = []
+    for i, n in enumerate(sorted(_S4_NATIONS)):
+        tier = "T%d" % (len(n.replace(" ", "")) % 3)
+        approved = ("Y", "y", "n", "")[i % 4]
+        weight = None if i % 11 == 7 else ((len(n) * 7 + i) % 23) / 4.0
+        rows.append((n, tier, approved, weight))
+    return rows
+
+
+def _s4_grid():
+    """3-row schema block + data, reference shape (row 0 alternative
+    names with its label cell, row 1 extraction rules with its label,
+    row 2 headers — col 0 header left empty so the empty-header skip is
+    exercised), data rows 4+ with a sparse WEIGHT column."""
+    grid = [
+        ["Alternative Column Names", "nation name", "quality tier", None, None],
+        ["Column Extraction Rules", "uppercase", None, "Y/N flag", "quarters"],
+        [None, "N_NAME", "TIER", "APPROVED", "WEIGHT"],
+    ]
+    for n, tier, approved, weight in _s4_dim_rows():
+        grid.append([None, n, tier, approved if approved else None, weight])
+    return grid
+
+
+_S4_VALUES_SQL = ", ".join(
+    "('%s', '%s', '%s', %s)"
+    % (n, tier, approved, "NULL" if weight is None else repr(weight))
+    for n, tier, approved, weight in _s4_dim_rows()
+)
+
+
+@register(
+    "s4_excel_dim",
+    oracle=f"""
+    WITH dim(n_name, tier, approved, weight) AS (VALUES {_S4_VALUES_SQL})
+    SELECT d.tier AS tier,
+           count(*)                      AS customers,
+           round(sum(c.c_acctbal), 2)    AS acctbal,
+           round(sum(CAST(d.weight AS DOUBLE)), 2) AS wsum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN dim d ON n.n_name = d.n_name
+    WHERE upper(d.approved) = 'Y'
+    GROUP BY d.tier
+    """,
+    doc="S4 Excel scan → broadcast dim (reference "
+    "services/sharepoint_schema_builder.py:123-132 Graph usedRange fetch, "
+    "finetune_commands/excel2training.py:108-153 3-row schema + APPROVED "
+    "filter). The remote transport is dropped (SURVEY §7) but the workbook "
+    "FORMAT is parsed from scratch (sources_excel.py, stdlib zipfile + "
+    "ElementTree) — the Spark side writes the dim to a real .xlsx via the "
+    "synth twin and reads it back through that parser, then broadcast-joins "
+    "customers; the oracle carries the same dim as a VALUES literal, so the "
+    "xlsx write→parse round-trip sits INSIDE the hash-verified path. Scale: "
+    "dim workbooks are small config inputs — driver parse + broadcast, the "
+    "fact side never shuffles for the join.",
+)
+def s4_excel_dim(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pdf_extractor_spark import sources_excel
+    from pdf_extractor_spark.synth import write_xlsx
+
+    path = os.path.join(tempfile.gettempdir(), "pdfx_spark_s4_dim.xlsx")
+    tmp = path + ".tmp"
+    write_xlsx(_s4_grid(), tmp)
+    os.replace(tmp, path)  # atomic: concurrent query runs see a full file
+    rows = sources_excel.excel_rows_df(spark, path)
+    dim = (
+        rows.na.fill("")
+        .filter(F.upper("APPROVED") == "Y")
+        .select(
+            F.col("N_NAME").alias("n_name_dim"),
+            "TIER",
+            F.when(F.col("WEIGHT") != "", F.col("WEIGHT")).cast("double").alias("weight"),
+        )
+    )
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(dim), nat.n_name == dim.n_name_dim)
+        .groupBy(F.col("TIER").alias("tier"))
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+            F.round(F.sum("weight"), 2).alias("wsum"),
+        )
+    )

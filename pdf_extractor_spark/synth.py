@@ -972,3 +972,112 @@ def encrypt_pdf_rc4(
         raw, mode="rc4-r3" if r >= 3 else "rc4-r2", owner_pw=owner_pw,
         p=p, id0=id0,
     )
+
+
+def write_xlsx(grid: "list[list]", path: str | None = None) -> bytes:
+    """Minimal SpreadsheetML writer (test/fixture twin of
+    `sources_excel.read_xlsx_grid`): a ZIP with [Content_Types], rels,
+    workbook, one worksheet, and a sharedStrings part. Strings go through
+    the shared-string table (the form every real writer emits), bools as
+    t="b", numbers as plain <v>. Deterministic: same grid → same bytes
+    (fixed timestamps, stable shared-string order). Returns the bytes;
+    also writes `path` when given."""
+    import zipfile as _zipfile
+    from io import BytesIO as _BytesIO
+    from xml.sax.saxutils import escape as _xesc
+
+    shared: "dict[str, int]" = {}
+
+    def col_ref(c: int) -> str:
+        s = ""
+        c += 1
+        while c:
+            c, rem = divmod(c - 1, 26)
+            s = chr(65 + rem) + s
+        return s
+
+    rows_xml = []
+    for r, row in enumerate(grid):
+        cells = []
+        for c, val in enumerate(row):
+            if val is None or val == "":
+                continue
+            ref = f"{col_ref(c)}{r + 1}"
+            if isinstance(val, bool):
+                cells.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+            elif isinstance(val, (int, float)):
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            else:
+                idx = shared.setdefault(str(val), len(shared))
+                cells.append(f'<c r="{ref}" t="s"><v>{idx}</v></c>')
+        if cells:
+            rows_xml.append(f'<row r="{r + 1}">{"".join(cells)}</row>')
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>{"".join(rows_xml)}</sheetData></worksheet>'
+    )
+    sst_items = "".join(
+        f"<si><t>{_xesc(s)}</t></si>"
+        for s, _ in sorted(shared.items(), key=lambda kv: kv[1])
+    )
+    sst_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{ns}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        f"{sst_items}</sst>"
+    )
+    workbook_xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+        'package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    bio = _BytesIO()
+    with _zipfile.ZipFile(bio, "w", _zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", root_rels),
+            ("xl/workbook.xml", workbook_xml),
+            ("xl/_rels/workbook.xml.rels", wb_rels),
+            ("xl/worksheets/sheet1.xml", sheet_xml),
+            ("xl/sharedStrings.xml", sst_xml),
+        ):
+            zi = _zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            zi.compress_type = _zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    payload = bio.getvalue()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(payload)
+    return payload
