@@ -120,7 +120,13 @@ def read_xlsx_grid(src: str | bytes, sheet: str | None = None) -> list[list]:
         with zipfile.ZipFile(bio) as zf:
             shared = _shared_strings(zf)
             root = ET.fromstring(_sheet_part(zf, sheet))
-    except (zipfile.BadZipFile, ET.ParseError, KeyError) as e:
+    except ValueError:
+        raise  # our own fail-fast messages pass through unchanged
+    except Exception as e:
+        # corrupted containers surface as BadZipFile / zlib.error /
+        # ET.ParseError / EOFError / ... depending on WHERE the damage
+        # sits; a config-plane reader's contract is one fail-fast
+        # exception type, so everything converts to ValueError
         raise ValueError(f"malformed xlsx: {e}") from e
     cells: dict[tuple[int, int], object] = {}
     for r_el in root.iterfind(".//{*}row"):

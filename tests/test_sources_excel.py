@@ -204,3 +204,20 @@ def test_s4_query_broadcasts_dim(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert df.count() > 0
+
+
+def test_reader_total_on_mutated_workbooks():
+    """Config-plane inputs fail FAST (ValueError) but never crash with
+    anything else: byte-flip a valid workbook at every 37th offset and
+    assert the reader either parses a grid or raises ValueError."""
+    base = bytearray(write_xlsx([[None, "H"], ["x", 1.5], [True, "y"]]))
+    outcomes = {"ok": 0, "rejected": 0}
+    for off in range(0, len(base), 37):
+        mutated = bytes(base[:off]) + bytes([base[off] ^ 0xFF]) + bytes(base[off + 1 :])
+        try:
+            read_xlsx_grid(mutated)
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    assert outcomes["rejected"] > 0  # corruption is actually detected
+    assert sum(outcomes.values()) == len(range(0, len(base), 37))
