@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write chat-format JSONL training examples to DIR")
     p.add_argument("--min-examples", type=int, default=10,
                    help="fail if fewer training examples than this (with --training-out)")
+    p.add_argument("--approved-xlsx", metavar="FILE", default=None,
+                   help="reviewer workbook (3-row schema block; data rows "
+                        "carry URL and APPROVED columns) gating which docs "
+                        "become training examples (with --training-out)")
     p.add_argument("--export-warc", metavar="DIR", default=None,
                    help="re-export the INPUT pages as WARC archives to DIR "
                         "(one member-gzip file per partition + stdout manifest count)")
@@ -190,7 +194,11 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             write_training_examples(
-                spark, args.output, args.training_out, min_examples=args.min_examples
+                spark,
+                args.output,
+                args.training_out,
+                min_examples=args.min_examples,
+                approved_xlsx=args.approved_xlsx,
             )
         except TooFewExamplesError as exc:
             # A9 gate (reference: finetune_commands/train.py:276-281)

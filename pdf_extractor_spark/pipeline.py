@@ -444,7 +444,11 @@ class TooFewExamplesError(RuntimeError):
 
 
 def write_training_examples(
-    spark: SparkSession, extracted_dir: str, training_dir: str, min_examples: int = 10
+    spark: SparkSession,
+    extracted_dir: str,
+    training_dir: str,
+    min_examples: int = 10,
+    approved_xlsx: str | None = None,
 ) -> int:
     """S9/X11/A9: chat-format JSONL training sink over the extraction output.
 
@@ -453,6 +457,16 @@ def write_training_examples(
     overwrite mode), built as one codegen projection (to_json(struct(...)))
     and written with write.text — no driver-side loop, no UDF. The
     min-examples gate mirrors reference train.py:276-281.
+
+    `approved_xlsx` reproduces the reference's excel2training flow
+    (finetune_commands/excel2training.py:150-153, 261-330): a reviewer
+    workbook (3-row schema block + data rows carrying URL and APPROVED
+    columns) gates which documents become training examples — rows whose
+    APPROVED isn't 'Y'/'y' (NaN → '') are dropped via a broadcast
+    LEFT SEMI join on url, so the extraction table still scans exactly
+    once and never shuffles for the gate. A workbook missing either
+    column fails fast (ValueError), matching the reference's explicit
+    missing-APPROVED error.
 
     Single-pass protocol (round-2 verdict #4): the job writes to a STAGING
     dir while an `observe()` aggregation counts rows in the same pass — the
@@ -470,9 +484,29 @@ def write_training_examples(
     from pdf_extractor_spark.operators.textstats import build_training_example
 
     obs = Observation("training_gate")
+    kept = spark.read.parquet(extracted_dir).filter(
+        (F.col("parse_status") == "ok") & (F.length("extracted_text") > 0)
+    )
+    if approved_xlsx is not None:
+        from pdf_extractor_spark.sources_excel import excel_rows_df
+
+        wb = excel_rows_df(spark, approved_xlsx)
+        missing = {"URL", "APPROVED"} - set(wb.columns)
+        if missing:
+            raise ValueError(
+                "approved workbook is missing the %s column(s); it must "
+                "carry URL and APPROVED headers in its row-3 header line"
+                % ", ".join(sorted(missing))
+            )
+        approved = (
+            wb.na.fill("")
+            .filter(F.upper("APPROVED") == "Y")
+            .select(F.col("URL").alias("url"))
+            .distinct()
+        )
+        kept = kept.join(F.broadcast(approved), "url", "left_semi")
     examples = (
-        spark.read.parquet(extracted_dir)
-        .filter((F.col("parse_status") == "ok") & (F.length("extracted_text") > 0))
+        kept
         .select(
             build_training_example(
                 F.col("extracted_text"), F.struct(F.col("url").alias("url"))

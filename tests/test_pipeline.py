@@ -501,3 +501,56 @@ def test_build_training_corpus_redact_pii(spark, tmp_path):
     assert cs2.pii_redactions == 0
     assert "alice@example.com" in plain["https://a/1"].extracted_text
     assert "span_offsets" in plain["https://a/1"].__fields__
+
+
+def test_training_examples_approved_xlsx_gate(spark, out_dirs, tmp_path):
+    """The reference's excel2training flow (excel2training.py:150-153,
+    261-330): a reviewer workbook gates which docs become training
+    examples. Only rows whose APPROVED upper-cases to 'Y' survive; a
+    workbook without URL/APPROVED fails fast like the reference's
+    missing-APPROVED error."""
+    import json
+
+    from pdf_extractor_spark.pipeline import write_training_examples
+    from pdf_extractor_spark.synth import write_xlsx
+
+    out_dir, _ = out_dirs
+    ok_urls = sorted(
+        r.url
+        for r in spark.read.parquet(out_dir)
+        .filter((F.col("parse_status") == "ok") & (F.length("extracted_text") > 0))
+        .collect()
+    )
+    assert len(ok_urls) >= 4
+    # approve the first two (one lowercase 'y'), reject/blank the rest
+    grid = [
+        ["Alternative Column Names", "document link", None],
+        ["Column Extraction Rules", None, "Y/N"],
+        [None, "URL", "APPROVED"],
+        [None, ok_urls[0], "Y"],
+        [None, ok_urls[1], "y"],
+        [None, ok_urls[2], "n"],
+        [None, ok_urls[3], None],
+        [None, "https://never-extracted.example/x", "Y"],  # no matching doc
+    ]
+    wb_path = str(tmp_path / "approved.xlsx")
+    write_xlsx(grid, wb_path)
+    train_dir = str(tmp_path / "train_gated")
+    n = write_training_examples(
+        spark, out_dir, train_dir, min_examples=1, approved_xlsx=wb_path
+    )
+    lines = [r.value for r in spark.read.text(train_dir).collect()]
+    got_urls = sorted(
+        json.loads(json.loads(ln)["messages"][1]["content"])["url"] for ln in lines
+    )
+    assert n == 2 and got_urls == sorted(ok_urls[:2])
+
+    # fail-fast on a workbook without the required columns
+    bad = str(tmp_path / "bad.xlsx")
+    write_xlsx(
+        [[None, "x"], [None, "y"], [None, "NAME"], [None, "v"]], bad
+    )
+    with pytest.raises(ValueError, match="APPROVED"):
+        write_training_examples(
+            spark, out_dir, str(tmp_path / "t2"), min_examples=1, approved_xlsx=bad
+        )
