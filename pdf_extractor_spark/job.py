@@ -90,6 +90,22 @@ def main(argv: list[str] | None = None) -> int:
     from pdf_extractor_spark.synth import pages_df
 
     spark = get_spark(app_name="extract_job", master=args.master)
+    # under spark-submit the driver JVM already exists, so the session
+    # builder's spark.driver.memory cannot apply — and local[*] runs
+    # EVERYTHING in that one JVM. The stock 1g default OOMs large runs
+    # (observed: --synth 2000000 at local[16]); warn early instead of
+    # dying 2 minutes in. Fix: spark-submit --driver-memory 8g+.
+    try:
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        if heap < 4 << 30 and "local" in spark.sparkContext.master:
+            print(
+                "warning: driver JVM heap is %.1f GiB; local-mode executors "
+                "share it — pass --driver-memory to spark-submit for large "
+                "inputs" % (heap / (1 << 30)),
+                file=sys.stderr,
+            )
+    except Exception:
+        pass  # diagnostics only — never block the job on introspection
     t0 = time.time()
     if args.input:
         pages = spark.read.parquet(args.input)
