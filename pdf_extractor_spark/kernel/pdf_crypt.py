@@ -413,7 +413,13 @@ def _parse_pdf_string(tok: bytes) -> bytes | None:
 
 def _string_value(head: bytes, key: bytes) -> bytes | None:
     m = re.search(
-        re.escape(key) + rb"\s*(<[0-9A-Fa-f\s]*>|\([^)]*(?:\\.[^)]*)*\))", head
+        # [^)\\] (not [^)]) keeps the two alternatives disjoint — the
+        # overlapping form backtracks exponentially on an unterminated
+        # backslash-heavy string in a corrupt /Encrypt dict, and also
+        # mis-closes on an escaped \) — same unrolled-loop shape as the
+        # content-stream literal pattern
+        re.escape(key) + rb"\s*(<[0-9A-Fa-f\s]*>|\([^)\\]*(?:\\.[^)\\]*)*\))",
+        head,
     )
     return _parse_pdf_string(m.group(1)) if m else None
 

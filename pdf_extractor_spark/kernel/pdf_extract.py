@@ -97,7 +97,17 @@ _OP_RE = re.compile(
     rb"|(?P<tdx>" + _PDF_NUM + rb")\s+(?P<tdy>" + _PDF_NUM + rb")\s+T(?P<tdop>[dD])"
     rb"|(?P<tm>(?:" + _PDF_NUM + rb"\s+){5}" + _PDF_NUM + rb")\s+Tm"
     rb"|(?P<show>" + _LIT_STR + rb"|" + _HEX_STR + rb")\s*(?P<showop>Tj|')"
-    rb"|\[(?P<tjarr>(?:" + _LIT_STR + rb"|" + _HEX_STR + rb"|" + _PDF_NUM + rb"|\s)*)\]\s*TJ"
+    # the TJ body's alternatives are first-byte disjoint ('(', '<',
+    # [\d.+-], whitespace), so there is exactly ONE way to tile a given
+    # body — possessive quantifiers (*+ / ++) therefore accept the same
+    # language, but refuse to re-split it when the closing `]...TJ` is
+    # missing. Without them, an UNTERMINATED array in a corrupt/adversarial
+    # stream backtracks exponentially: a contiguous digit run of length n
+    # can split across [\d.+-]+ iterations 2^(n-1) ways, and the fuzz
+    # suite reproduced a single byte flip in a decrypted stream that
+    # turned one page into a 500+-second regex hang (a task-wedging DoS
+    # at crawl scale).
+    rb"|\[(?P<tjarr>(?:" + _LIT_STR + rb"|" + _HEX_STR + rb"|[\d.+-]++|\s++)*+)\]\s*TJ"
     rb"|(?P<tl>" + _PDF_NUM + rb")\s+TL",
     re.DOTALL,
 )
@@ -622,7 +632,12 @@ _INT_KEY_RE = {
     for key in (b"N", b"First", b"Size", b"Prev")
 }
 _W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
-_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+# possessive: \s* can match empty, so the non-possessive form lets a digit
+# run split across iterations 2^(n-1) ways — an unclosed /Index [ 1111…
+# in a corrupt xref dict would backtrack exponentially (same DoS shape the
+# fuzz suite caught in the TJ-array scan); maximal-munch tiling is unique,
+# so the accepted language is unchanged
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*+\d++)++)\s*\]")
 _OBJSTM_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 
 _MAX_XREF_CHAIN = 64  # /Prev chains are incremental saves; bound the walk

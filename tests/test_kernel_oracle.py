@@ -831,3 +831,33 @@ def test_pdf_form_xobject_corpus_byte_identity():
         assert got.extracted_text == r["_golden"], (i, r["url"])
     assert seen >= 5, seen
     assert len(flavors) == 4, flavors
+
+
+def test_redos_bombs_parse_in_bounded_time():
+    """Regex-backtracking DoS guards: each crafted payload previously (or
+    would otherwise) pinned a core for minutes; all must parse in well
+    under a second. Shapes: unterminated TJ array with many numbers,
+    unclosed /Index digit run in an xref dict, unterminated
+    backslash-heavy string in an /Encrypt dict."""
+    import time
+
+    tj_bomb = (
+        b"%PDF-1.4\nstream\nBT [" + b"(aaa) -123.45 " * 400 + b"1" * 120
+        + b" ET\nendstream\n%%EOF"
+    )
+    index_bomb = (
+        b"%PDF-1.4\n1 0 obj << /Type /XRef /Index [ " + b"1" * 80
+        + b" /W [1 2 2] >> stream\nxx\nendstream endobj\nstartxref\n9\n%%EOF"
+    )
+    crypt_bomb = (
+        b"%PDF-1.4\ntrailer << /Encrypt 1 0 R >>\n1 0 obj << /Filter"
+        b" /Standard /V 2 /R 3 /U (" + b"\\\\" * 2000 + b"\n>> endobj\n%%EOF"
+    )
+    for name, payload in (
+        ("tj", tj_bomb), ("index", index_bomb), ("crypt", crypt_bomb)
+    ):
+        t0 = time.perf_counter()
+        got = extract_document(payload)
+        dt = time.perf_counter() - t0
+        assert dt < 2.0, (name, dt)
+        assert isinstance(got.extracted_text, str)

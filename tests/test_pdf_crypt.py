@@ -315,3 +315,42 @@ def test_openssl_backend_equals_pure(monkeypatch):
     assert fast == pure
     assert fast_enc == pure_enc
     assert fast_2b == pure_2b
+
+
+def test_mutated_encrypted_pdfs_never_raise():
+    """Byte-flip every supported-revision encrypted corpus doc at a stride
+    of offsets: the kernel must stay TOTAL over damaged crypt structures
+    (truncated /U, corrupted /Encrypt dict, flipped ciphertext, broken CBC
+    framing) — each mutation extracts, degrades, or classifies
+    'encrypted'/'failed', never raises out of extract_document."""
+    from pdf_extractor_spark.synth import synth_row
+
+    seen_revs = set()
+    docs = []
+    for i in range(8000):
+        r = synth_row(42, i)
+        if r["_kind"] != "pdf" or b"/Encrypt" not in r["html"]:
+            continue
+        import re
+
+        m = re.search(rb"/V (\d+) /R (\d+)", r["html"])
+        if m.groups() in seen_revs:
+            continue
+        seen_revs.add(m.groups())
+        docs.append(r["html"])
+    assert len(docs) >= 3  # several distinct revisions fuzzed
+    mutations = 0
+    for enc in docs:
+        for off in range(0, len(enc), 211):
+            mutated = (
+                bytes(enc[:off]) + bytes([enc[off] ^ 0xFF]) + bytes(enc[off + 1 :])
+            )
+            got = extract_document(mutated)  # must not raise
+            assert isinstance(got.extracted_text, str)
+            mutations += 1
+        # structural damage beyond single flips
+        for mutated in (enc[: len(enc) // 2], enc.replace(b"/U <", b"/U (", 1)):
+            got = extract_document(mutated)
+            assert isinstance(got.extracted_text, str)
+            mutations += 2
+    assert mutations > 50
