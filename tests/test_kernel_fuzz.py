@@ -260,3 +260,43 @@ def test_strip_inline_images_total_and_never_grows(data):
     # a second pass finds nothing new to do on image-free output
     if b"BI" not in out:
         assert _strip_inline_images(out) == out
+
+
+def test_mutation_fuzz_corpus_docs_bounded_time():
+    """Byte-flip mutation fuzz over REAL corpus docs of every structural
+    flavor (classic tree, ObjStm/xref-stream, forms, rotation, filters,
+    encryption, HTML): random bytes almost never form semi-valid
+    structures, so mutating VALID documents is what actually reaches the
+    deep parser paths — this exact technique caught a 500-second regex
+    backtracking hang in the TJ-array scan (fixed with possessive
+    quantifiers). Every mutation must parse deterministically, without
+    raising, in bounded time."""
+    import time
+
+    from pdf_extractor_spark.synth import synth_row
+
+    # pick a structurally diverse sample: first N PDFs + some HTML
+    pdfs, htmls = [], []
+    i = 0
+    while (len(pdfs) < 14 or len(htmls) < 4) and i < 4000:
+        r = synth_row(42, i)
+        i += 1
+        if r["_kind"] == "pdf" and len(pdfs) < 14:
+            pdfs.append(r["html"])
+        elif r["_kind"] == "html" and len(htmls) < 4:
+            htmls.append(r["html"])
+    assert len(pdfs) == 14 and len(htmls) == 4
+    mutations = 0
+    for doc in pdfs + htmls:
+        stride = max(1, len(doc) // 12)  # ~12 flips per doc, spread out
+        for off in range(7, len(doc), stride):
+            mutated = (
+                bytes(doc[:off]) + bytes([doc[off] ^ 0x5A]) + bytes(doc[off + 1 :])
+            )
+            t0 = time.perf_counter()
+            got = extract_document(mutated)
+            dt = time.perf_counter() - t0
+            assert dt < 5.0, (off, len(doc), dt)
+            assert got.parse_status in STATUSES | {"encrypted"}
+            mutations += 1
+    assert mutations > 150
