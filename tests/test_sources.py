@@ -513,3 +513,42 @@ def test_warc_job_end_to_end(spark, tmp_path):
     assert stats.docs_processed == 60
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.select("url").distinct().count() == 60
+
+
+def test_warc_scanner_mutation_fuzz_bounded():
+    """Byte-flip mutation fuzz over a realistic multi-record archive
+    (plain + member-gzip): every mutation must scan to completion in
+    bounded time without raising — the scanner's contract is fewer/
+    degraded records, never a wedged task (the round-3 negative-length
+    busy-loop is this class)."""
+    import datetime as dt
+    import time
+
+    from pdf_extractor_spark.sources import parse_warc_records
+
+    rows = [
+        {
+            "url": "https://m/%d" % i,
+            "warc_ts": dt.datetime(2024, 3, 4, 5, 6, i),
+            "html": (b"<html><p>record %d body text</p></html>" % i) * 3,
+        }
+        for i in range(6)
+    ]
+    from pdf_extractor_spark.sources import encode_warc_record
+
+    for gz in (False, True):
+        raw = b"".join(
+            encode_warc_record(r["url"], r["warc_ts"], r["html"], gz) for r in rows
+        )
+        stride = max(1, len(raw) // 60)  # ~60 flips across the archive
+        for off in range(3, len(raw), stride):
+            mutated = (
+                bytes(raw[:off]) + bytes([raw[off] ^ 0xA5]) + bytes(raw[off + 1 :])
+            )
+            t0 = time.perf_counter()
+            recs = parse_warc_records(mutated)
+            dt_s = time.perf_counter() - t0
+            assert dt_s < 5.0, (gz, off, dt_s)
+            assert len(recs) <= len(rows) + 1  # never invents extra records
+            for r in recs:
+                assert isinstance(r["url"], str)
