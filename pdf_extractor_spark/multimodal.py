@@ -131,7 +131,19 @@ def _decode_png(payload: bytes):
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} unsupported"
         )
-    raw = zlib.decompress(idat)
+    # validate DECLARED dimensions before doing dimension-proportional
+    # work: a flipped IHDR byte (mutation fuzz reproducer) or a crafted
+    # bomb can declare ~2^31-pixel rows, and both the un-filter loop and
+    # the inflate would otherwise burn attacker-controlled CPU/memory.
+    # 2^28 bytes ≈ a 9000×9000 RGBA frame — far above any training-corpus
+    # thumbnail, far below a wedged task.
+    expected = (w * channels + 1) * h
+    if w == 0 or h == 0 or expected > 1 << 28:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)  # cap output: inflate-bomb defense
+    if len(raw) != expected:
+        raise ValueError("PNG pixel data does not match declared dimensions")
     px = np.frombuffer(
         png_unpredict(raw, channels, 8, w), np.uint8, h * w * channels
     ).reshape(h, w, channels)

@@ -232,3 +232,41 @@ def test_jpeg_skipped_unless_pillow():
             multimodal.decode_payload(fake_jpeg)
     else:  # pragma: no cover - Pillow present
         pytest.skip("Pillow installed; JPEG path covered by real decode")
+
+
+def test_real_decoders_total_on_mutated_media():
+    """Byte-flip fuzz over valid PNG and WAV payloads: _decode_real either
+    returns a decoded plane/wave or raises (callers catch and mark the row
+    ok=false) — but it must fail FAST, never hang or kill the process.
+    Corrupt media is routine in a crawl."""
+    import io
+    import time
+    import wave as _wave
+
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import _decode_real
+
+    arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    png = _encode_png(arr)
+    bio = io.BytesIO()
+    with _wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.arange(400, dtype="<i2").tobytes())
+    wav = bio.getvalue()
+    for payload in (png, wav):
+        stride = max(1, len(payload) // 40)
+        for off in range(0, len(payload), stride):
+            mutated = (
+                bytes(payload[:off])
+                + bytes([payload[off] ^ 0x81])
+                + bytes(payload[off + 1 :])
+            )
+            t0 = time.perf_counter()
+            try:
+                _decode_real(mutated)
+            except Exception:
+                pass  # callers degrade the row; the contract here is speed
+            assert time.perf_counter() - t0 < 5.0, off
