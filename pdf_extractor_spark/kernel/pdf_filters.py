@@ -110,6 +110,13 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     out = bytearray()
     bitbuf = 0
     nbits = 0
+    # expansion-bomb defense: legitimate PDF LZW ratios are single-digit
+    # (text) to low-hundreds (predictor-friendly raster rows); a crafted
+    # stream that builds a maximal table and replays its longest entries
+    # expands ~2700× per spec — and QUADRATICALLY if the decoder keeps
+    # appending past the 4096-entry spec cap. Breach → ValueError → the
+    # stream is skipped (failures are data), the task survives.
+    max_out = max(1 << 20, 256 * len(data))
     for byte in data:
         bitbuf = (bitbuf << 8) | byte
         nbits += 8
@@ -134,13 +141,22 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                     entry = prev + prev[:1]  # the KwKwK case
                 else:
                     raise ValueError(f"LZW code {code} beyond table")
-                table.append(prev + entry[:1])
-                # early change: the encoder widens one entry before the
-                # table fills (libtiff semantics) — the decoder's table
-                # holds next_code entries, so widen at (1<<width) - early
-                if len(table) + early_change >= (1 << width) and width < 12:
-                    width += 1
+                # spec cap: the encoder must clear at 4096 entries
+                # (ISO 32000-1 §7.4.4.2); libtiff-style deferred-clear
+                # streams keep USING the full table, so tolerate the
+                # missing clear but never grow past it — unbounded
+                # appends are what turn expansion quadratic
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    # early change: the encoder widens one entry before
+                    # the table fills (libtiff semantics) — the decoder's
+                    # table holds next_code entries, so widen at
+                    # (1<<width) - early
+                    if len(table) + early_change >= (1 << width) and width < 12:
+                        width += 1
             out += entry
+            if len(out) > max_out:
+                raise ValueError("LZW output exceeds plausible expansion")
             prev = entry
     return bytes(out)
 

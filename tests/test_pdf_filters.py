@@ -239,3 +239,49 @@ def test_apply_filters_malformed_raises_value_error():
     ]:
         with pytest.raises(ValueError):
             apply_filters(bad, names, [])
+
+
+def test_lzw_expansion_bomb_rejected_fast():
+    """A crafted LZW stream that builds a maximal table and replays its
+    longest entries must hit the output cap (ValueError → stream skipped)
+    in bounded time — and a full table must never grow further (past the
+    4096-entry spec cap the expansion turns quadratic)."""
+    import time
+
+    # grow the table with a KwKwK chain: after the first literal, code
+    # len(table) repeatedly extends the previous entry by one byte
+    codes = [65]  # literal 'A'
+    next_code = 258
+    while next_code < 4200:  # try to push PAST the spec cap
+        codes.append(next_code)
+        next_code += 1
+    # then replay the longest entry many times
+    codes += [4000] * 50000
+
+    def pack(codes):
+        out = bitbuf = nbits = 0
+        buf = bytearray()
+        width = 9
+        table_len = 258
+        for c in codes:
+            bitbuf = (bitbuf << width) | c
+            nbits += width
+            while nbits >= 8:
+                buf.append((bitbuf >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+            table_len += 1
+            if table_len + 1 >= (1 << width) and width < 12:
+                width += 1
+            if table_len >= 4096:
+                table_len = 4096  # encoder stops growing; width stays 12
+        if nbits:
+            buf.append((bitbuf << (8 - nbits)) & 0xFF)
+        return bytes(buf)
+
+    from pdf_extractor_spark.kernel import pdf_filters
+
+    payload = pack(codes)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        pdf_filters.lzw_decode(payload)
+    assert time.perf_counter() - t0 < 5.0
