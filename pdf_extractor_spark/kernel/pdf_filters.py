@@ -437,10 +437,22 @@ def apply_filters(
     for pos, name in enumerate(names):
         pd = parms[pos] if pos < len(parms) else {}
         if name == b"FlateDecode":
+            # inflate-bomb defense. Deflate's expansion is capped at
+            # ~1032:1 by the format, so the hazard scales with INPUT
+            # size: a ~300 MB crafted member legally inflates to ~300 GB
+            # and kills the executor. An ABSOLUTE cap is the meaningful
+            # bound — 256 MiB is orders of magnitude above any real
+            # text-bearing content/xref stream; past it the stream
+            # degrades to skipped and the task survives.
+            max_out = 1 << 28
+            d = zlib.decompressobj()
             try:
-                stream = zlib.decompress(stream)
+                out = d.decompress(stream, max_out)
             except zlib.error as e:
                 raise ValueError(f"bad Flate stream: {e}") from None
+            if d.unconsumed_tail:
+                raise ValueError("Flate output exceeds plausible expansion")
+            stream = out
         elif name == b"LZWDecode":
             stream = lzw_decode(stream, pd.get(b"EarlyChange", 1))
         elif name == b"ASCIIHexDecode":

@@ -285,3 +285,25 @@ def test_lzw_expansion_bomb_rejected_fast():
     with pytest.raises(ValueError):
         pdf_filters.lzw_decode(payload)
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_flate_bomb_rejected_fast():
+    """A 1000:1 zlib bomb (zeros) must hit the expansion cap → ValueError
+    (stream skipped), not gigabytes of memory inside one task; a
+    legitimately compressed stream far under the cap still decodes."""
+    import time
+
+    from pdf_extractor_spark.kernel.pdf_filters import apply_filters
+
+    # deflate caps expansion at ~1032:1, so the defense is the ABSOLUTE
+    # 256 MiB output cap: 300 MiB of zeros compress to ~300 KiB but must
+    # refuse to inflate past the cap
+    bomb = zlib.compress(b"\x00" * (300 << 20), 6)
+    assert len(bomb) < 2 << 20
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="expansion"):
+        apply_filters(bomb, [b"FlateDecode"], [{}])
+    assert time.perf_counter() - t0 < 5.0
+
+    legit = zlib.compress(b"BT (hello) Tj ET " * 100, 6)
+    assert apply_filters(legit, [b"FlateDecode"], [{}]) == b"BT (hello) Tj ET " * 100
