@@ -270,6 +270,13 @@ def png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     rowlen = (colors * bpc * columns + 7) // 8
     if rowlen <= 0:
         raise ValueError("bad predictor columns")
+    if rowlen > len(data):
+        # /DecodeParms is attacker bytes: Columns=10^9 on a tiny stream
+        # would otherwise allocate GiB-scale row buffers (prev + the
+        # ragged-tail pad) and loop over them per row. A legitimate
+        # stream carries at least one full (1 + rowlen)-byte row, so
+        # this bound costs nothing real.
+        raise ValueError("predictor row longer than stream")
     out = bytearray()
     prev = bytearray(rowlen)
     i = 0

@@ -307,3 +307,25 @@ def test_flate_bomb_rejected_fast():
 
     legit = zlib.compress(b"BT (hello) Tj ET " * 100, 6)
     assert apply_filters(legit, [b"FlateDecode"], [{}]) == b"BT (hello) Tj ET " * 100
+
+
+def test_predictor_columns_bomb_rejected_fast():
+    """/DecodeParms is attacker bytes: a huge /Columns on a tiny stream
+    must fail fast (ValueError → stream skipped), never allocate
+    row-width buffers; xref-stream parsing and apply_filters share the
+    same guard."""
+    import time
+
+    from pdf_extractor_spark.kernel.pdf_filters import apply_filters, png_unpredict
+
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        png_unpredict(b"\x02" * 64, 1, 8, 10**9)
+    small = zlib.compress(b"\x00" * 64, 6)
+    with pytest.raises(ValueError):
+        apply_filters(
+            small,
+            [b"FlateDecode"],
+            [{b"Predictor": 12, b"Columns": 999999999}],
+        )
+    assert time.perf_counter() - t0 < 2.0
