@@ -72,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --corpus-out: scrub emails/phones/IPs from the "
                         "corpus text (typed placeholders; drops span_offsets, "
                         "which would be stale after substitution)")
+    p.add_argument("--strip-dup-spans", action="store_true",
+                   help="with --corpus-out: remove cross-document duplicated "
+                        "word spans (Lee et al. 2021 exact-substring dedup at "
+                        "5-gram granularity) — each shared span survives only "
+                        "in its min-url owner; drops span_offsets, which "
+                        "would be stale after removal")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
                         "payloads (url, error_class, payload head) to DIR for "
@@ -183,13 +189,16 @@ def main(argv: list[str] | None = None) -> int:
         from pdf_extractor_spark.pipeline import build_training_corpus
 
         cs = build_training_corpus(
-            spark, args.output, args.corpus_out, redact_pii=args.redact_pii
+            spark, args.output, args.corpus_out, redact_pii=args.redact_pii,
+            strip_dup_spans=args.strip_dup_spans,
         )
         print(
-            "corpus: %d in -> %d quality -> %d deduped%s (%s)"
+            "corpus: %d in -> %d quality -> %d deduped%s%s (%s)"
             % (
                 cs.docs_in, cs.docs_quality, cs.docs_corpus,
                 ", %d PII redactions" % cs.pii_redactions if args.redact_pii else "",
+                ", %d dup-span words stripped" % cs.dup_span_words_dropped
+                if args.strip_dup_spans else "",
                 args.corpus_out,
             ),
             file=sys.stderr,

@@ -627,3 +627,140 @@ def dedup_substring(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- exact-substring span REMOVAL (Lee et al. 2021 transform) ---------------
+
+
+def strip_duplicate_substrings(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = _SUB_N,
+) -> "DataFrame":
+    """Remove cross-document duplicated word spans, keeping each span in
+    exactly ONE document (the minimum-id owner), and reassemble the
+    surviving words in order.
+
+    This promotes `dedup_substring`'s *signal* (the duplicated-gram
+    fraction) to the Lee et al. 2021 'Deduplicating Training Data Makes
+    Language Models Better' *transform*: any word n-gram occurring in more
+    than one document is a duplicated span; the document with the smallest
+    id that contains it keeps its text untouched for that span, every
+    other document drops ALL words covered by that gram. Overlapping
+    shared grams union their covered positions, so a 40-word span shared
+    by k docs is stripped wholesale from k-1 of them (its 36 overlapping
+    5-grams tile every position) while unique text is untouched —
+    byte-identical on reassembly. Word granularity stands in for the
+    paper's suffix-array byte granularity; the ownership rule is the
+    reference's keep-one-winner dedup discipline (reference
+    sync_to_onedrive.py:311-329) applied at span granularity.
+
+    Scale shape (10^12 docs): gram table = one row-local array transform +
+    posexplode (linear in corpus tokens); shared grams = one hash-groupBy
+    on the 32-hex gram key with map-side partial agg; the strip set is an
+    equi-join of grams against shared keys followed by a bounded ×n
+    position explode; the final reassembly is one groupBy on the doc id.
+    No windows, no UDFs, no driver materialization, no pairwise joins —
+    the gram key bounds candidate work exactly like the LSH band key.
+
+    Returns (id_col, clean_text, n_kept, n_dropped) — n_* count words.
+    """
+    d = docs.filter(F.length(F.trim(text_col)) > 0).select(
+        id_col, F.split(F.trim(text_col), r"[ \t\n\r\f\x0B]+").alias("ws")
+    )
+    # sequence(0, stop<0) runs DESCENDING in Spark — short docs need the
+    # explicit empty branch (no grams, every word kept)
+    gram_arr = F.expr(
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"transform(sequence(0, size(ws)-{n}), "
+        f"i -> md5(array_join(slice(ws, i+1, {n}), ' '))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    grams = d.select(id_col, F.posexplode(gram_arr).alias("i", "h"))
+    shared = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("nd"),
+            F.min(id_col).alias("owner"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("h", "owner")
+    )
+    strip = (
+        grams.join(shared, "h")
+        .filter(F.col(id_col) != F.col("owner"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("wpos"),
+        )
+        .distinct()
+    )
+    words = d.select(id_col, F.posexplode("ws").alias("wpos", "w"))
+    flagged = words.join(
+        strip.withColumn("_dup", F.lit(1)), [id_col, "wpos"], "left"
+    )
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("wpos", "w"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "dedup_substring_strip",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), words AS (
+      SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS wpos
+      FROM docs
+    ), grams AS (
+      SELECT doc_id, i,
+             md5(list_aggregate(ws[i+1:i+{_SUB_N}], 'string_agg', ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(range(greatest(len(ws)-{_SUB_N}+1, 0))) AS i
+            FROM docs)
+    ), shared AS (
+      SELECT h, min(doc_id) AS owner
+      FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ), strip AS (
+      SELECT DISTINCT g.doc_id, g.i + u.k AS wpos
+      FROM grams g JOIN shared s USING (h),
+           unnest(range(0, {_SUB_N})) AS u(k)
+      WHERE g.doc_id <> s.owner
+    ), flagged AS (
+      SELECT w.doc_id, w.wpos, w.w,
+             CASE WHEN st.wpos IS NULL THEN 0 ELSE 1 END AS dup
+      FROM words w LEFT JOIN strip st
+        ON st.doc_id = w.doc_id AND st.wpos = w.wpos
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN dup = 0 THEN w END, ' ' ORDER BY wpos), '') AS clean_text,
+           CAST(sum(1 - dup) AS BIGINT) AS n_kept,
+           CAST(sum(dup) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Exact-substring span REMOVAL (Lee et al. 2021, word-5-gram "
+    "granularity): every cross-document duplicated 5-gram survives only in "
+    "its min-doc_id owner; all covered word positions are stripped from the "
+    "losers and each document is reassembled from its surviving words in "
+    "order — the transform the dedup_substring SIGNAL feeds. distinct-gram "
+    "hash-groupBy → equi-join strip → per-doc regroup; linear in corpus "
+    "tokens, no windows, no UDFs (see strip_duplicate_substrings).",
+)
+def dedup_substring_strip(spark, sf_dir):
+    return strip_duplicate_substrings(
+        load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    ).orderBy("doc_id")

@@ -315,6 +315,7 @@ class CorpusStats:
     docs_quality: int
     docs_corpus: int  # after exact dedup
     pii_redactions: int = 0  # total placeholder substitutions (redact only)
+    dup_span_words_dropped: int = 0  # words removed by span dedup (strip only)
 
 
 def build_training_corpus(
@@ -322,6 +323,7 @@ def build_training_corpus(
     extracted_dir: str,
     corpus_dir: str,
     redact_pii: bool = False,
+    strip_dup_spans: bool = False,
 ) -> CorpusStats:
     """Corpus builder: extraction output → quality filter → exact dedup →
     deduplicated corpus table, in ONE action.
@@ -336,6 +338,12 @@ def build_training_corpus(
     projection + one shuffle on the text hash at any scale; funnel counts
     (in → quality → deduped) come from observe() on the same action — no
     extra scans.
+
+    `strip_dup_spans=True` additionally removes cross-document duplicated
+    word spans (Lee et al. 2021 exact-substring dedup, 5-gram granularity;
+    see operators/dedup.py strip_duplicate_substrings) — each shared span
+    survives only in its min-url owner document; the per-doc removed-word
+    count lands in the funnel and `span_offsets` is dropped as stale.
 
     `redact_pii=True` additionally scrubs emails/phones/IPs from
     `extracted_text` (typed placeholders, pure regexp expressions riding
@@ -365,6 +373,27 @@ def build_training_corpus(
         .agg(F.min_by(F.struct(*data_cols), F.col("url")).alias("_w"))
         .select("text_hash", "_w.*")
     )
+    n_span_words = F.sum(F.lit(0)).cast("long")
+    if strip_dup_spans:
+        from pdf_extractor_spark.operators.dedup import strip_duplicate_substrings
+
+        # Lee et al. 2021 exact-substring removal ON TOP of exact dedup:
+        # cross-document duplicated word spans survive only in their min-url
+        # owner. The strip's gram/strip/reassembly shuffles join back on url
+        # (1:1 — url is unique after the dedup agg), so the whole chain is
+        # still one write action. Spans change the text, so span_offsets
+        # (offsets into the ORIGINAL text) would be stale and is dropped.
+        stripped = strip_duplicate_substrings(
+            corpus, id_col="url", text_col="extracted_text"
+        ).select(
+            "url",
+            F.col("clean_text").alias("extracted_text"),
+            F.col("n_dropped").alias("dup_span_words"),
+        )
+        corpus = corpus.drop("extracted_text").join(stripped, "url")
+        if "span_offsets" in corpus.columns:
+            corpus = corpus.drop("span_offsets")
+        n_span_words = F.sum("dup_span_words").cast("long")
     n_redact = F.sum(F.lit(0)).cast("long")
     if redact_pii:
         from pdf_extractor_spark.operators.curation import redact_pii as _scrub
@@ -382,7 +411,10 @@ def build_training_corpus(
             corpus = corpus.drop("span_offsets")
         n_redact = F.sum("pii_redactions")
     corpus = corpus.observe(
-        obs_out, F.count(F.lit(1)).alias("n"), n_redact.alias("n_redact")
+        obs_out,
+        F.count(F.lit(1)).alias("n"),
+        n_redact.alias("n_redact"),
+        n_span_words.alias("n_span_words"),
     )
     corpus.write.mode("overwrite").parquet(corpus_dir)
     return CorpusStats(
@@ -390,6 +422,7 @@ def build_training_corpus(
         int(obs_in.get["n_quality"] or 0),
         int(obs_out.get["n"]),
         int(obs_out.get["n_redact"] or 0),
+        int(obs_out.get["n_span_words"] or 0),
     )
 
 

@@ -296,6 +296,51 @@ def test_strip_duplicate_lines_removes_shared_footer(spark):
     assert all(footer in r.clean_text for r in out_few.values())
 
 
+def test_strip_duplicate_substrings_keeps_one_owner(spark):
+    """Lee-et-al. span removal: a 40-word span shared by 3 docs survives in
+    EXACTLY one (the min-id owner, byte-identical there); the other two
+    lose every covered word; unique text is byte-identical everywhere."""
+    from pdf_extractor_spark.operators.dedup import strip_duplicate_substrings
+
+    span = " ".join(f"shared{i}" for i in range(40))
+    docs = [
+        (0, f"alpha opening zero {span} alpha closing zero"),
+        (1, f"beta opening one beta middle one {span}"),
+        (2, f"{span} gamma closing two gamma end two"),
+        (3, "delta page with entirely unique words only here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_duplicate_substrings(df).collect()}
+
+    # owner (doc 0) keeps the span byte-identically inside its own text
+    assert out[0].clean_text == docs[0][1]
+    assert out[0].n_dropped == 0
+    # losers lose exactly the 40 span words; their unique words survive
+    # in order, byte-identical
+    assert out[1].clean_text == "beta opening one beta middle one"
+    assert out[1].n_dropped == 40 and out[1].n_kept == 6
+    assert out[2].clean_text == "gamma closing two gamma end two"
+    assert out[2].n_dropped == 40 and out[2].n_kept == 6
+    # the span survives in exactly one document
+    assert sum("shared0" in r.clean_text for r in out.values()) == 1
+    # a doc with no shared grams is untouched
+    assert out[3].clean_text == docs[3][1] and out[3].n_dropped == 0
+
+    # overlap semantics: two docs sharing only a 5-gram strip just that
+    # gram's words from the non-owner, not neighbors
+    pair = spark.createDataFrame(
+        [
+            (10, "u1 u2 c1 c2 c3 c4 c5 u3 u4"),
+            (11, "v1 v2 v3 c1 c2 c3 c4 c5 v4"),
+        ],
+        "doc_id long, text string",
+    )
+    pout = {r.doc_id: r for r in strip_duplicate_substrings(pair).collect()}
+    assert pout[10].clean_text == "u1 u2 c1 c2 c3 c4 c5 u3 u4"
+    assert pout[11].clean_text == "v1 v2 v3 v4"
+    assert pout[11].n_dropped == 5
+
+
 def test_trained_ivf_beats_untrained_recall(spark):
     """Lloyd-trained coarse quantizer must dominate the integer-centroid
     stand-in on recall@3 vs the brute-force cosine ground truth — the

@@ -503,6 +503,53 @@ def test_build_training_corpus_redact_pii(spark, tmp_path):
     assert "span_offsets" in plain["https://a/1"].__fields__
 
 
+def test_build_training_corpus_strip_dup_spans(spark, tmp_path):
+    """--strip-dup-spans corpus mode: a word span shared by two documents
+    survives only in the min-url owner, the removed-word count reaches the
+    funnel stats, and span_offsets (stale after removal) is dropped."""
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    span = " ".join(f"boiler{i}" for i in range(12))
+    rows = [
+        (
+            "https://a/1",
+            f"Totally unique opening prose sentence with many tokens. {span}",
+            "[]",
+            "ok",
+        ),
+        (
+            "https://b/1",
+            f"{span} Another page whose remaining prose is entirely unique.",
+            "[]",
+            "ok",
+        ),
+    ]
+    src = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        rows,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus_strip")
+    cs = build_training_corpus(spark, src, out, strip_dup_spans=True)
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    # min-url owner keeps the span byte-identically; the loser loses it
+    assert got["https://a/1"].extracted_text == rows[0][1]
+    assert got["https://b/1"].extracted_text == (
+        "Another page whose remaining prose is entirely unique."
+    )
+    assert cs.dup_span_words_dropped == 12
+    assert got["https://b/1"].dup_span_words == 12
+    assert "span_offsets" not in got["https://a/1"].__fields__
+
+    out2 = str(tmp_path / "corpus_keep")
+    cs2 = build_training_corpus(spark, src, out2, strip_dup_spans=False)
+    plain = {r.url: r for r in spark.read.parquet(out2).collect()}
+    assert cs2.dup_span_words_dropped == 0
+    assert span in plain["https://b/1"].extracted_text
+    assert "span_offsets" in plain["https://b/1"].__fields__
+
+
 def test_training_examples_approved_xlsx_gate(spark, out_dirs, tmp_path):
     """The reference's excel2training flow (excel2training.py:150-153,
     261-330): a reviewer workbook gates which docs become training
