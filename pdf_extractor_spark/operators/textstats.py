@@ -432,3 +432,162 @@ def text_unigram_nll(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- hashed-ngram linear quality classifier (fastText/DCLM family) ----------
+
+_CLF_BUCKETS = 256  # hashed feature space; md5-top-byte bucket, engine-portable
+_CLF_ALPHA = 1.0  # Laplace smoothing
+
+# first two hex digits of md5(feature) -> bucket in [0, 256): the portable
+# Spark∩DuckDB hex-digit construction (same trick as dedup_simhash /
+# sample_stratified)
+_BUCKET_SPARK = (
+    "CAST((instr('0123456789abcdef', substr(md5(CAST(f AS BINARY)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(f AS BINARY)), 2, 1)) - 1) AS INT)"
+)
+_BUCKET_SQL = (
+    "CAST((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) AS INT)"
+)
+
+
+def hashed_ngram_features(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, f, bucket) rows: word unigrams + bigrams of the lowercased
+    whitespace-split text, hashed into _CLF_BUCKETS buckets.
+
+    The fastText feature map (bag of words + word-ngrams, hashed to a fixed
+    table) as a row-local array transform + one posexplode — linear in
+    corpus tokens, no UDFs. Feature strings are namespaced ('u|' / 'b|') so
+    a unigram can't collide with a bigram except through the hash itself.
+    """
+    d = df.filter(F.length(F.trim(text_col)) > 0).select(
+        id_col,
+        F.split(F.trim(F.lower(text_col)), r"[ \t\n\r\f\x0B]+").alias("ws"),
+    )
+    uni = F.transform("ws", lambda w: F.concat(F.lit("u|"), w))
+    # sequence(0, stop<0) runs DESCENDING in Spark — 1-word docs need the
+    # explicit empty branch
+    big = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws)-2), i -> concat('b|', ws[i], ' ', ws[i+1])) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    return d.select(id_col, F.explode(F.concat(uni, big)).alias("f")).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK)
+    )
+
+
+def train_hashed_ngram_weights(spark, train_feats, pos_col: str = "pos"):
+    """Closed-form training of the hashed-ngram linear scorer: per-bucket
+    log-odds weights w_b = ln P(b|pos) - ln P(b|neg), Laplace-smoothed —
+    multinomial naive Bayes over hashed features, which IS a linear
+    classifier of the fastText family, trained in one aggregation pass
+    (deterministic, no SGD, oracle-expressible — the text_unigram_nll
+    discipline applied to supervised scoring).
+
+    `train_feats` carries (bucket, pos_col boolean). Returns a complete
+    _CLF_BUCKETS-row (bucket, wt) table — a broadcast-sized dim at any
+    corpus scale; training cost is one hash-groupBy on bucket with map-side
+    partial agg, linear in training tokens.
+    """
+    counts = train_feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col(pos_col), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col(pos_col), 1).otherwise(0)).alias("nn"),
+    )
+    spine = spark.range(_CLF_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    full = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nn", F.lit(0)).alias("nn"),
+        )
+    )
+    tot = full.agg(F.sum("np").alias("tp"), F.sum("nn").alias("tn"))
+    a, b = float(_CLF_ALPHA), float(_CLF_ALPHA * _CLF_BUCKETS)
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("np") + a) / (F.col("tp") + b))
+            - F.log((F.col("nn") + a) / (F.col("tn") + b))
+        ).alias("wt"),
+    )
+
+
+def score_hashed_ngram(feats, weights, id_col: str = "doc_id"):
+    """Score each document as the MEAN per-feature log-odds weight — the
+    linear classifier's length-normalized decision value (score > 0 reads
+    'positive class'). The weight table is a ≤_CLF_BUCKETS-row broadcast
+    dim, so the corpus side never shuffles to score; the only exchange is
+    the per-doc mean."""
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.avg("wt"), 4).alias("score"),
+            (F.avg("wt") > 0).alias("pred_pos"),
+        )
+    )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), f AS (
+      SELECT doc_id, 'u|' || w AS f
+      FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+      UNION ALL
+      SELECT doc_id, 'b|' || ws[i+1] || ' ' || ws[i+2] AS f
+      FROM (SELECT doc_id, ws, unnest(range(len(ws)-1)) AS i FROM d)
+    ), fb AS (
+      SELECT doc_id, {_BUCKET_SQL} AS bucket FROM f
+    ), lab AS (
+      SELECT doc_id, (lang = 'en') AS pos FROM documents
+    ), tr AS (
+      SELECT fb.bucket, lab.pos FROM fb JOIN lab USING (doc_id)
+      WHERE doc_id % 3 = 0
+    ), cnt AS (
+      SELECT b.bucket,
+             coalesce(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0) AS np,
+             coalesce(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END), 0) AS nn
+      FROM (SELECT unnest(range({_CLF_BUCKETS})) AS bucket) b
+      LEFT JOIN tr ON tr.bucket = b.bucket
+      GROUP BY 1
+    ), tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM cnt),
+    w AS (
+      SELECT bucket,
+             ln((np + {float(_CLF_ALPHA)}) / (tp + {float(_CLF_ALPHA * _CLF_BUCKETS)}))
+             - ln((nn + {float(_CLF_ALPHA)}) / (tn + {float(_CLF_ALPHA * _CLF_BUCKETS)})) AS wt
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT fb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(avg(wt), 4) AS score,
+           avg(wt) > 0 AS pred_pos
+    FROM fb JOIN w USING (bucket)
+    GROUP BY fb.doc_id ORDER BY fb.doc_id
+    """,
+    doc="Hashed-ngram linear quality classifier (fastText/DCLM-style model-"
+    "based filtering, Joulin et al. 2016 / Li et al. 2024): word unigram + "
+    "bigram features hashed to 256 buckets, per-bucket log-odds weights "
+    "trained IN-JOB on a deterministic labeled slice (doc_id %% 3 == 0, "
+    "label = lang=='en'), every document scored by mean feature weight. "
+    "Training is one hash-groupBy on bucket; scoring joins a 256-row "
+    "broadcast weight dim — the corpus never shuffles to score. The DuckDB "
+    "oracle unrolls the SAME training as CTEs, so the driver hash-verifies "
+    "the training, not a frozen weight snapshot (the ann_ivf_trained "
+    "discipline).",
+)
+def text_quality_classifier(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(d)
+    labels = d.select("doc_id", (F.col("lang") == "en").alias("pos"))
+    train = feats.join(labels, "doc_id").filter(F.col("doc_id") % 3 == 0)
+    weights = train_hashed_ngram_weights(spark, train)
+    return score_hashed_ngram(feats, weights).orderBy("doc_id")

@@ -341,6 +341,78 @@ def test_strip_duplicate_substrings_keeps_one_owner(spark):
     assert pout[11].n_dropped == 5
 
 
+def test_hashed_ngram_classifier_separates_boilerplate(spark):
+    """The trained hashed-ngram scorer must separate boilerplate-heavy
+    pages from content pages on a fixture DESIGNED so the heuristic stack
+    cannot: every doc passes the Gopher windows (word count, mean word
+    length, stopword evidence, repetition), so heuristics score 50% — the
+    classifier, trained on half the docs, must get >=90% held out. This is
+    the point of model-based quality filtering (fastText/DCLM) on top of
+    heuristics."""
+    import random
+
+    from pdf_extractor_spark.operators.textstats import (
+        _GOPHER_MAX_DUP2,
+        _GOPHER_MAX_MWL,
+        _GOPHER_MIN_MWL,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPS,
+        hashed_ngram_features,
+        score_hashed_ngram,
+        train_hashed_ngram_weights,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    content = ("report quarterly revenue grew while margins held steady the "
+               "board approved a dividend and analysts expect growth in new "
+               "markets next year of modest scale").split()
+    boiler = ("accept cookies manage privacy settings subscribe newsletter "
+              "sign in trending footer navigation menu copyright rights "
+              "reserved terms of service contact about careers sitemap").split()
+    docs = []
+    for i in range(80):
+        is_content = i % 2 == 0
+        pool = content if is_content else (boiler * 2 + content)
+        words = [rng.choice(pool) for _ in range(40)]
+        # guarantee stopword evidence in every doc so the heuristic rule
+        # can never separate on it
+        words[0] = "the"
+        docs.append((i, " ".join(words), is_content))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    truth = {i: c for i, t, c in docs}
+
+    # heuristic stack is blind here: every doc passes all four Gopher rules
+    for i, t, _ in docs:
+        ws = t.split()
+        mwl = sum(len(w) for w in ws) / len(ws)
+        from collections import Counter
+
+        big = Counter(zip(ws, ws[1:]))
+        dup2 = sum(c for c in big.values() if c > 1) / sum(big.values())
+        assert len(ws) >= _GOPHER_MIN_WORDS
+        assert _GOPHER_MIN_MWL <= mwl <= _GOPHER_MAX_MWL
+        assert any(w in _GOPHER_STOPS for w in ws)
+        assert dup2 <= _GOPHER_MAX_DUP2
+
+    feats = hashed_ngram_features(df)
+    labels = spark.createDataFrame(
+        [(i, c) for i, t, c in docs], "doc_id long, pos boolean"
+    )
+    train = feats.join(labels, "doc_id").filter(F.col("doc_id") % 4 < 2)
+    weights = train_hashed_ngram_weights(spark, train)
+    held = {
+        r.doc_id: r.pred_pos
+        for r in score_hashed_ngram(feats, weights).collect()
+        if r.doc_id % 4 >= 2
+    }
+    acc = sum(held[i] == truth[i] for i in held) / len(held)
+    print(f"hashed-ngram classifier held-out accuracy: {acc:.2f} (heuristics: 0.50)")
+    assert acc >= 0.9
+
+
 def test_trained_ivf_beats_untrained_recall(spark):
     """Lloyd-trained coarse quantizer must dominate the integer-centroid
     stand-in on recall@3 vs the brute-force cosine ground truth — the
