@@ -76,14 +76,15 @@ _SHINGLE_SQL = f"""
 """
 
 
-def _shingles(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    t = _norm(F.col("text"))
+def shingle_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, s) distinct char-8-gram shingles at stride 4 over normalized
+    text — the feature base of the MinHash family, over ANY doc frame."""
+    t = _norm(F.col(text_col))
     return (
-        d.select("doc_id", t.alias("t"))
+        docs.select(id_col, t.alias("t"))
         .filter(F.length("t") >= 8)
         .select(
-            "doc_id",
+            id_col,
             # DuckDB range() is stop-EXCLUSIVE, Spark sequence() is inclusive:
             # use stop-1 here so both emit identical stride positions.
             F.explode(
@@ -91,8 +92,45 @@ def _shingles(spark, sf_dir):
             ).alias("i"),
             "t",
         )
-        .select("doc_id", F.expr("substr(t, CAST(i AS INT), 8)").alias("s"))
+        .select(id_col, F.expr("substr(t, CAST(i AS INT), 8)").alias("s"))
         .distinct()
+    )
+
+
+def _shingles(spark, sf_dir):
+    return shingle_frame(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+def minhash_band_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, band, band_key) MinHash-LSH band table over a document frame —
+    the DEDUP STATE a crawl pipeline persists between snapshots (k=12
+    seed-salted md5 minhashes, 4 bands × 3 rows; identical construction to
+    dedup_minhash_lsh's inline form). Persist this table per snapshot and
+    feed it to incremental_dedup_candidates so the next crawl never
+    re-shingles committed documents — the T1/T2 control-table discipline
+    applied to dedup state."""
+    sh = shingle_frame(docs, id_col, text_col)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k")
+    sig = (
+        sh.select(id_col, "s", ks)
+        .select(
+            id_col,
+            "k",
+            F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("s")).cast("binary")).alias("h"),
+        )
+        .groupBy(id_col, "k")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        sig.withColumn("band", (F.col("k") / 3).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]), "|").cast("binary")
+            ).alias("band_key")
+        )
     )
 
 
@@ -165,26 +203,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "as hex string is portable across engines (lexicographic = bytewise).",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
-    ks = F.explode(F.sequence(F.lit(0), F.lit(11))).alias("k")
-    sig = (
-        sh.select("doc_id", "s", ks)
-        .select(
-            "doc_id",
-            "k",
-            F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("s")).cast("binary")).alias("h"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        sig.withColumn("band", (F.col("k") / 3).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(F.transform(F.array_sort(F.collect_list(F.struct("k", "mh"))), lambda s: s["mh"]), "|").cast("binary")
-            ).alias("band_key")
-        )
+    bands = minhash_band_table(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -764,3 +784,93 @@ def dedup_substring_strip(spark, sf_dir):
     return strip_duplicate_substrings(
         load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     ).orderBy("doc_id")
+
+
+# --- incremental dedup against a prior snapshot -----------------------------
+
+
+def incremental_dedup_candidates(new_bands, old_bands, id_col: str = "doc_id"):
+    """Candidate near-dup pairs for a NEW crawl snapshot: new-vs-OLD via an
+    equi-join of the new snapshot's bands against the PERSISTED band table
+    (minhash_band_table output — the old documents' text is never re-read,
+    let alone re-shingled), plus new-vs-new within the fresh snapshot.
+
+    This is how real crawls dedup: each incremental snapshot is checked
+    against the accumulated corpus state, not by rescanning the corpus
+    (the T1 resume discipline applied to dedup). Both legs are (band,
+    band_key) equi-joins — at 10^12 accumulated docs the state table is
+    4 rows/doc keyed by a 32-hex band key, and the join shuffles ONLY the
+    new snapshot plus the state partitions it touches; candidate work
+    stays bounded by bucket collisions exactly as in dedup_minhash_lsh.
+
+    Returns (da, db, kind): da a new-snapshot id; db the matched old id
+    (kind='vs_old') or a later new id (kind='new').
+    """
+    n = new_bands.select(F.col(id_col).alias("da"), "band", "band_key")
+    o = old_bands.select(F.col(id_col).alias("db"), "band", "band_key")
+    vs_old = (
+        n.join(o, ["band", "band_key"])
+        .select("da", "db")
+        .distinct()
+        .withColumn("kind", F.lit("vs_old"))
+    )
+    b = new_bands.select(F.col(id_col).alias("db"), "band", "band_key")
+    vs_new = (
+        n.join(b, ["band", "band_key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .withColumn("kind", F.lit("new"))
+    )
+    return vs_old.unionAll(vs_new)
+
+
+def _band_cte_sql(name: str, pred: str) -> str:
+    """DuckDB CTE chain mirroring minhash_band_table over documents
+    WHERE `pred` — exposes the final band table as CTE `name`."""
+    return f"""
+    {name}_sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS s
+      FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE {pred}),
+           unnest(range(1, greatest(length(t) - 6, 2), 4)) AS u(i)
+      WHERE length(t) >= 8
+    ),
+    {name}_sig AS (
+      SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
+      FROM {name}_sh, unnest(range(0, 12)) AS kk(k)
+      GROUP BY doc_id, k
+    ),
+    {name} AS (
+      SELECT doc_id, CAST(k // 3 AS INT) AS band,
+             md5(string_agg(mh, '|' ORDER BY k)) AS band_key
+      FROM {name}_sig GROUP BY doc_id, band
+    )"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_band_cte_sql("oldb", "doc_id < 300")},
+    {_band_cte_sql("newb", "doc_id >= 300")}
+    SELECT DISTINCT n.doc_id AS da, o.doc_id AS db, 'vs_old' AS kind
+    FROM newb n JOIN oldb o
+      ON n.band = o.band AND n.band_key = o.band_key
+    UNION ALL
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, 'new' AS kind
+    FROM newb a JOIN newb b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="Incremental dedup vs a prior snapshot (round-4 verdict #7): the "
+    "documents table split at doc_id 300 into an OLD snapshot (whose "
+    "persisted MinHash band table is the only thing consulted — see "
+    "minhash_band_table / incremental_dedup_candidates) and a NEW crawl; "
+    "candidates are new-vs-old plus new-vs-new, each a (band, band_key) "
+    "equi-join, never a rescan of old text. The two-snapshot persistence "
+    "mechanics (state written to parquet, old docs' text absent) are "
+    "pinned by tests/test_operators.py.",
+)
+def dedup_incremental(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    old_bands = minhash_band_table(d.filter(F.col("doc_id") < 300))
+    new_bands = minhash_band_table(d.filter(F.col("doc_id") >= 300))
+    return incremental_dedup_candidates(new_bands, old_bands)

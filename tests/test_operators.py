@@ -318,6 +318,55 @@ def test_strip_duplicate_substrings_keeps_one_owner(spark):
     assert pout[11].n_dropped == 5
 
 
+def test_incremental_dedup_uses_persisted_band_state(spark, tmp_path):
+    """Two-snapshot incremental dedup: the OLD snapshot's MinHash band
+    table is persisted to parquet; the NEW crawl's candidates against it
+    come from the STATE alone (old text never re-read — only the band
+    table exists on disk), and new-vs-new pairs are caught within the
+    fresh snapshot. The T1 control-table discipline applied to dedup."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.dedup import (
+        incremental_dedup_candidates,
+        minhash_band_table,
+    )
+
+    base = ("the quarterly filing describes revenue growth across all "
+            "segments with stable operating margins and a cautious outlook "
+            "for the coming fiscal year in every geography")
+    old_docs = spark.createDataFrame(
+        [(1, base), (2, "an entirely different page about gardening tools "
+                        "and seasonal planting schedules for home growers")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "band_state")
+    minhash_band_table(old_docs).write.parquet(state)
+
+    new_docs = spark.createDataFrame(
+        [
+            (10, base),  # recrawl duplicate of old doc 1
+            (11, "a fresh unique article on deep sea exploration vessels "
+                 "and the sonar mapping of trenches no crawler has seen"),
+            (12, base),  # duplicate WITHIN the new snapshot too
+        ],
+        "doc_id long, text string",
+    )
+    # old docs' TEXT is gone — only the persisted band table is consulted
+    old_bands = spark.read.parquet(state)
+    got = {
+        (r.da, r.db, r.kind)
+        for r in incremental_dedup_candidates(
+            minhash_band_table(new_docs), old_bands
+        ).collect()
+    }
+    assert (10, 1, "vs_old") in got
+    assert (12, 1, "vs_old") in got
+    assert (10, 12, "new") in got
+    assert not any(11 in (a, b) for a, b, _ in got)
+    # the state join never sees doc 2 as a candidate (no shared bands)
+    assert not any(b == 2 for _, b, _ in got)
+
+
 def test_hashed_ngram_classifier_separates_boilerplate(spark):
     """The trained hashed-ngram scorer must separate boilerplate-heavy
     pages from content pages on a fixture DESIGNED so the heuristic stack
