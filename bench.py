@@ -86,7 +86,7 @@ def _new_spark(cores: int, tag: str):
 
 def _ensure_pages(spark) -> str:
     """Write the bench pages table once; reuse across runs in one invocation."""
-    path = os.path.join(WORK, f"pages_v7_{SEED}_{N_DOCS}_h{HEFT}")
+    path = os.path.join(WORK, f"pages_v8_{SEED}_{N_DOCS}_h{HEFT}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         from pdf_extractor_spark.synth import pages_df
@@ -152,7 +152,7 @@ def main() -> int:
     os.makedirs(WORK, exist_ok=True)
 
     # -- part 1: extraction scaling bench (low parallelism first, then high)
-    cached = os.path.join(WORK, f"pages_v7_{SEED}_{N_DOCS}_h{HEFT}")
+    cached = os.path.join(WORK, f"pages_v8_{SEED}_{N_DOCS}_h{HEFT}")
     if os.path.exists(os.path.join(cached, "_SUCCESS")):
         pages_path = cached  # skip JVM startup when the table is cached
     else:

@@ -270,6 +270,42 @@ _BF_RANGE_RE = re.compile(
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
 _FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R\b")
 _IDENTITY_H_RE = re.compile(rb"/Encoding\s*/Identity-H\b")
+# simple-font base encodings: the name form (/Encoding /MacRomanEncoding)
+# and the /BaseEncoding entry inside an encoding dict
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)\b")
+_BASE_ENC_RE = re.compile(rb"/BaseEncoding\s*/(WinAnsiEncoding|MacRomanEncoding)\b")
+# predefined CID CMaps whose 2-byte codes ARE the character's UCS-2/UTF-16BE
+# value (ISO 32000-1 §9.7.5.2 Table 118: the Uni*-UCS2/UTF16 families map
+# code == Unicode; the CID step only matters for glyph selection, not text)
+_PREDEF_UNI_RE = re.compile(
+    rb"/Encoding\s*/Uni(?:GB|CNS|JIS|JIS2004|JISX0213|KS)-(?:UCS2|UTF16)-[HV]\b"
+)
+
+
+def _base_encoding_table(codec: str) -> "dict[int, str]":
+    """codes 0x80-0xFF where `codec` differs from latin-1, as a
+    str.translate-ready {int: char} map (0x00-0x7F is ASCII in every PDF
+    base encoding; latin-1 already maps byte b → chr(b), so only the
+    differences need entries). Bytes the codec leaves undefined (cp1252
+    0x81/0x8D/0x8F/0x90/0x9D) keep the latin-1 fallback."""
+    t: dict[int, str] = {}
+    for c in range(0x80, 0x100):
+        try:
+            ch = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+        if ch != chr(c):
+            t[c] = ch
+    return t
+
+
+# WinAnsi == cp1252 (ISO 32000-1 Annex D.3 maps to the Windows 1252 code
+# page); MacRoman == the classic Mac OS Roman code page (Annex D.2) —
+# stdlib codecs, not hand tables, so the mapping is the authoritative one.
+_BASE_ENCODINGS: "dict[bytes, dict[int, str]]" = {
+    b"WinAnsiEncoding": _base_encoding_table("cp1252"),
+    b"MacRomanEncoding": _base_encoding_table("mac_roman"),
+}
 
 
 def _utf16be(hx: bytes) -> str | None:
@@ -381,13 +417,19 @@ def _parse_font(
 ) -> "tuple[dict[int, str], int, tuple | None] | None":
     """One font object → (code→unicode map, bytes per code, codespaces),
     or None for a standard-encoded font (callers then decode
-    latin-1/WinAnsi-style). /Differences applies first; /ToUnicode
-    overlays it (authoritative, as in PyMuPDF-family extractors)."""
+    latin-1/WinAnsi-style). Layering per ISO 32000-1 §9.6.6: the base
+    encoding (/Encoding name or /BaseEncoding in the encoding dict —
+    WinAnsi/MacRoman as explicit tables, round-4 verdict #4) seeds the
+    map, /Differences overrides it, and /ToUnicode overlays everything
+    (authoritative, as in PyMuPDF-family extractors)."""
     cmap: dict[int, str] = {}
     nbytes = 1
     spaces: tuple | None = None
     enc = _dict_value(body, b"Encoding", bodies)
     if enc is not None:
+        bm = _BASE_ENC_RE.search(enc)
+        if bm:
+            cmap.update(_BASE_ENCODINGS[bm.group(1)])
         dm = _DIFF_RE.search(enc)
         if dm:
             code = 0
@@ -400,6 +442,11 @@ def _parse_font(
                         cmap[code] = ch
                     code += 1
     head = body.split(b"stream", 1)[0]
+    if enc is None:
+        # /Encoding as a bare NAME (no dict): WinAnsi/MacRoman base table
+        nm = _ENC_NAME_RE.search(head)
+        if nm:
+            cmap.update(_BASE_ENCODINGS[nm.group(1)])
     tum = _TOUNICODE_RE.search(head)
     if tum:
         ref = int(tum.group(1))
@@ -410,6 +457,15 @@ def _parse_font(
                 tmap, tn, spaces = _parse_tounicode(stream)
                 cmap.update(tmap)
                 nbytes = max(nbytes, tn)
+    if not cmap and _PREDEF_UNI_RE.search(head):
+        # Composite /Type0 font on a predefined Uni*-UCS2/UTF16 CMap
+        # WITHOUT a ToUnicode stream (round-4 verdict #4): the 2-byte codes
+        # ARE UTF-16BE code units by the CMap's definition, so text decodes
+        # directly — cmap=None is the _decode_codes sentinel for that.
+        # (UCS-2 codes are the BMP subset of UTF-16BE, so one decoder
+        # serves both families; invalid sequences degrade to U+FFFD and
+        # the font_unmapped metric as usual.)
+        return (None, 2, None)
     if not cmap and _IDENTITY_H_RE.search(head):
         # Composite /Type0 font on Identity-H WITHOUT a ToUnicode stream:
         # codes are 2-byte CIDs with no unicode source. Decoding them as
@@ -461,6 +517,11 @@ def _decode_codes(bs: bytes, font: "tuple | None") -> str:
     if font is None:
         return bs.decode("latin-1")
     cmap, nbytes, spaces = font
+    if cmap is None:
+        # predefined Uni*-UCS2/UTF16 CMap: codes are UTF-16BE code units;
+        # unpaired surrogates / ragged tails degrade to U+FFFD (counted
+        # upstream as font_unmapped)
+        return bs.decode("utf-16-be", errors="replace")
     if spaces is not None and len({w for w, _, _ in spaces}) > 1:
         # mixed-width codespaces (ISO 32000-1 §9.10.3): a byte inside a
         # declared 1-byte range is a complete code; anything else starts a

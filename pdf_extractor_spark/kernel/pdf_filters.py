@@ -307,7 +307,10 @@ def png_unpredict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 row[j] = (row[j] + pr) & 0xFF
-        elif ft != 0:  # unknown filter type: treat row as unfiltered
+        elif ft != 0:
+            # unknown filter type (spec defines 0-4 only): emit the row
+            # unfiltered rather than failing the stream — one garbled row
+            # beats a dropped document (failures-are-data)
             pass
         out += row
         prev = row

@@ -550,6 +550,9 @@ def export_pages_warc(
             try:
                 os.remove(tmp)
             except OSError:
+                # temp already gone (never created / cleaned by the task
+                # runner): nothing uncommitted remains, the original error
+                # below is the one to surface
                 pass
             raise
         if n == 0:

@@ -98,6 +98,8 @@ def _sheet_part(zf: zipfile.ZipFile, sheet: str | None) -> bytes:
         ):
             rels[rel.get("Id")] = rel.get("Target")
     except KeyError:
+        # workbook has no rels part: legal for minimal writers — sheets
+        # then resolve positionally below instead of through r:id targets
         pass
     rid_attr = (
         "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"

@@ -201,6 +201,30 @@ def _tounicode_stream() -> bytes:
     ).encode("latin-1")
 
 
+def _encode_macroman(t: str) -> str:
+    """Text → MacRoman code bytes (as a latin-1 str). ASCII is identical in
+    both; accented chars land in the 0x80-0xFF MacRoman block, which
+    differs from latin-1 nearly everywhere — byte identity holds only if
+    the kernel applies the /MacRomanEncoding base table (round-4 verdict
+    #4). Chars outside MacRoman pass through unencoded (never drawn by the
+    current vocab; a safety valve, not a code path)."""
+    out = []
+    for ch in t:
+        try:
+            out.append(ch.encode("mac_roman").decode("latin-1"))
+        except UnicodeEncodeError:
+            out.append(ch)
+    return "".join(out)
+
+
+def _encode_ucs2(t: str) -> str:
+    """Text → 2-byte UTF-16BE codes (as a latin-1 str, two chars per code)
+    for the predefined Uni*-UCS2-H CMap flavor: the code IS the character's
+    UCS-2 value, no ToUnicode stream exists, and the kernel must recognize
+    the predefined CMap name to decode at all."""
+    return t.encode("utf-16-be").decode("latin-1")
+
+
 def _encode_custom_mixed(t: str) -> str:
     """Text → mixed-width codes for the 2-codespace CMap flavor: ASCII
     stays 1-byte, accented chars become the 2-byte code 0x80NN (as a
@@ -389,8 +413,18 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
     use_tree = rng.random() < 0.5
     custom = use_tree and rng.random() < 0.6
     fdraw = rng.random()
-    flavor = "diff" if fdraw < 0.4 else ("cmap" if fdraw < 0.75 else "cmap2")
-    enc_fn = _encode_custom_mixed if flavor == "cmap2" else _encode_custom
+    flavor = (
+        "diff" if fdraw < 0.30
+        else "mac" if fdraw < 0.45
+        else "cmap" if fdraw < 0.70
+        else "cmap2" if fdraw < 0.90
+        else "ucs2"
+    )
+    enc_fn = {
+        "cmap2": _encode_custom_mixed,
+        "mac": _encode_macroman,
+        "ucs2": _encode_ucs2,
+    }.get(flavor, _encode_custom)
     # PDF 1.5 form: dict objects compressed into a /Type /ObjStm container,
     # indexed by a cross-reference stream (exercises the xref/ObjStm path)
     use_objstm = use_tree and rng.random() < 0.35
@@ -574,6 +608,31 @@ def make_pdf(rng: np.random.Generator, heft: int = 1) -> tuple[bytes, str]:
             next_num += 1
             if flavor == "diff":
                 objs[f2] = _differences_font_obj()
+            elif flavor == "mac":
+                # /MacRomanEncoding as a bare name or wrapped in an
+                # encoding dict's /BaseEncoding — both legal forms occur
+                objs[f2] = (
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /CustomMac"
+                    b" /Encoding /MacRomanEncoding >>"
+                    if rng.random() < 0.5
+                    else b"<< /Type /Font /Subtype /Type1 /BaseFont /CustomMac"
+                    b" /Encoding << /BaseEncoding /MacRomanEncoding >> >>"
+                )
+            elif flavor == "ucs2":
+                # composite font on a predefined UCS-2 CMap, NO ToUnicode:
+                # the kernel decodes only by recognizing the CMap name
+                dn = next_num
+                next_num += 1
+                objs[dn] = (
+                    b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CustomUni"
+                    b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                    b" /Supplement 6 >> >>"
+                )
+                objs[f2] = (
+                    b"<< /Type /Font /Subtype /Type0 /BaseFont /CustomUni"
+                    b" /Encoding /UniJIS-UCS2-H /DescendantFonts [ %d 0 R ] >>"
+                    % dn
+                )
             else:
                 tn = next_num
                 next_num += 1

@@ -281,6 +281,106 @@ def test_pdf_differences_encoding():
     assert runs[0]["text"] == "café straße € 5"
 
 
+def test_pdf_macroman_base_encoding_name_form():
+    """/Encoding /MacRomanEncoding as a bare NAME: the 0x80-0xFF block
+    decodes through the MacRoman table (0x8E=é, 0xA7=ß, 0x9A=ö — all
+    different from latin-1, where those bytes are Ž/§/š)."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /X"
+        b" /Encoding /MacRomanEncoding >>"
+    )
+    stream = b"BT /F2 12 Tf 72 700 Td (caf\x8e stra\xa7e sch\x9an) Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, b"", stream))
+    assert runs[0]["text"] == "café straße schön"
+
+
+def test_pdf_base_encoding_dict_with_differences_overlay():
+    """/BaseEncoding /MacRomanEncoding inside the encoding dict seeds the
+    table; /Differences overrides ON TOP of it (ISO 32000-1 §9.6.6
+    layering): 0x8E stays MacRoman é, 0xA7 is re-mapped to euro by the
+    Differences array, untouched bytes keep latin-1."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding"
+        b" << /BaseEncoding /MacRomanEncoding"
+        b" /Differences [ 167 /uni20AC ] >> >>"
+    )
+    stream = b"BT /F2 12 Tf 72 700 Td (caf\x8e \xa75) Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, b"", stream))
+    assert runs[0]["text"] == "café €5"
+
+
+def test_pdf_winansi_base_encoding():
+    """/Encoding /WinAnsiEncoding: the cp1252 0x80-0x9F typographic block
+    (0x80=€, 0x93/0x94 curly quotes, 0x97 em-dash) decodes correctly —
+    these bytes are control chars under the latin-1 fallback."""
+    font = (
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /X"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    stream = b"BT /F2 12 Tf 72 700 Td (\x93caf\xe9\x94 \x97 \x805) Tj ET"
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, b"", stream))
+    assert runs[0]["text"] == "“café” — €5"
+
+
+def test_pdf_predefined_ucs2_cmap_without_tounicode():
+    """Composite /Type0 font on /UniJIS-UCS2-H with NO ToUnicode stream:
+    the 2-byte codes ARE UCS-2 values (ISO 32000-1 Table 118), so text
+    decodes directly and font_unmapped stays 0 — where raw Identity-H
+    honestly degrades to U+FFFD."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        b" /Encoding /UniJIS-UCS2-H /DescendantFonts [ 7 0 R ] >>"
+    )
+    extra = (
+        b"7 0 obj << /Type /Font /Subtype /CIDFontType2 /CIDSystemInfo"
+        b" << /Registry (Adobe) /Ordering (Japan1) /Supplement 6 >> >> endobj\n"
+    )
+    txt = "日本語 text"
+    stream = (
+        b"BT /F2 12 Tf 72 700 Td <"
+        + txt.encode("utf-16-be").hex().encode()
+        + b"> Tj ET"
+    )
+    runs = parse_glyph_runs(_tree_pdf_with_font(font, extra, stream))
+    assert runs[0]["text"] == txt
+
+    doc = _tree_pdf_with_font(font, extra, stream)
+    res = extract_document(doc)
+    assert res.extracted_text == txt
+    assert res.font_unmapped == 0
+
+    # ragged tail / unpaired surrogate degrade to U+FFFD, counted
+    bad = b"BT /F2 12 Tf 72 700 Td <D800> Tj ET"
+    res2 = extract_document(_tree_pdf_with_font(font, extra, bad))
+    assert "�" in res2.extracted_text
+    assert res2.font_unmapped >= 1
+
+
+def test_pdf_base_encoding_corpus_flavors_occur():
+    """The synth corpus draws MacRoman (name + dict form) and predefined
+    UCS-2 CMap docs; corpus-wide byte identity over them (and everything
+    else) with font_unmapped 0 proves the new tables are load-bearing —
+    decoding those docs latin-1 would mojibake every accent."""
+    import numpy as np
+
+    from pdf_extractor_spark import synth
+
+    seen = {"mac": 0, "ucs2": 0}
+    for seed in range(250):
+        rng = np.random.default_rng(seed)
+        payload, golden = synth.make_pdf(rng)
+        if b"MacRomanEncoding" in payload:
+            seen["mac"] += 1
+        if b"/UniJIS-UCS2-H" in payload:
+            seen["ucs2"] += 1
+        res = extract_document(payload)
+        assert res.extracted_text == golden, f"seed {seed}"
+        assert res.font_unmapped == 0
+    # plaintext pattern search misses Flate/ObjStm-wrapped font objects, so
+    # these are lower bounds; both flavors must still occur
+    assert seen["mac"] >= 3 and seen["ucs2"] >= 2, seen
+
+
 def test_pdf_tounicode_cmap_bfchar_bfrange():
     """/ToUnicode CMap: bfchar pairs + an incrementing bfrange decode show
     strings (literal AND hex forms); the un-Tf'd default stays latin-1."""
