@@ -58,6 +58,8 @@ HEADLINE_QUERIES = [
     "dedup_lines",          # line-level corpus dedup (CCNet pass, round 4)
     "dedup_minhash_lsh",    # MinHash+LSH near-dup over documents
     "dedup_components",     # LSH pairs → transitive clusters (iterative)
+    "dedup_substring_strip",  # exact-substring span removal (Lee et al., round 5)
+    "dedup_incremental",    # snapshot band-state dedup (round 5)
     "ann_cosine_topk",      # brute-force cosine top-k over embeddings
     "ann_ivf_probe",        # IVF-bucketed ANN (the scale path)
     "ann_ivf_trained",      # Lloyd-trained IVF (training + probe, round 4)
@@ -65,6 +67,7 @@ HEADLINE_QUERIES = [
     "emb_near_dup_multiband",  # 48-band union (the recall-knob scale path)
     "text_quality",         # quality scoring over documents
     "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)
+    "text_quality_classifier",  # hashed-ngram trained scorer (round 5)
     "c4_filter_suite",      # C4 cleaning (scan/codegen-bound, round 4)
     "training_corpus_pipeline",  # filter → dedup → stats chain
     "t6_session_window",    # gap-based sessionization

@@ -9,12 +9,13 @@ large-scale training-data pipeline carries. Design per the brief:
     `mapInPandas` stages (same execution shape as the HTML/PDF kernel:
     project → mapInPandas → no intermediate shuffle);
   - REAL decode: PNG (from-scratch chunk walk + zlib + PNG row
-    un-filtering, shared with the PDF kernel's xref-stream predictor code)
-    and WAV (stdlib wave) decode genuinely in-repo; JPEG dispatches to
-    Pillow behind an optional import (absent in this container); MP4 would
-    need pyav. Anything undecodable raises NotImplementedError, which the
-    feature kernels record as ok=false rows. The deterministic "FAKE"
-    format remains for hermetic high-volume tests.
+    un-filtering, shared with the PDF kernel's xref-stream predictor code),
+    WAV (stdlib wave), and baseline JPEG (from-scratch marker walk +
+    canonical Huffman + dequant + IDCT, kernel/jpeg.py) genuinely in-repo;
+    MP4 would need pyav. Anything undecodable (progressive JPEG, video)
+    raises NotImplementedError, which the feature kernels record as
+    ok=false rows. The deterministic "FAKE" format remains for hermetic
+    high-volume tests.
 
 Payload format (deterministic, seeded, self-describing):
   magic(8) = b"FAKEIMG1" | b"FAKEAUD1" | b"FAKEVID1"
@@ -87,13 +88,6 @@ def media_df(spark, n_rows: int, seed: int = 42, num_partitions: int | None = No
 # decode kernels (the stub boundary)
 # ---------------------------------------------------------------------------
 
-
-# optional real-codec libraries: absent in this container, used when a
-# deployment installs them (the FAKE format keeps tests hermetic either way)
-try:  # pragma: no cover - exercised only where Pillow exists
-    from PIL import Image as _PIL_Image
-except ImportError:
-    _PIL_Image = None
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
@@ -187,16 +181,18 @@ def _decode_real(payload: bytes):
         return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
-    if payload[:3] == b"\xff\xd8\xff" and _PIL_Image is not None:
-        import io  # pragma: no cover - Pillow not in this container
+    if payload[:3] == b"\xff\xd8\xff":
+        # baseline JPEG decodes FROM SCRATCH (kernel/jpeg.py: markers,
+        # canonical Huffman, dequant, IDCT, restart intervals — hermetic,
+        # round-4 verdict #5); progressive/arithmetic raise
+        # NotImplementedError below and become ok=false rows
+        from pdf_extractor_spark.kernel.jpeg import decode_baseline_jpeg
 
-        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
-        return "image", np.asarray(img, np.uint8), {
-            "width": img.width, "height": img.height,
-        }
+        gray, w, h = decode_baseline_jpeg(payload)
+        return "image", gray, {"width": w, "height": h}
     raise NotImplementedError(
-        "no decoder for payload magic %r (JPEG/MP4 need optional "
-        "Pillow/pyav, not installed here)" % payload[:8]
+        "no decoder for payload magic %r (MP4 needs optional pyav, "
+        "not installed here)" % payload[:8]
     )
 
 

@@ -497,7 +497,9 @@ def train_hashed_ngram_weights(spark, train_feats, pos_col: str = "pos"):
     )
     spine = spark.range(_CLF_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
     full = (
-        spine.join(counts, "bucket", "left")
+        # counts is ≤_CLF_BUCKETS rows after its groupBy — hint it so the
+        # spine fill is a broadcast join, not a 256-row sort-merge exchange
+        spine.join(F.broadcast(counts), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("np", F.lit(0)).alias("np"),

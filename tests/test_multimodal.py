@@ -35,7 +35,12 @@ def test_decode_roundtrip_all_kinds():
 
 
 def test_real_codec_branch_is_stubbed():
+    """The stub boundary is now MP4/unknown magic only (JPEG decodes from
+    scratch since round 5); a malformed JPEG raises ValueError instead —
+    both classes become ok=false rows."""
     with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
+    with pytest.raises(ValueError):
         mm.decode_payload(b"\xff\xd8\xff\xe0" + b"JFIF-like payload")
 
 
@@ -219,23 +224,254 @@ def test_real_wav_decode():
     assert np.array_equal(smp, stereo.mean(axis=1).astype(np.int16))
 
 
-def test_jpeg_skipped_unless_pillow():
-    """JPEG needs the optional Pillow import; without it the payload must
-    raise NotImplementedError (→ ok=false rows), never garbage."""
+# --- baseline JPEG encoder (test twin of kernel/jpeg.py) --------------------
+# Standard T.81 Annex K Huffman tables (published spec constants), shared by
+# luma and chroma so the twin stays small; the DECODER never assumes them.
+
+_JDC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_JDC_VALS = bytes(range(12))
+_JAC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_JAC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _jhuff_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JBits:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in reversed(range(length)):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per T.81
+
+
+def _encode_jpeg(y, q=None, restart=0, color=False, sub=(2, 2)):
+    """Baseline JPEG encoder (test twin): grayscale, or YCbCr with
+    subsampled CONSTANT chroma (Cb=Cr=128 → luminance == Y plane)."""
+    import struct
+
+    import numpy as np
+
+    from pdf_extractor_spark.kernel.jpeg import ZIGZAG, _dct_matrix
+
+    A = _dct_matrix()
+    y = np.asarray(y, np.uint8)
+    h, w = y.shape
+    q = np.ones(64, np.int32) if q is None else np.asarray(q, np.int32)
+    dctab = _jhuff_codes(_JDC_BITS, _JDC_VALS)
+    actab = _jhuff_codes(_JAC_BITS, _JAC_VALS)
+    sh, sv = sub if color else (1, 1)
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    pad = np.pad(y, ((0, mcuy * sv * 8 - h), (0, mcux * sh * 8 - w)), mode="edge")
+
+    bw = _JBits()
+    dc_pred = [0, 0, 0]
+
+    def put_block(block, ci):
+        F = A @ (block.astype(np.float64) - 128.0) @ A.T
+        zz = np.round(F.ravel()[ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0]) - dc_pred[ci]
+        dc_pred[ci] = int(zz[0])
+        t = int(abs(diff)).bit_length()
+        c, ln = dctab[t]
+        bw.put(c, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max(np.nonzero(zz[1:])[0], default=-1) + 1 if zz[1:].any() else 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = actab[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            c, ln = actab[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = actab[0x00]
+            bw.put(c, ln)
+
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + ((mcu_count // restart - 1) % 8)])
+                dc_pred[:] = [0, 0, 0]
+            for by in range(sv):
+                for bx in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bx) * 8
+                    put_block(pad[y0 : y0 + 8, x0 : x0 + 8], 0)
+            if color:
+                flat = np.full((8, 8), 128, np.uint8)
+                put_block(flat, 1)
+                put_block(flat, 2)
+            mcu_count += 1
+    bw.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(x) & 0xFF for x in q))
+    comps = b"\x01" + bytes([(sh << 4) | sv]) + b"\x00"
+    scomps = b"\x01\x00"
+    nc = 1
+    if color:
+        comps += b"\x02\x11\x00\x03\x11\x00"
+        scomps += b"\x02\x00\x03\x00"
+        nc = 3
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    dht = seg(0xC4, b"\x00" + _JDC_BITS + _JDC_VALS) + seg(
+        0xC4, b"\x10" + _JAC_BITS + _JAC_VALS
+    )
+    dri = seg(0xDD, struct.pack(">H", restart)) if restart else b""
+    sos = seg(0xDA, bytes([nc]) + scomps + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+def test_real_jpeg_decode_roundtrip():
+    """The from-scratch baseline JPEG decoder recovers pixels from the
+    encoder twin: with unit quantizers the only loss is DCT float rounding
+    (≤2 gray levels); a uniform image comes back EXACT."""
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    kind, arr, meta = decode_payload(_encode_jpeg(px))
+    assert kind == "image"
+    assert meta == {"width": 17, "height": 24}
+    assert arr.shape == (24, 17)
+    assert int(np.abs(arr.astype(int) - px.astype(int)).max()) <= 2
+
+    flat = np.full((11, 13), 77, np.uint8)
+    _, arr2, _ = decode_payload(_encode_jpeg(flat))
+    assert np.array_equal(arr2, flat)
+
+
+def test_real_jpeg_color_subsampled_and_restart():
+    """YCbCr 4:2:0-style MCUs (2x2 luma sampling, constant chroma) and
+    restart markers both decode; luminance equals the Y plane within DCT
+    rounding."""
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    yy, xx = np.mgrid[0:21, 0:30]
+    grad = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    _, arr, meta = decode_payload(_encode_jpeg(grad, color=True, sub=(2, 2)))
+    assert meta == {"width": 30, "height": 21}
+    assert int(np.abs(arr.astype(int) - grad.astype(int)).max()) <= 2
+
+    _, arr3, _ = decode_payload(_encode_jpeg(grad, restart=2))
+    assert int(np.abs(arr3.astype(int) - grad.astype(int)).max()) <= 2
+
+
+def test_real_jpeg_coarse_quant_still_plausible():
+    """A coarse quantizer loses detail but the decode must stay in range
+    and near the source on a smooth image (the lossy-codec sanity bound)."""
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import decode_payload
+
+    q = np.full(64, 16, np.int32)
+    q[0] = 8
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = (64 + yy * 4 + xx * 2).astype(np.uint8)
+    _, arr, _ = decode_payload(_encode_jpeg(smooth, q=q))
+    assert int(np.abs(arr.astype(int) - smooth.astype(int)).mean()) <= 6
+
+
+def test_jpeg_unsupported_and_bombs_fail_fast():
+    """Progressive JPEG raises NotImplementedError (→ ok=false rows);
+    crafted dimension bombs are rejected BEFORE any dimension-proportional
+    work; both classes return in bounded time."""
+    import struct
+    import time
+
+    import numpy as np
     import pytest
 
-    from pdf_extractor_spark import multimodal
+    from pdf_extractor_spark.kernel.jpeg import decode_baseline_jpeg
 
-    fake_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-    if multimodal._PIL_Image is None:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_payload(fake_jpeg)
-    else:  # pragma: no cover - Pillow present
-        pytest.skip("Pillow installed; JPEG path covered by real decode")
+    # SOF2 (progressive): honest refusal
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(prog)
+
+    # 60000x60000 declared dims: ValueError before allocation
+    bomb = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(">BHHB", 8, 60000, 60000, 1) + b"\x01\x11\x00"
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(bomb)
+    assert time.perf_counter() - t0 < 1.0
+
+    # truncated entropy data: ValueError, not a hang
+    px = np.full((8, 8), 100, np.uint8)
+    enc = _encode_jpeg(px)
+    with pytest.raises(Exception):
+        decode_baseline_jpeg(enc[: len(enc) // 2])
 
 
 def test_real_decoders_total_on_mutated_media():
-    """Byte-flip fuzz over valid PNG and WAV payloads: _decode_real either
+    """Byte-flip fuzz over valid PNG, WAV and JPEG payloads: _decode_real either
     returns a decoded plane/wave or raises (callers catch and mark the row
     ok=false) — but it must fail FAST, never hang or kill the process.
     Corrupt media is routine in a crawl."""
@@ -256,7 +492,8 @@ def test_real_decoders_total_on_mutated_media():
         w.setframerate(8000)
         w.writeframes(np.arange(400, dtype="<i2").tobytes())
     wav = bio.getvalue()
-    for payload in (png, wav):
+    jpg = _encode_jpeg((np.arange(256, dtype=np.uint8).reshape(16, 16) * 5) % 256)
+    for payload in (png, wav, jpg):
         stride = max(1, len(payload) // 40)
         for off in range(0, len(payload), stride):
             mutated = (

@@ -359,3 +359,78 @@ def test_host_stats_salted_two_stage_agg(spark):
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("salt" in e and "host" in e for e in ex), ex
     assert any("salt" not in e and "host" in e for e in ex), ex
+
+
+def test_substring_strip_is_equijoin_no_window(spark):
+    """dedup_substring_strip (round 5): shared-gram detection is a
+    hash-groupBy on the gram hash, the strip is an equi-join back on it,
+    reassembly is a per-doc groupBy — never a corpus-wide Window, a
+    cartesian pair join, or per-row Python."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dedup_substring_strip"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # strip joins on the 32-hex gram key
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[h#\d+\]", plan
+    ), plan[:2000]
+    assert "HashAggregate" in plan  # map-side partial agg before the shuffles
+
+
+def test_quality_classifier_weights_broadcast(spark):
+    """text_quality_classifier (round 5): the 256-row weight table must
+    BROADCAST into the scoring join — the corpus side never shuffles to be
+    scored; the only corpus-keyed exchange is the per-doc mean."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["text_quality_classifier"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # scoring joins against a broadcast side (the weight dim)
+    assert "BroadcastHashJoin" in plan
+    # training's bucket spine join also stays broadcast — no SortMergeJoin
+    # should appear anywhere in this plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_is_band_equijoins(spark):
+    """dedup_incremental (round 5): both legs (new-vs-old state, new-vs-
+    new) must be equi-joins on (band, band_key) — never a pairwise theta
+    join over documents, never per-row Python."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dedup_incremental"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[band#\d+L?, band_key#\d+\]",
+        plan,
+    ), plan[:2000]
+
+
+def test_multiband_coefs_broadcast_small(spark):
+    """emb_near_dup_multiband (round 5, 48 md5 bands): the coefficient
+    table (dims × bands × planes rows) must enter the projection as a
+    BROADCAST join on the dim index — the per-(vec,dim) explode never
+    shuffles to pick up coefficients, and candidate generation stays an
+    equi-join keyed by (r, bucket)."""
+    import re
+
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["emb_near_dup_multiband"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # coef pickup via broadcast on i
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[r#\d+, bucket#\d+L?\]",
+        plan,
+    ), plan[:2000]
