@@ -278,13 +278,29 @@ _MD5_COEF_SPARK = (
 )
 
 
+def _md5_coef_value(r: int, j: int, i: int) -> float:
+    """Python twin of _MD5_COEF_SQL/_MD5_COEF_SPARK for one coefficient."""
+    import hashlib
+
+    h = hashlib.md5(f"{r}:{j}:{i}".encode()).hexdigest()
+    return int(h[:2], 16) - 127.5
+
+
 def band_signatures(spark, emb):
-    """(vec_id, r, bucket) multi-band LSH signatures of an embeddings frame
-    — the SQL-parity explode form (the matmul twin is
-    assign_band_buckets_vectorized; equality pinned in tests). The md5
-    coefficient table is computed once per DISTINCT dim index (bands ×
-    planes × dim rows) and broadcast, so the ×bands×planes row inflation
-    carries no per-row hashing."""
+    """(vec_id, r, bucket) multi-band LSH signatures — the SQL-parity
+    EXPLODE form: the md5 coefficient table is computed once per DISTINCT
+    dim index (bands × planes × dim rows) and broadcast into the
+    per-(vec, dim) explode. This is the DuckDB-mirrorable definition the
+    oracle uses and the form the matmul twin is equality-pinned against;
+    the PRODUCTION path (and the driver query) is
+    assign_band_buckets_vectorized — one numpy [n, bands×planes] matmul
+    per Arrow batch, zero row inflation, where this form pushes
+    ×dim×planes×bands (≈123M at sf0.1) transient rows through two
+    exchanges. (A third shape — the coefficient family as one nested
+    array literal folded with aggregate/zip_with — was measured 2×
+    SLOWER than even the explode form: Spark's higher-order array
+    functions evaluate interpreted, not codegen, so a 24k-element
+    per-row fold is the worst of both worlds.)"""
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
@@ -371,7 +387,11 @@ def band_signatures(spark, emb):
 )
 def emb_near_dup_multiband(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    sig = band_signatures(spark, emb)
+    # production signature path: one numpy matmul per Arrow batch (zero
+    # row inflation; row-equality with the SQL-parity band_signatures
+    # explode form is pinned by tests/test_operators.py, and the DuckDB
+    # oracle recomputes the same md5 coefficients as CTEs)
+    sig = assign_band_buckets_vectorized(emb)
     a = sig.select(F.col("vec_id").alias("va"), "r", "bucket")
     b = sig.select(F.col("vec_id").alias("vb"), "r", "bucket")
     cand = (
@@ -487,19 +507,11 @@ def _band_plane_matrix(dim: int, band: int):
     the numpy twin of _MD5_COEF_SQL/_MD5_COEF_SPARK (top byte of
     md5('r:j:i') minus 127.5; equality with the SQL form is pinned by
     tests/test_operators.py)."""
-    import hashlib
-
     import numpy as np
 
     return np.array(
         [
-            [
-                int(
-                    hashlib.md5(f"{band}:{j}:{i}".encode()).hexdigest()[:2], 16
-                )
-                - 127.5
-                for i in range(dim)
-            ]
+            [_md5_coef_value(band, j, i) for i in range(dim)]
             for j in range(_N_PLANES)
         ],
         dtype=np.float64,

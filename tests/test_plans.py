@@ -416,20 +416,33 @@ def test_incremental_dedup_is_band_equijoins(spark):
     ), plan[:2000]
 
 
-def test_multiband_coefs_broadcast_small(spark):
-    """emb_near_dup_multiband (round 5, 48 md5 bands): the coefficient
-    table (dims × bands × planes rows) must enter the projection as a
-    BROADCAST join on the dim index — the per-(vec,dim) explode never
-    shuffles to pick up coefficients, and candidate generation stays an
-    equi-join keyed by (r, bucket)."""
+def test_multiband_signatures_arrow_no_inflation(spark):
+    """emb_near_dup_multiband (round 5, 48 md5 bands): the driver query's
+    signature assignment must be the ARROW MATMUL path (one MapInPandas,
+    no per-(vec,dim) explode, no exchange or join below it — the explode
+    form pushes ×dim×planes×bands transient rows through two exchanges
+    and exists only as the SQL-parity/equality-pin twin), and candidate
+    generation stays an equi-join keyed by (r, bucket)."""
     import re
 
     from pdf_extractor_spark.operators.registry import all_ops
+    from pdf_extractor_spark.operators.similarity import (
+        assign_band_buckets_vectorized,
+    )
+
+    sig_plan = _plan(
+        assign_band_buckets_vectorized(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        )
+    )
+    assert "MapInPandas" in sig_plan
+    assert "Exchange" not in sig_plan  # assignment never shuffles
+    assert "Join" not in sig_plan
+    assert "Generate" not in sig_plan  # no posexplode row inflation
 
     plan = _plan(all_ops()["emb_near_dup_multiband"].build(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan  # coef pickup via broadcast on i
+    assert "MapInPandas" in plan
     assert re.search(
         r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[r#\d+, bucket#\d+L?\]",
         plan,
