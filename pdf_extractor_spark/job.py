@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> int:
                         "5-gram granularity) — each shared span survives only "
                         "in its min-url owner; drops span_offsets, which "
                         "would be stale after removal")
+    p.add_argument("--dedup-state-in", metavar="DIR", default=None,
+                   help="with --corpus-out: drop corpus docs whose MinHash "
+                        "bands collide with a PRIOR snapshot's persisted band "
+                        "table (incremental crawl dedup; old corpus text is "
+                        "never re-read)")
+    p.add_argument("--dedup-state-out", metavar="DIR", default=None,
+                   help="with --corpus-out: write the surviving corpus's "
+                        "MinHash band table to DIR for the next snapshot's "
+                        "--dedup-state-in")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
                         "payloads (url, error_class, payload head) to DIR for "
@@ -191,14 +200,18 @@ def main(argv: list[str] | None = None) -> int:
         cs = build_training_corpus(
             spark, args.output, args.corpus_out, redact_pii=args.redact_pii,
             strip_dup_spans=args.strip_dup_spans,
+            dedup_state_in=args.dedup_state_in,
+            dedup_state_out=args.dedup_state_out,
         )
         print(
-            "corpus: %d in -> %d quality -> %d deduped%s%s (%s)"
+            "corpus: %d in -> %d quality -> %d deduped%s%s%s (%s)"
             % (
                 cs.docs_in, cs.docs_quality, cs.docs_corpus,
                 ", %d PII redactions" % cs.pii_redactions if args.redact_pii else "",
                 ", %d dup-span words stripped" % cs.dup_span_words_dropped
                 if args.strip_dup_spans else "",
+                ", %d recrawl dups dropped vs prior state" % cs.recrawl_dups_dropped
+                if args.dedup_state_in else "",
                 args.corpus_out,
             ),
             file=sys.stderr,

@@ -316,6 +316,7 @@ class CorpusStats:
     docs_corpus: int  # after exact dedup
     pii_redactions: int = 0  # total placeholder substitutions (redact only)
     dup_span_words_dropped: int = 0  # words removed by span dedup (strip only)
+    recrawl_dups_dropped: int = 0  # docs dropped vs prior snapshot state
 
 
 def build_training_corpus(
@@ -324,6 +325,8 @@ def build_training_corpus(
     corpus_dir: str,
     redact_pii: bool = False,
     strip_dup_spans: bool = False,
+    dedup_state_in: str | None = None,
+    dedup_state_out: str | None = None,
 ) -> CorpusStats:
     """Corpus builder: extraction output → quality filter → exact dedup →
     deduplicated corpus table, in ONE action.
@@ -352,6 +355,16 @@ def build_training_corpus(
     the `span_offsets` column (offsets into the ORIGINAL text) is dropped
     in this mode rather than shipped stale; training corpora don't carry
     span provenance.
+
+    `dedup_state_in` / `dedup_state_out` make the builder INCREMENTAL
+    across crawl snapshots (the T1 control-table discipline applied to
+    dedup state, operators/dedup.py): with `dedup_state_in`, docs whose
+    MinHash bands collide with the PRIOR snapshot's persisted band table
+    are dropped as near-dup recrawls — a (band, band_key) left-anti
+    semi-join against state that is 4 rows per accumulated doc; the old
+    corpus text is never re-read. With `dedup_state_out`, the SURVIVING
+    corpus's band table is written for the next snapshot to check
+    against. Dropped-doc count lands in the funnel.
     """
     from pyspark.sql import Observation
 
@@ -373,6 +386,38 @@ def build_training_corpus(
         .agg(F.min_by(F.struct(*data_cols), F.col("url")).alias("_w"))
         .select("text_hash", "_w.*")
     )
+    obs_state = None
+    if dedup_state_in:
+        from pyspark.sql import Observation as _Obs
+
+        from pdf_extractor_spark.operators.dedup import minhash_band_table
+
+        # near-dup recrawl drop against the PRIOR snapshot's persisted band
+        # table: only this snapshot's docs are shingled; the state side is
+        # a (band, band_key) equi-join probe. The drop count is observed
+        # mid-plan (before the filter) so the funnel costs no extra scan.
+        old_bands = spark.read.parquet(dedup_state_in).select("band", "band_key")
+        new_bands = minhash_band_table(
+            corpus, id_col="url", text_col="extracted_text"
+        )
+        hit = (
+            new_bands.join(old_bands, ["band", "band_key"])
+            .select("url")
+            .distinct()
+            .withColumn("_state_dup", F.lit(1))
+        )
+        obs_state = _Obs("dedup_state")
+        corpus = (
+            corpus.join(hit, "url", "left")
+            .observe(
+                obs_state,
+                F.sum(F.coalesce("_state_dup", F.lit(0)))
+                .cast("long")
+                .alias("n_dropped"),
+            )
+            .filter(F.col("_state_dup").isNull())
+            .drop("_state_dup")
+        )
     n_span_words = F.sum(F.lit(0)).cast("long")
     if strip_dup_spans:
         from pdf_extractor_spark.operators.dedup import strip_duplicate_substrings
@@ -417,12 +462,22 @@ def build_training_corpus(
         n_span_words.alias("n_span_words"),
     )
     corpus.write.mode("overwrite").parquet(corpus_dir)
+    if dedup_state_out:
+        from pdf_extractor_spark.operators.dedup import minhash_band_table
+
+        # band table of the WRITTEN corpus (read back — one bounded pass
+        # over the already-deduplicated output, no recompute of the build
+        # chain): the state the NEXT snapshot's dedup_state_in consumes
+        minhash_band_table(
+            spark.read.parquet(corpus_dir), id_col="url", text_col="extracted_text"
+        ).write.mode("overwrite").parquet(dedup_state_out)
     return CorpusStats(
         int(obs_in.get["n"]),
         int(obs_in.get["n_quality"] or 0),
         int(obs_out.get["n"]),
         int(obs_out.get["n_redact"] or 0),
         int(obs_out.get["n_span_words"] or 0),
+        int(obs_state.get["n_dropped"] or 0) if obs_state is not None else 0,
     )
 
 

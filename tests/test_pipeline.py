@@ -550,6 +550,55 @@ def test_build_training_corpus_strip_dup_spans(spark, tmp_path):
     assert "span_offsets" in plain["https://b/1"].__fields__
 
 
+def test_build_training_corpus_incremental_state(spark, tmp_path):
+    """Two-snapshot incremental corpus build: snapshot 1 persists its
+    MinHash band state via dedup_state_out; snapshot 2 consumes it via
+    dedup_state_in and drops the recrawl duplicate WITHOUT re-reading
+    snapshot 1's corpus text; the drop count reaches the funnel and the
+    surviving doc's state is written for snapshot 3."""
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    recrawl = ("the annual municipal report details road maintenance "
+               "budgets and the schedule of public works for the district")
+    rows1 = [
+        ("https://a/1", recrawl, "[]", "ok"),
+        ("https://b/1", "an unrelated gardening article about seasonal "
+                        "planting schedules for home growers everywhere", "[]", "ok"),
+    ]
+    src1 = str(tmp_path / "extracted1")
+    spark.createDataFrame(
+        rows1,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src1)
+    state1 = str(tmp_path / "state1")
+    cs1 = build_training_corpus(
+        spark, src1, str(tmp_path / "corpus1"), dedup_state_out=state1
+    )
+    assert cs1.docs_corpus == 2 and cs1.recrawl_dups_dropped == 0
+
+    rows2 = [
+        ("https://a/recrawled", recrawl, "[]", "ok"),  # same page, new crawl
+        ("https://c/1", "a fresh unique article on deep sea exploration "
+                        "vessels and the sonar mapping of ocean trenches", "[]", "ok"),
+    ]
+    src2 = str(tmp_path / "extracted2")
+    spark.createDataFrame(
+        rows2,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src2)
+    state2 = str(tmp_path / "state2")
+    out2 = str(tmp_path / "corpus2")
+    cs2 = build_training_corpus(
+        spark, src2, out2, dedup_state_in=state1, dedup_state_out=state2
+    )
+    got = {r.url for r in spark.read.parquet(out2).collect()}
+    assert got == {"https://c/1"}
+    assert cs2.recrawl_dups_dropped == 1 and cs2.docs_corpus == 1
+    # snapshot-3 state covers only the survivor
+    s2 = spark.read.parquet(state2)
+    assert {r.url for r in s2.select("url").distinct().collect()} == {"https://c/1"}
+
+
 def test_training_examples_approved_xlsx_gate(spark, out_dirs, tmp_path):
     """The reference's excel2training flow (excel2training.py:150-153,
     261-330): a reviewer workbook gates which docs become training
