@@ -214,6 +214,171 @@ def decode_payload(payload: bytes) -> tuple[str, np.ndarray, dict]:
     return _decode_real(payload)
 
 
+# ---------------------------------------------------------------------------
+# header-only metadata probe (no sample decode)
+# ---------------------------------------------------------------------------
+
+
+def _probe_mp4(payload: bytes) -> dict | None:
+    """ISO/IEC 14496-12 (MP4/ISO-BMFF) box walk, METADATA ONLY: movie
+    timescale/duration from moov/mvhd, presentation width/height from the
+    first visual trak/tkhd (16.16 fixed point). No codec work — H.264/HEVC
+    sample decode stays an honest NotImplementedError in decode_payload —
+    but a curation pipeline can filter/bucket video by dimensions and
+    duration without touching a codec, which is the metadata pass real
+    media pipelines run first. Bomb-safe by construction: the box walk
+    only ever advances (size < header ⇒ stop), depth is capped, and no
+    allocation is proportional to declared sizes."""
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+    out = {"width": None, "height": None, "duration_ms": None}
+
+    def walk(start: int, end: int, depth: int) -> None:
+        off = start
+        while off + 8 <= end and depth <= 6:
+            size = int.from_bytes(payload[off : off + 4], "big")
+            typ = payload[off + 4 : off + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if off + 16 > end:
+                    return
+                size = int.from_bytes(payload[off + 8 : off + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - off
+            if size < hdr or off + size > end:
+                return  # malformed: stop walking, keep what we have
+            b0, b1 = off + hdr, off + size
+            if typ in (b"moov", b"trak", b"mdia"):
+                walk(b0, b1, depth + 1)
+            elif typ == b"mvhd" and b1 - b0 >= 24:
+                ver = payload[b0]
+                if ver == 1 and b1 - b0 >= 32:
+                    ts = int.from_bytes(payload[b0 + 20 : b0 + 24], "big")
+                    dur = int.from_bytes(payload[b0 + 24 : b0 + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[b0 + 12 : b0 + 16], "big")
+                    dur = int.from_bytes(payload[b0 + 16 : b0 + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif typ == b"tkhd":
+                woff = b0 + (88 if payload[b0] == 1 else 76)
+                if woff + 8 <= b1:
+                    w = int.from_bytes(payload[woff : woff + 4], "big") >> 16
+                    h = int.from_bytes(payload[woff + 4 : woff + 8], "big") >> 16
+                    if w and h and out["width"] is None:
+                        out["width"], out["height"] = w, h
+            off += size
+
+    walk(0, n, 0)
+    if out["duration_ms"] is None and out["width"] is None:
+        return None  # ftyp but no parseable moov: not probe-able
+    return out
+
+
+def _probe_jpeg_dims(payload: bytes) -> dict | None:
+    """JPEG dimensions from the SOF marker WITHOUT entropy decode — works
+    for progressive/arithmetic files the baseline decoder refuses."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i)
+        if seglen < 2 or i + seglen > n:
+            return None
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            _, h, w, _ = struct.unpack_from(">BHHB", payload, i + 2)
+            return {"width": w, "height": h}
+        if marker == 0xDA:
+            return None  # scan reached without SOF: malformed
+        i += seglen
+    return None
+
+
+def probe_media(payload: bytes) -> tuple[str, dict]:
+    """(kind, metadata) from HEADERS ONLY — no pixel/sample decode.
+
+    The curation-first metadata pass: dimensions, duration, sample rate
+    for filtering and bucketing a media column at corpus scale without
+    paying (or even having) a codec. Covers the FAKE formats, PNG (IHDR),
+    JPEG (any SOF, incl. progressive files decode_payload refuses), WAV
+    (stdlib header read), and MP4/ISO-BMFF (mvhd/tkhd box walk).
+    Raises ValueError on unknown/unparseable payloads.
+    """
+    magic = payload[:8]
+    if magic == MAGIC_IMG:
+        w, h = struct.unpack_from("<II", payload, 8)
+        return "image", {"width": w, "height": h}
+    if magic == MAGIC_AUD:
+        sr, n = struct.unpack_from("<II", payload, 8)
+        return "audio", {"sample_rate": sr, "duration_ms": int(n * 1000 / sr)}
+    if magic == MAGIC_VID:
+        w, h, nf = struct.unpack_from("<III", payload, 8)
+        return "video", {"width": w, "height": h, "n_frames": nf}
+    if payload[:8] == _PNG_MAGIC and len(payload) >= 24:
+        w, h = struct.unpack_from(">II", payload, 16)
+        return "image", {"width": w, "height": h}
+    jd = _probe_jpeg_dims(payload)
+    if jd is not None:
+        return "image", jd
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            sr = wf.getframerate()
+            return "audio", {
+                "sample_rate": sr,
+                "duration_ms": int(wf.getnframes() * 1000 / sr) if sr else None,
+            }
+    mp4 = _probe_mp4(payload)
+    if mp4 is not None:
+        return "video", mp4
+    raise ValueError(f"unprobeable payload magic {payload[:8]!r}")
+
+
+PROBE_SCHEMA = (
+    "media_id long, kind string, ok boolean, width int, height int, "
+    "sample_rate int, duration_ms int, n_frames int"
+)
+
+
+def media_probe(media):
+    """media DF → header-only metadata DF (mapInPandas, pruned to
+    (media_id, media); failures are ok=false rows, never task failures)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "kind", "ok", "width", "height",
+                "sample_rate", "duration_ms", "n_frames")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    kind, meta = probe_media(bytes(payload))
+                    ok = True
+                except Exception:
+                    kind, meta, ok = "unknown", {}, False
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["ok"].append(ok)
+                for k in ("width", "height", "sample_rate", "duration_ms", "n_frames"):
+                    out[k].append(meta.get(k))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "media").mapInPandas(
+        kernel, schema=PROBE_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = (
     "media_id long, kind string, ok boolean, n_values long, "
     "mean_value double, std_value double, features array<float>"

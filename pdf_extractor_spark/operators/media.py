@@ -38,11 +38,14 @@ def _media(spark):
     "row: image resize (block mean-pool stand-in for a real resampler) "
     "with JVM-side kind filter before the UDF. 'frames' row: video frame "
     "sampling (UDTF shape — one row per kept frame, single Arrow pass, no "
-    "shuffle).",
+    "shuffle). 'probe:<kind>' rows (round 5): header-only metadata pass "
+    "(multimodal.probe_media — dims/duration/sample-rate without sample "
+    "decode, the curation-first filter over a media column).",
 )
 def mm_pipeline(spark, sf_dir):
     from pdf_extractor_spark.multimodal import (
         media_features,
+        media_probe,
         resize_images,
         sample_frames,
     )
@@ -97,4 +100,24 @@ def mm_pipeline(spark, sf_dir):
             F.lit(None).cast("double").alias("avg2"),
         )
     )
-    return feats.unionByName(resized).unionByName(frames).orderBy("stage")
+    probed = (
+        media_probe(media)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("ok").cast("long")).alias("n2"),
+            F.round(F.avg("width"), 3).alias("avg1"),
+            F.round(F.avg("duration_ms"), 3).alias("avg2"),
+        )
+        .select(
+            F.concat(F.lit("probe:"), "kind").alias("stage"),
+            "n",
+            "n2",
+            "avg1",
+            "avg2",
+        )
+    )
+    return (
+        feats.unionByName(resized).unionByName(frames).unionByName(probed)
+        .orderBy("stage")
+    )

@@ -507,3 +507,152 @@ def test_real_decoders_total_on_mutated_media():
             except Exception:
                 pass  # callers degrade the row; the contract here is speed
             assert time.perf_counter() - t0 < 5.0, off
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + typ + body
+
+
+def _encode_mp4_meta(w, h, duration_ms, timescale=1000, ver=0) -> bytes:
+    """Minimal ISO-BMFF metadata skeleton (test twin): ftyp + moov(mvhd +
+    trak(tkhd)) — no media data, which is exactly what the probe reads."""
+    import struct
+
+    if ver == 1:
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x01\x00\x00\x07" + b"\x00" * 84
+            + struct.pack(">II", w << 16, h << 16),
+        )
+    else:
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16),
+        )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_probe_media_mp4_metadata():
+    """MP4 metadata WITHOUT codec decode: mvhd duration + tkhd dims, both
+    tkhd/mvhd versions; sample decode stays an honest refusal."""
+    import pytest
+
+    from pdf_extractor_spark.multimodal import decode_payload, probe_media
+
+    for ver in (0, 1):
+        payload = _encode_mp4_meta(640, 360, 2500, ver=ver)
+        kind, meta = probe_media(payload)
+        assert kind == "video"
+        assert meta["width"] == 640 and meta["height"] == 360
+        assert meta["duration_ms"] == 2500
+        with pytest.raises(NotImplementedError):
+            decode_payload(payload)  # sample decode needs a codec
+
+
+def test_probe_media_headers_only_formats():
+    """PNG IHDR, JPEG SOF (incl. PROGRESSIVE files the decoder refuses),
+    WAV header, and the FAKE formats all probe without decoding."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from pdf_extractor_spark import multimodal as mm
+
+    k, meta = mm.probe_media(_encode_png(np.zeros((5, 9), np.uint8)))
+    assert (k, meta["width"], meta["height"]) == ("image", 9, 5)
+
+    k, meta = mm.probe_media(_encode_jpeg(np.zeros((16, 24), np.uint8)))
+    assert (k, meta["width"], meta["height"]) == ("image", 24, 16)
+
+    # progressive JPEG: decode refuses, probe still reads dims from SOF2
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 33, 47, 1) + b"\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(prog + b"\xff\xd9")
+    k, meta = mm.probe_media(prog)
+    assert (k, meta["width"], meta["height"]) == ("image", 47, 33)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(np.zeros(4000, "<i2").tobytes())
+    k, meta = mm.probe_media(buf.getvalue())
+    assert (k, meta["sample_rate"], meta["duration_ms"]) == ("audio", 8000, 500)
+
+    row = mm.synth_media_row(7, 3)
+    k, meta = mm.probe_media(row["media"])
+    assert k == row["kind"]
+
+
+def test_probe_media_bombs_fail_fast():
+    """Box-walk safety: self-referential sizes, zero sizes, truncated
+    largesize — the walk only advances and returns in bounded time."""
+    import struct
+    import time
+
+    import pytest
+
+    from pdf_extractor_spark.multimodal import probe_media
+
+    good = _encode_mp4_meta(64, 64, 1000)
+    bombs = [
+        good[:4] + b"ftyp" + b"\x00" * 4,                     # truncated
+        struct.pack(">I", 8) + b"ftyp" + struct.pack(">I", 7) + b"moov",  # size<hdr
+        # largesize marker (size==1) with a truncated 64-bit length
+        struct.pack(">I", 16) + b"ftyp" + b"\x00" * 8
+        + struct.pack(">I", 1) + b"moov" + b"\x00\x00",
+    ]
+    stride = max(1, len(good) // 30)
+    for off in range(0, len(good), stride):
+        bombs.append(good[:off] + bytes([good[off] ^ 0xFF]) + good[off + 1 :])
+    for payload in bombs:
+        t0 = time.perf_counter()
+        try:
+            probe_media(payload)
+        except Exception:
+            pass
+        assert time.perf_counter() - t0 < 2.0
+
+
+def test_media_probe_spark(spark):
+    """The Spark probe pass: every FAKE row probes ok with kind-true
+    metadata; a garbage row is ok=false data, never a task failure."""
+    import pandas as pd
+
+    from pdf_extractor_spark import multimodal as mm
+
+    df = mm.media_df(spark, 60, seed=7, num_partitions=3)
+    rows = {r.media_id: r for r in mm.media_probe(df).collect()}
+    assert len(rows) == 60
+    for i in (0, 7, 59):
+        truth = mm.synth_media_row(7, i)
+        assert rows[i].kind == truth["kind"] and rows[i].ok
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [999], "media": [b"\x00garbage~~"]})
+    )
+    got = mm.media_probe(bad).collect()
+    assert len(got) == 1 and got[0].ok is False
