@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier",  # NEW round 5 (hashed-ngram linear scorer)
         "dedup_incremental",       # NEW round 5 (snapshot band-state dedup)
         "emb_near_dup_multiband",  # CHANGED round 5 (48 md5 bands) — re-verify
+        "semdedup",                # NEW round 5 (Abbas et al. semantic dedup)
+        "token_budget_select",     # NEW round 5 (distributed prefix sum)
+        "sample_temperature",      # NEW round 5 (alpha=0.5 domain resampling)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -65,6 +65,9 @@ HEADLINE_QUERIES = [
     "ann_ivf_trained",      # Lloyd-trained IVF (training + probe, round 4)
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
     "emb_near_dup_multiband",  # 48-band union (the recall-knob scale path)
+    "semdedup",             # trained-cluster semantic dedup (round 5)
+    "token_budget_select",  # distributed prefix-sum budget fill (round 5)
+    "sample_temperature",   # alpha=0.5 domain resampling (round 5)
     "text_quality",         # quality scoring over documents
     "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)
     "text_quality_classifier",  # hashed-ngram trained scorer (round 5)

@@ -27,6 +27,7 @@ the byte-identical rule.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.operators.registry import load, register
@@ -620,3 +621,178 @@ def host_stats_salted(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+# --- temperature-based domain resampling --------------------------------------
+
+def _hex_bucket(md5_expr: str, strpos_fn: str, ndigits: int) -> str:
+    """First `ndigits` hex digits of an md5 as an integer in [0, 16^ndigits)
+    — the portable Spark∩DuckDB construction (_BUCKET_EXPR generalized):
+    both engines lowercase md5 hex, both index substr from 1."""
+    terms = []
+    for i in range(ndigits):
+        mult = 16 ** (ndigits - 1 - i)
+        t = f"({strpos_fn}('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        terms.append(f"{t} * {mult}" if mult > 1 else t)
+    return " + ".join(terms)
+
+
+_B16_SPARK = _hex_bucket("md5(cast(doc_id as string))", "instr", 4)
+_B16_SQL = _hex_bucket("md5(CAST(d.doc_id AS VARCHAR))", "strpos", 4)
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+               FROM documents GROUP BY lang),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         r AS (SELECT lang, CAST(floor(sqrt(m.mn / c.cnt) * 65536) AS BIGINT)
+                        AS thr_65536
+               FROM c, m)
+    SELECT d.doc_id, d.lang, CAST({_B16_SQL} AS BIGINT) AS bucket, r.thr_65536
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE {_B16_SQL} < r.thr_65536
+    ORDER BY d.doc_id
+    """,
+    doc="Temperature-based domain resampling (the Pile / mT5 / DoReMi "
+    "alpha-mixing family, alpha=0.5): per-language acceptance rate "
+    "sqrt(min_count/count) flattens the domain distribution toward the "
+    "temperature-smoothed target (rarest language keeps rate 1.0, the "
+    "head is downsampled toward it). Rates are computed IN-JOB (one "
+    "partial-agg groupBy to ~n_lang rows, broadcast back) — unlike "
+    "sample_stratified's fixed table, so the mix adapts to the corpus "
+    "actually being built. Acceptance is the deterministic md5 bucket "
+    "(16 bits here for rate resolution) vs floor(rate*65536): sqrt and "
+    "x/y are IEEE-754 correctly-rounded in BOTH engines (JVM StrictMath "
+    "contract + libm) and 65536 scaling is exact, so the kept set is "
+    "bit-portable — pow() would not be, which is why alpha is baked as "
+    "sqrt. Zero extra shuffle on the corpus side: scan → broadcast-join "
+    "→ filter.",
+)
+def sample_temperature(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    cnts = d.groupBy("lang").agg(F.count("*").cast("double").alias("cnt"))
+    mn = cnts.agg(F.min("cnt").alias("mn"))
+    rates = cnts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(F.sqrt(F.col("mn") / F.col("cnt")) * 65536)
+        .cast("long").alias("thr_65536"),
+    )
+    bucket = F.expr(_B16_SPARK).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", bucket.alias("bucket"), "thr_65536")
+        .filter(F.col("bucket") < F.col("thr_65536"))
+        .orderBy("doc_id")
+    )
+
+
+# --- token-budget selection (distributed prefix sum) --------------------------
+
+_TOKEN_BUDGET = 12_000
+_QB_MAX = 63  # quality quantized to 64 levels: bucket = clamp(floor(q*4), 0, 63)
+
+_WS = r"[ \t\n\r\f\x0B]+"
+_STOP_PAT = r"\b(data|table|row|value|query)\b"
+
+
+def select_token_budget(scored, budget: int = _TOKEN_BUDGET):
+    """Greedy quality-ordered selection under a global token budget — the
+    'fill the training mix best-first' pass (C4/FineWeb keep-until-budget):
+    rank docs by (quality DESC, doc_id), keep the maximal prefix whose
+    cumulative token count stays within `budget`.
+
+    The naive plan is a GLOBAL window cumsum — a single-partition sort, the
+    one shape that cannot scale. This runs the same math as a DISTRIBUTED
+    prefix sum instead: quality is quantized to ≤64 ordered buckets
+    (floor(q*4) clamped — monotone, so bucket order IS quality order and
+    ties share a bucket), per-bucket token totals aggregate to ≤64 rows
+    (bounded driver collect, the MLlib-centers discipline), each bucket's
+    offset = sum of strictly-better buckets' totals, and the window cumsum
+    runs PARTITIONED BY bucket with the offset added — every partition
+    sorts locally in parallel. Buckets whose offset already exceeds the
+    budget are pruned BEFORE the window (inner join against the live-offset
+    dim), so at 10^12 docs only the straddling tail of the quality
+    distribution does window work at all.
+
+    `scored` needs (doc_id, tokens, quality). Returns (doc_id, tokens,
+    cum_tokens) for the selected docs — cum_tokens equals the global-window
+    value exactly (integer tokens, order-consistent bucketing).
+    """
+    spark = scored.sparkSession
+    d = scored.withColumn(
+        "qb",
+        F.least(F.greatest(F.floor(F.col("quality") * 4), F.lit(0)),
+                F.lit(_QB_MAX)).cast("int"),
+    )
+    totals = {
+        r.qb: r.tot
+        for r in d.groupBy("qb").agg(F.sum("tokens").alias("tot")).collect()
+    }  # ≤64 rows by construction — quantization bounds the collect
+    offsets, acc = {}, 0
+    for qb in sorted(totals, reverse=True):  # best bucket first
+        offsets[qb] = acc
+        acc += totals[qb]
+    live = [(qb, off) for qb, off in offsets.items() if off < budget]
+    off_df = spark.createDataFrame(live, "qb int, off long")
+    w = (
+        W.partitionBy("qb")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), "qb")  # inner join prunes dead buckets
+        .withColumn(
+            "cum_tokens",
+            (F.sum("tokens").over(w) + F.col("off")).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", F.col("tokens").cast("long").alias("tokens"),
+                "cum_tokens")
+    )
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '{_WS}')) AS tokens,
+             round(
+               ln(1 + length(text))
+               * (1 - len(regexp_extract_all(text, '{_STOP_PAT}'))
+                      / CAST(len(regexp_split_to_array(trim(text), '{_WS}'))
+                             AS DOUBLE)),
+               4) AS quality
+      FROM documents
+      WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, cum_tokens FROM (
+      SELECT doc_id, tokens,
+             CAST(sum(tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    ) WHERE cum_tokens <= {_TOKEN_BUDGET}
+    ORDER BY doc_id
+    """,
+    doc="Token-budget selection over the text_quality score: keep the "
+    "best-quality docs until the corpus token budget fills. The ORACLE is "
+    "the textbook global-window cumsum (single total order) — the Spark "
+    "side computes the IDENTICAL values with a distributed prefix sum "
+    "(quantize-order buckets → bounded per-bucket totals → offset join → "
+    "bucket-partitioned window), the scale-first reinterpretation of an "
+    "inherently sequential operator. Plan-pinned: the window's exchange "
+    "hashes on the bucket key, never SinglePartition.",
+)
+def token_budget_select(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = F.size(F.split(F.trim("text"), _WS))
+    stop_hits = F.regexp_count("text", F.lit(_STOP_PAT))
+    quality = F.round(
+        F.log(1 + F.length("text")) * (1 - stop_hits / words.cast("double")), 4
+    )
+    scored = d.select("doc_id", words.alias("tokens"), quality.alias("quality"))
+    return select_token_budget(scored).orderBy("doc_id")

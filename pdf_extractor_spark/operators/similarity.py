@@ -849,14 +849,14 @@ def train_ivf_centroids(
     return cents
 
 
-def _lloyd_oracle_sql(n_cells: int, n_iters: int, train_n: int = _IVF_TRAIN_N) -> str:
-    """DuckDB twin of train_ivf_centroids + the trained-IVF probe — the
-    SAME fixed Lloyd rounds unrolled as chained CTEs, so the driver
-    hash-verifies the training itself, not a frozen snapshot. Training
-    CTEs run on the same vec_id < train_n prefix sample as the Spark side;
-    the final cell assignment covers the full corpus. Assignment ties
-    break (dist, k) ascending in both engines; empty cells keep the
-    previous round's centroid via the LEFT JOIN coalesce."""
+def _lloyd_ctes(n_cells: int, n_iters: int, train_n: int = _IVF_TRAIN_N) -> list[str]:
+    """The unrolled-Lloyd CTE chain shared by every oracle that consumes a
+    TRAINED clustering (ann_ivf_trained's probe, semdedup's within-cluster
+    prune): fixed k-means rounds over the vec_id < train_n prefix sample,
+    ending in `cells(vec_id, e, nrm, k)` — the full corpus assigned to its
+    trained cell. Assignment ties break (dist, k) ascending in both
+    engines; empty cells keep the previous round's centroid via the LEFT
+    JOIN coalesce."""
     ctes = [
         """e AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -897,8 +897,15 @@ def _lloyd_oracle_sql(n_cells: int, n_iters: int, train_n: int = _IVF_TRAIN_N) -
         FROM e CROSS JOIN c{n_iters} c
       ) WHERE rn = 1
     )""")
+    return ctes
+
+
+def _lloyd_oracle_sql(n_cells: int, n_iters: int, train_n: int = _IVF_TRAIN_N) -> str:
+    """DuckDB twin of train_ivf_centroids + the trained-IVF probe — the
+    SAME fixed Lloyd rounds unrolled as chained CTEs (_lloyd_ctes), so the
+    driver hash-verifies the training itself, not a frozen snapshot."""
     return (
-        "WITH " + ",\n".join(ctes) + """
+        "WITH " + ",\n".join(_lloyd_ctes(n_cells, n_iters, train_n)) + """
     SELECT query_id, neighbor_id, rank FROM (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              row_number() OVER (
@@ -957,3 +964,95 @@ def ann_ivf_trained(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- SemDedup: semantic deduplication over trained clusters ------------------
+
+_SEM_TAU = 0.38  # fixture-calibrated like emb_near_dup: real near-dups sit ~0.38-0.51
+
+
+def semdedup_flags(spark, emb, n_cells: int = _N_CELLS, tau: float = _SEM_TAU):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with the trained coarse quantizer, then pruning
+    near-duplicates WITHIN each cluster — pairwise cosine is computed only
+    between same-cluster members, never across the corpus. Deterministic
+    keep rule: a vector is dropped iff an EARLIER-id vector in its cluster
+    has cosine >= tau (min-id wins, the corpus builder's winner rule; the
+    paper keeps the member farthest from the centroid — any fixed rule
+    gives the same dedup rate, ours is engine-portable).
+
+    Scale shape: training is the bounded-sample Lloyd of
+    train_ivf_centroids; assignment is the broadcast-literal row-local
+    expression (no shuffle); the prune is an equi-join on cell. At 10^12
+    docs n_cells grows ~sqrt(N) (SemDedup uses ~11k clusters for LAION),
+    so per-cluster pair work stays bounded — the quadratic term is
+    sum(cluster_size^2), controlled by the quantizer, not N^2.
+
+    Returns (vec_id, cell, keep) for EVERY vector (keep as 0/1 — the
+    audit-friendly form: downstream filters keep=1, metrics sum 1-keep).
+    """
+    cents = train_ivf_centroids(emb, n_cells=n_cells)
+    e = emb.select(
+        "vec_id", "nrm", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = e.withColumn("cell", _nearest_cell_expr(cents))
+    a = cells.select(
+        F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vb") < F.col("va")))
+        .filter(dot / (F.col("na") * F.col("nb")) >= tau)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return cells.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("keep"),
+    )
+
+
+def _semdedup_oracle_sql(n_cells: int, n_iters: int, tau: float) -> str:
+    return (
+        "WITH " + ",\n".join(_lloyd_ctes(n_cells, n_iters)) + f""",
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b ON a.k = b.k AND b.vec_id < a.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {tau}
+    )
+    SELECT c.vec_id,
+           CAST(c.k AS BIGINT) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """
+    )
+
+
+@register(
+    "semdedup",
+    oracle=_semdedup_oracle_sql(_N_CELLS, _LLOYD_ITERS, _SEM_TAU),
+    doc="SemDedup (Abbas et al. 2023): semantic near-duplicate pruning via "
+    "trained k-means clusters + within-cluster cosine — the modern "
+    "embedding-level dedup pass (LAION/web-text) that catches rephrasings "
+    "exact and MinHash dedup miss. Clustering reuses the ann_ivf_trained "
+    "Lloyd machinery (bounded prefix-sample training, broadcast-literal "
+    "assignment, ties to lowest cell); the prune is an equi-join on cell "
+    "so pair work is sum(cluster_size^2), bounded by the quantizer at any "
+    "corpus size. min-id keep rule (deterministic, engine-portable). The "
+    "DuckDB oracle unrolls the SAME Lloyd rounds (shared _lloyd_ctes), so "
+    "the driver hash-verifies training + assignment + prune end-to-end.",
+)
+def semdedup(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    return semdedup_flags(spark, emb).orderBy("vec_id")

@@ -66,6 +66,10 @@ SUBSET = [
     "text_unigram_nll",
     "host_stats_salted",
     "dedup_substring",
+    # round-5 additions
+    "semdedup",
+    "sample_temperature",
+    "token_budget_select",
 ]
 
 
@@ -752,3 +756,89 @@ def test_pointer_jump_accelerates_deep_chains(spark):
     slow.unpersist()
     assert slow_rounds >= n  # neighbor-min needs ~diameter rounds
     assert fast_rounds <= 12, fast_rounds  # ~log2 after the jump engages
+
+
+def test_semdedup_prunes_within_cluster(spark):
+    """SemDedup semantics on a hand-built fixture: near-copies of an
+    earlier vector in the same cluster are dropped (keep=0), anchors and
+    a direction orthogonal to everything survive — regardless of which
+    cluster the orthogonal vector lands in, since its cosine to every
+    other vector is ~0 < tau."""
+    from pdf_extractor_spark.operators.similarity import _with_norm, semdedup_flags
+
+    dim = 8
+
+    def axis(i, scale=10.0, eps=None):
+        v = [0.0] * dim
+        v[i] = scale
+        if eps is not None:
+            v[(i + 1) % 4] = eps  # tiny off-axis noise for the near-copies
+        return v
+
+    rows = [
+        (0, axis(0)), (1, axis(1)), (2, axis(2)), (3, axis(3)),  # anchors
+        (4, axis(0, eps=0.01)),   # near-copy of 0 → dropped
+        (5, axis(1, eps=0.02)),   # near-copy of 1 → dropped
+        (6, [0.0] * 7 + [10.0]),  # orthogonal to all → kept
+    ]
+    emb = _with_norm(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    got = {r.vec_id: r.keep for r in semdedup_flags(spark, emb).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 1}
+
+
+def test_sample_temperature_thresholds_match_closed_form(spark):
+    """Per-language acceptance thresholds must equal floor(sqrt(min_cnt /
+    cnt) * 65536) computed from the corpus itself, and the rarest language
+    must be kept in full (rate 1.0)."""
+    import math
+
+    ops = all_ops()
+    rows = ops["sample_temperature"].build(spark, SF_DIR).collect()
+    con = duckdb.connect()
+    cnts = dict(
+        con.sql(
+            f"SELECT lang, count(*) FROM '{SF_DIR}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    mn = min(cnts.values())
+    expect_thr = {
+        lang: math.floor(math.sqrt(mn / cnt) * 65536) for lang, cnt in cnts.items()
+    }
+    for r in rows:
+        assert r.thr_65536 == expect_thr[r.lang]
+        assert r.bucket < r.thr_65536
+    rarest = min(cnts, key=lambda k: (cnts[k], k))
+    assert expect_thr[rarest] == 65536
+    kept_rarest = sum(1 for r in rows if r.lang == rarest)
+    assert kept_rarest == cnts[rarest]  # rate 1.0 → nothing dropped
+
+
+def test_token_budget_distributed_prefix_sum_matches_global_window(spark):
+    """The bucketed two-stage cumsum must reproduce the global-window
+    values EXACTLY, including at a budget boundary that splits a quality
+    tie (doc_id breaks the tie), and the selected prefix must be maximal
+    (the next doc in order would overflow the budget)."""
+    from pdf_extractor_spark.operators.curation import select_token_budget
+
+    # qualities span several buckets; docs 104/105 tie at 2.0 so the
+    # boundary lands inside a tie; doc 106 must be the first excluded
+    rows = [
+        (101, 300, 9.1), (102, 250, 7.2), (103, 200, 3.9),
+        (104, 150, 2.0), (105, 100, 2.0), (106, 400, 2.0),
+        (107, 500, 0.4), (108, 50, -1.0),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id long, tokens int, quality double")
+    budget = 300 + 250 + 200 + 150 + 100  # through doc 105 exactly
+    got = {
+        r.doc_id: (r.tokens, r.cum_tokens)
+        for r in select_token_budget(scored, budget=budget).collect()
+    }
+    # global-window reference computed by hand: order 101,102,103,104,105,106,...
+    assert got == {
+        101: (300, 300), 102: (250, 550), 103: (200, 750),
+        104: (150, 900), 105: (100, 1000),
+    }
+    # maximality: doc 106 (next in order) would push cum to 1400 > budget
+    assert 106 not in got and budget == 1000

@@ -447,3 +447,39 @@ def test_multiband_signatures_arrow_no_inflation(spark):
         r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[r#\d+, bucket#\d+L?\]",
         plan,
     ), plan[:2000]
+
+
+def test_semdedup_prune_is_equijoin_on_cell(spark):
+    """SemDedup's pairwise prune must form candidates ONLY inside clusters
+    (equi-join on the cell key) — never a cartesian/nested-loop over the
+    corpus — and the cluster assignment must be the O(1)-plan broadcast
+    literal, not a join against a centroid table."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["semdedup"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_window_is_partitioned(spark):
+    """The budget cumsum's Window must run partitioned by the quality
+    bucket (distributed prefix sum), NEVER as a single-partition global
+    window — the shape that cannot scale. The bucket-offset dim joins
+    broadcast."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["token_budget_select"].build(spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(qb" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sample_temperature_rates_broadcast(spark):
+    """The in-job per-language rate dim (~n_lang rows) must broadcast back
+    onto the corpus scan; the only corpus-wide exchange is the tiny
+    counting agg (partial rows, one per lang per task)."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["sample_temperature"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
