@@ -517,3 +517,306 @@ def sample_frames(media, every_n: int = 4):
         .select("media_id", "media")
         .mapInPandas(kernel, schema=FRAMES_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF sample-table demux (codec-free frame sampling)
+# ---------------------------------------------------------------------------
+
+_MP4_MAX_SAMPLES = 1_000_000  # bomb guard: tables beyond this are rejected
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def write_mp4(
+    frames: np.ndarray, fps: int = 24, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO/IEC 14496-12 container around raw gray frames —
+    the deterministic writer twin for the demux (same discipline as the
+    from-scratch PNG/JPEG/WAV codecs: the sandbox has no media libs, so
+    fixtures are built by OUR writer and verified by OUR parser, and both
+    against the spec's byte layout). One sample per frame; chunks
+    alternate 2 and 3 samples so stsc carries real runs, and the final
+    sample gets a doubled duration so stts carries two entries — the
+    writer exists to exercise the parser's table logic, not to please a
+    lenient reader."""
+    nf, h, w = frames.shape
+    samples = [frames[i].tobytes() for i in range(nf)]
+    delta = timescale // fps
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat_body = b"".join(samples)
+    mdat_off = len(ftyp) + 8  # absolute offset of first sample byte
+
+    # chunk layout: 2,3,2,3,... samples per chunk
+    chunks, i, take = [], 0, 2
+    while i < nf:
+        chunks.append((i, min(take, nf - i)))
+        i += take
+        take = 5 - take  # alternate 2 <-> 3
+    sizes = [len(s) for s in samples]
+    offs, pos = [], mdat_off
+    for first, cnt in chunks:
+        offs.append(pos)
+        pos += sum(sizes[first : first + cnt])
+
+    # stts: (nf-1) samples at `delta`, last sample at 2*delta
+    if nf > 1:
+        stts_entries = [(nf - 1, delta), (1, 2 * delta)]
+    else:
+        stts_entries = [(1, delta)]
+    stts = _box(b"stts", struct.pack(">II", 0, len(stts_entries))
+                + b"".join(struct.pack(">II", c, d) for c, d in stts_entries))
+    # stsc runs: compress (first_chunk, samples_per_chunk, desc=1)
+    runs = []
+    for ci, (_, cnt) in enumerate(chunks):
+        if not runs or runs[-1][1] != cnt:
+            runs.append((ci + 1, cnt))
+    stsc = _box(b"stsc", struct.pack(">II", 0, len(runs))
+                + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, nf)
+                + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _box(b"stco", struct.pack(">II", 0, len(offs))
+                + b"".join(struct.pack(">I", o) for o in offs))
+    # stsd: one bare "raw " visual sample entry (no codec config needed)
+    entry = struct.pack(">I", 86) + b"raw " + bytes(6) + struct.pack(">H", 1) + bytes(70)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dur = (nf + 1) * delta  # nf-1 at delta + one at 2*delta
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(12) + b"v\x00")
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">III", 0x00000007, 0, 0)
+                + struct.pack(">II", 1, 0) + struct.pack(">I", dur)
+                + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+                + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                + bytes(10) + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + bytes(24) + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_body) + moov
+
+
+def _iter_boxes(payload: bytes, start: int, end: int):
+    """Yield (typ, body_start, body_end) for the boxes in [start, end) —
+    the same only-ever-advances discipline as _probe_mp4's walk."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(payload[off : off + 4], "big")
+        typ = payload[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(payload[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _find_box(payload: bytes, start: int, end: int, path: tuple[bytes, ...]):
+    """Body range of the first box at `path` (e.g. (b'moov', b'trak'))."""
+    for typ, b0, b1 in _iter_boxes(payload, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            sub = _find_box(payload, b0, b1, path[1:])
+            if sub is not None:
+                return sub
+    return None
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]] | None:
+    """Per-sample (byte_offset, byte_size, dts_ms) from the first trak's
+    sample table — the codec-free demux that turns 'video is an opaque
+    blob' into addressable frames: stsz sizes, stco chunk offsets, stsc
+    sample->chunk runs, stts time deltas, mdhd timescale (ISO 14496-12
+    §8.5-8.7). Returns None when the payload is not ISO-BMFF or the
+    tables are absent/malformed; every table length is validated against
+    its box size BEFORE any read and the sample count is capped
+    (_MP4_MAX_SAMPLES), so declared-size bombs cost nothing."""
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+    moov = _find_box(payload, 0, n, (b"moov",))
+    if moov is None:
+        return None
+    stbl = _find_box(payload, moov[0], moov[1], (b"trak", b"mdia", b"minf", b"stbl"))
+    mdhd = _find_box(payload, moov[0], moov[1], (b"trak", b"mdia", b"mdhd"))
+    if stbl is None or mdhd is None:
+        return None
+    b0, b1 = mdhd
+    if payload[b0] == 1:
+        if b1 - b0 < 24:
+            return None
+        timescale = int.from_bytes(payload[b0 + 20 : b0 + 24], "big")
+    else:
+        if b1 - b0 < 16:
+            return None
+        timescale = int.from_bytes(payload[b0 + 12 : b0 + 16], "big")
+    if not timescale:
+        return None
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for typ, t0, t1 in _iter_boxes(payload, stbl[0], stbl[1]):
+        tables[typ] = (t0, t1)
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], "big")
+
+    def entries(typ: bytes, width: int, skip: int = 8):
+        """Validated entry array of a full box: (count, first_entry_off),
+        or None if the declared count overruns the box or the cap."""
+        if typ not in tables:
+            return None
+        t0, t1 = tables[typ]
+        if t1 - t0 < skip:
+            return None
+        cnt = u32(t0 + skip - 4)
+        if cnt > _MP4_MAX_SAMPLES or t0 + skip + cnt * width > t1:
+            return None
+        return cnt, t0 + skip
+
+    # stsz: fixed size or per-sample table
+    if b"stsz" not in tables:
+        return None
+    z0, z1 = tables[b"stsz"]
+    if z1 - z0 < 12:
+        return None
+    fixed, n_samples = u32(z0 + 4), u32(z0 + 8)
+    if n_samples > _MP4_MAX_SAMPLES:
+        return None
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        if z0 + 12 + n_samples * 4 > z1:
+            return None
+        sizes = [u32(z0 + 12 + 4 * i) for i in range(n_samples)]
+
+    co = entries(b"stco", 4)
+    co64 = entries(b"co64", 8)
+    if co is not None:
+        n_chunks, coff = co
+        chunk_offs = [u32(coff + 4 * i) for i in range(n_chunks)]
+    elif co64 is not None:
+        n_chunks, coff = co64
+        chunk_offs = [
+            int.from_bytes(payload[coff + 8 * i : coff + 8 * i + 8], "big")
+            for i in range(n_chunks)
+        ]
+    else:
+        return None
+
+    sc = entries(b"stsc", 12)
+    if sc is None:
+        return None
+    n_runs, soff = sc
+    runs = [(u32(soff + 12 * i), u32(soff + 12 * i + 4)) for i in range(n_runs)]
+    if any(fc < 1 for fc, _ in runs):
+        return None
+
+    tt = entries(b"stts", 8)
+    if tt is None:
+        return None
+    n_tt, toff = tt
+    deltas: list[int] = []
+    for i in range(n_tt):
+        cnt, d = u32(toff + 8 * i), u32(toff + 8 * i + 4)
+        if len(deltas) + cnt > n_samples:
+            cnt = n_samples - len(deltas)
+        deltas.extend([d] * cnt)
+        if len(deltas) >= n_samples:
+            break
+    if len(deltas) < n_samples:
+        return None
+
+    # expand stsc runs: samples-per-chunk for each chunk index
+    out: list[tuple[int, int, int]] = []
+    si, dts = 0, 0
+    for ci in range(len(chunk_offs)):
+        spc = 0
+        for ri, (fc, cnt) in enumerate(runs):
+            nxt = runs[ri + 1][0] if ri + 1 < len(runs) else None
+            if fc <= ci + 1 and (nxt is None or ci + 1 < nxt):
+                spc = cnt
+        pos = chunk_offs[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if 0 <= pos and pos + size <= n:  # clip to payload: never read past
+                out.append((pos, size, dts * 1000 // timescale))
+            dts += deltas[si]
+            pos += size
+            si += 1
+    return out if out else None
+
+
+DEMUX_SCHEMA = (
+    "media_id long, sample_idx int, dts_ms int, n_bytes int, frame_mean double"
+)
+
+
+def demux_mp4_frames(media, every_n: int = 1):
+    """MP4 frame sampling WITHOUT a codec: mp4_sample_table addresses each
+    sample's byte range, the kernel slices every `every_n`-th sample out of
+    the blob and summarizes it (mean over the raw sample bytes — for the
+    writer twin's raw-gray payloads that IS the frame mean; for a real
+    codec payload it is still a deterministic content fingerprint). Same
+    UDTF shape as sample_frames: one Arrow pass, rows out >= rows in, no
+    shuffle; non-MP4 and malformed payloads are skipped, never task
+    failures."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "sample_idx", "dts_ms", "n_bytes", "frame_mean")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                b = bytes(payload)
+                table = mp4_sample_table(b)
+                if table is None:
+                    continue
+                for idx in range(0, len(table), every_n):
+                    pos, size, dts = table[idx]
+                    arr = np.frombuffer(b, np.uint8, size, pos)
+                    out["media_id"].append(mid)
+                    out["sample_idx"].append(idx)
+                    out["dts_ms"].append(dts)
+                    out["n_bytes"].append(size)
+                    out["frame_mean"].append(float(arr.mean()) if size else 0.0)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "media").mapInPandas(kernel, schema=DEMUX_SCHEMA)
+
+
+def mp4_media_df(spark, n_rows: int, seed: int = 42, num_partitions: int | None = None):
+    """Deterministic distributed MP4 table: real ISO-BMFF containers from
+    write_mp4 around seeded raw-gray frames (executor-side generation,
+    like media_df/pages_df)."""
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng([seed, int(i)])
+                nf = int(rng.integers(2, 13))
+                w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+                frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+                rows.append({"media_id": int(i), "media": write_mp4(frames)})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(
+        gen, schema="media_id long, media binary"
+    )

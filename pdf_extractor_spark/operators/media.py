@@ -121,3 +121,34 @@ def mm_pipeline(spark, sf_dir):
         feats.unionByName(resized).unionByName(frames).unionByName(probed)
         .orderBy("stage")
     )
+
+
+@register(
+    "mm_mp4_demux",
+    doc="Codec-free MP4 frame sampling over real ISO-BMFF containers "
+    "(round 5): multimodal.mp4_sample_table parses the sample tables "
+    "(stsz/stco/stsc/stts + mdhd timescale, ISO 14496-12 §8.5-8.7) to "
+    "byte-address every frame, and the Arrow kernel slices + summarizes "
+    "them — the demux pass a media pipeline runs to sample frames without "
+    "paying (or shipping) a codec. Containers are written by the "
+    "from-scratch write_mp4 twin (seeded raw-gray frames), so sample "
+    "bytes are verifiable end-to-end; tests/test_multimodal.py holds the "
+    "byte-identity and fuzz gates. Rows-only for the driver (mapInPandas "
+    "is not SQL-expressible). Aggregated per media: sample count, total "
+    "sample bytes, span of decoded timestamps.",
+)
+def mm_mp4_demux(spark, sf_dir):
+    from pdf_extractor_spark.multimodal import demux_mp4_frames, mp4_media_df
+
+    media = mp4_media_df(spark, 200, seed=_SEED)
+    return (
+        demux_mp4_frames(media, every_n=2)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_bytes").cast("long").alias("sampled_bytes"),
+            F.max("dts_ms").cast("long").alias("last_dts_ms"),
+            F.round(F.avg("frame_mean"), 4).alias("avg_frame_mean"),
+        )
+        .orderBy("media_id")
+    )

@@ -656,3 +656,104 @@ def test_media_probe_spark(spark):
     )
     got = mm.media_probe(bad).collect()
     assert len(got) == 1 and got[0].ok is False
+
+
+def test_mp4_demux_roundtrip_byte_identity():
+    """write_mp4 → mp4_sample_table must byte-address every frame exactly
+    (raw-gray samples recovered byte-identical, dts sequence follows the
+    two-run stts), the alternating 2/3-sample chunking must survive the
+    stsc run expansion, and the existing header prober must agree with
+    the writer on dims/duration — writer and parser validate each other
+    against ISO 14496-12, not against a shared helper."""
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import (
+        mp4_sample_table,
+        probe_media,
+        write_mp4,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (9, 6, 5), dtype=np.uint8)
+    payload = write_mp4(frames, fps=24, timescale=1000)
+    table = mp4_sample_table(payload)
+    assert table is not None and len(table) == 9
+    for i, (pos, size, dts) in enumerate(table):
+        assert payload[pos : pos + size] == frames[i].tobytes()
+        assert dts == i * (1000 // 24)
+    kind, meta = probe_media(payload)
+    assert kind == "video"
+    assert (meta["width"], meta["height"]) == (5, 6)
+    # duration: 8 samples at delta + final sample at 2*delta
+    assert meta["duration_ms"] == 10 * (1000 // 24)
+    # single-frame container (one chunk, one stts run)
+    one = write_mp4(frames[:1])
+    t1 = mp4_sample_table(one)
+    assert len(t1) == 1 and one[t1[0][0] : t1[0][0] + t1[0][1]] == frames[0].tobytes()
+
+
+def test_mp4_sample_table_total_on_mutated_and_bombs():
+    """Byte-flip fuzz + declared-size bombs: mp4_sample_table returns a
+    (possibly partial) table or None — never raises, never allocates
+    proportional to DECLARED sizes, and every returned range lies inside
+    the payload. Malformed containers are routine in a crawl."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from pdf_extractor_spark.multimodal import _MP4_MAX_SAMPLES, mp4_sample_table, write_mp4
+
+    frames = np.random.default_rng(3).integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    payload = write_mp4(frames)
+    t0 = time.monotonic()
+    for off in range(0, len(payload)):
+        mutated = payload[:off] + bytes([payload[off] ^ 0x81]) + payload[off + 1 :]
+        table = mp4_sample_table(mutated)
+        if table is not None:
+            n = len(mutated)
+            assert all(0 <= p and p + s <= n for p, s, _ in table)
+    assert time.monotonic() - t0 < 30.0  # full per-byte sweep stays cheap
+    # stsz bomb: huge declared sample count → rejected before any work
+    bomb = bytearray(payload)
+    i = bomb.find(b"stsz")
+    bomb[i + 12 : i + 16] = struct.pack(">I", _MP4_MAX_SAMPLES + 1)
+    t0 = time.monotonic()
+    assert mp4_sample_table(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 0.1
+    # stco offsets past EOF → those samples clipped, never read
+    clip = bytearray(payload)
+    j = clip.find(b"stco")
+    clip[j + 12 : j + 16] = struct.pack(">I", 2**30)
+    table = mp4_sample_table(bytes(clip))
+    if table is not None:
+        assert all(p + s <= len(clip) for p, s, _ in table)
+
+
+def test_mp4_demux_kernel_spark(spark):
+    """demux_mp4_frames over a distributed mp4 table: every_n sampling,
+    per-sample values match a driver-side replay of the same writer, and
+    junk rows are skipped (failure-as-data), not task failures."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark import multimodal as mm
+
+    media = mm.mp4_media_df(spark, 20, seed=7, num_partitions=4)
+    got = mm.demux_mp4_frames(media, every_n=2).toPandas()
+    assert (got["sample_idx"] % 2 == 0).all()
+    # replay media_id 3 driver-side with the same seeded generator
+    rng = np.random.default_rng([7, 3])
+    nf = int(rng.integers(2, 13))
+    w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+    frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+    mine = got[got.media_id == 3].sort_values("sample_idx")
+    assert list(mine.sample_idx) == list(range(0, nf, 2))
+    for _, r in mine.iterrows():
+        assert r.n_bytes == w * h
+        assert abs(r.frame_mean - float(frames[int(r.sample_idx)].mean())) < 1e-9
+    # junk payload → zero rows, no failure
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "media": [b"\x00not an mp4 at all"]})
+    )
+    assert mm.demux_mp4_frames(bad).count() == 0
