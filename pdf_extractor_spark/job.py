@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --corpus-out: write the surviving corpus's "
                         "MinHash band table to DIR for the next snapshot's "
                         "--dedup-state-in")
+    p.add_argument("--temperature-lang", action="store_true",
+                   help="with --corpus-out: resample the deduped corpus "
+                        "toward the alpha=0.5 temperature-smoothed language "
+                        "mixture (per-lang_guess rate sqrt(min/count), "
+                        "deterministic md5(url) acceptance)")
+    p.add_argument("--token-budget", type=int, metavar="N", default=None,
+                   help="with --corpus-out: cap the corpus at N whitespace "
+                        "tokens, keeping the best-quality docs first "
+                        "(distributed prefix-sum budget fill over the final "
+                        "shipped text)")
     p.add_argument("--dead-letter-out", metavar="DIR", default=None,
                    help="also write a capped per-partition sample of failing "
                         "payloads (url, error_class, payload head) to DIR for "
@@ -202,9 +212,11 @@ def main(argv: list[str] | None = None) -> int:
             strip_dup_spans=args.strip_dup_spans,
             dedup_state_in=args.dedup_state_in,
             dedup_state_out=args.dedup_state_out,
+            temperature_lang=args.temperature_lang,
+            token_budget=args.token_budget,
         )
         print(
-            "corpus: %d in -> %d quality -> %d deduped%s%s%s (%s)"
+            "corpus: %d in -> %d quality -> %d deduped%s%s%s%s%s (%s)"
             % (
                 cs.docs_in, cs.docs_quality, cs.docs_corpus,
                 ", %d PII redactions" % cs.pii_redactions if args.redact_pii else "",
@@ -212,6 +224,10 @@ def main(argv: list[str] | None = None) -> int:
                 if args.strip_dup_spans else "",
                 ", %d recrawl dups dropped vs prior state" % cs.recrawl_dups_dropped
                 if args.dedup_state_in else "",
+                ", %d dropped by lang temperature" % cs.temperature_dropped
+                if args.temperature_lang else "",
+                ", %d dropped by token budget" % cs.budget_dropped
+                if args.token_budget is not None else "",
                 args.corpus_out,
             ),
             file=sys.stderr,

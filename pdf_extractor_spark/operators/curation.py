@@ -697,10 +697,10 @@ _WS = r"[ \t\n\r\f\x0B]+"
 _STOP_PAT = r"\b(data|table|row|value|query)\b"
 
 
-def select_token_budget(scored, budget: int = _TOKEN_BUDGET):
+def select_token_budget(scored, budget: int = _TOKEN_BUDGET, id_col: str = "doc_id"):
     """Greedy quality-ordered selection under a global token budget — the
     'fill the training mix best-first' pass (C4/FineWeb keep-until-budget):
-    rank docs by (quality DESC, doc_id), keep the maximal prefix whose
+    rank docs by (quality DESC, id_col), keep the maximal prefix whose
     cumulative token count stays within `budget`.
 
     The naive plan is a GLOBAL window cumsum — a single-partition sort, the
@@ -716,7 +716,7 @@ def select_token_budget(scored, budget: int = _TOKEN_BUDGET):
     dim), so at 10^12 docs only the straddling tail of the quality
     distribution does window work at all.
 
-    `scored` needs (doc_id, tokens, quality). Returns (doc_id, tokens,
+    `scored` needs (id_col, tokens, quality). Returns (id_col, tokens,
     cum_tokens) for the selected docs — cum_tokens equals the global-window
     value exactly (integer tokens, order-consistent bucketing).
     """
@@ -738,7 +738,7 @@ def select_token_budget(scored, budget: int = _TOKEN_BUDGET):
     off_df = spark.createDataFrame(live, "qb int, off long")
     w = (
         W.partitionBy("qb")
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .orderBy(F.col("quality").desc(), F.col(id_col))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -748,7 +748,7 @@ def select_token_budget(scored, budget: int = _TOKEN_BUDGET):
             (F.sum("tokens").over(w) + F.col("off")).cast("long"),
         )
         .filter(F.col("cum_tokens") <= budget)
-        .select("doc_id", F.col("tokens").cast("long").alias("tokens"),
+        .select(id_col, F.col("tokens").cast("long").alias("tokens"),
                 "cum_tokens")
     )
 

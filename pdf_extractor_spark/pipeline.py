@@ -317,6 +317,8 @@ class CorpusStats:
     pii_redactions: int = 0  # total placeholder substitutions (redact only)
     dup_span_words_dropped: int = 0  # words removed by span dedup (strip only)
     recrawl_dups_dropped: int = 0  # docs dropped vs prior snapshot state
+    temperature_dropped: int = 0  # docs dropped by lang-temperature resampling
+    budget_dropped: int = 0  # docs dropped by the token-budget fill
 
 
 def build_training_corpus(
@@ -327,6 +329,8 @@ def build_training_corpus(
     strip_dup_spans: bool = False,
     dedup_state_in: str | None = None,
     dedup_state_out: str | None = None,
+    temperature_lang: bool = False,
+    token_budget: int | None = None,
 ) -> CorpusStats:
     """Corpus builder: extraction output → quality filter → exact dedup →
     deduplicated corpus table, in ONE action.
@@ -355,6 +359,24 @@ def build_training_corpus(
     the `span_offsets` column (offsets into the ORIGINAL text) is dropped
     in this mode rather than shipped stale; training corpora don't carry
     span provenance.
+
+    `temperature_lang=True` resamples the deduped corpus toward the
+    alpha=0.5 temperature-smoothed language mixture (the Pile/mT5 mixing
+    pass; operators/curation.py sample_temperature): per-`lang_guess`
+    acceptance rate sqrt(min_count/count) computed IN-JOB on the corpus
+    being built, accepted deterministically by 16-bit md5(url) bucket —
+    reruns and recoveries keep the same sample at any cluster size. Rates
+    are a broadcast dim; the dropped count lands in the funnel.
+
+    `token_budget=N` caps the corpus at N whitespace tokens, keeping the
+    best-scoring docs first (operators/curation.py select_token_budget —
+    the distributed prefix sum; score = ln(1+chars)*(1-punct_ratio) over
+    the FINAL shipped text, tie-broken by url). Budget selection needs a
+    global ordering, so the builder stages the pre-budget corpus to
+    `<corpus_dir>__prebudget`, runs the bounded (url, tokens, quality)
+    scoring pass over that column-pruned scan, and writes the kept docs —
+    the same read-back discipline as dedup_state_out, never a recompute
+    of the build chain.
 
     `dedup_state_in` / `dedup_state_out` make the builder INCREMENTAL
     across crawl snapshots (the T1 control-table discipline applied to
@@ -418,6 +440,39 @@ def build_training_corpus(
             .filter(F.col("_state_dup").isNull())
             .drop("_state_dup")
         )
+    obs_temp = None
+    if temperature_lang:
+        from pyspark.sql import Observation as _Obs
+
+        from pdf_extractor_spark.operators.curation import _hex_bucket
+
+        # alpha=0.5 language-temperature resampling on the deduped corpus:
+        # rates from a tiny in-plan groupBy (one row per lang_guess,
+        # broadcast back); acceptance is the deterministic 16-bit md5(url)
+        # bucket, so a rerun/recovery keeps the identical sample. Runs
+        # BEFORE strip/redact so downsampled docs never pay those stages.
+        grp = F.coalesce(F.col("lang_guess"), F.lit("unknown"))
+        cnts = corpus.groupBy(grp.alias("_lg")).agg(
+            F.count("*").cast("double").alias("_cnt")
+        )
+        mn = cnts.agg(F.min("_cnt").alias("_mn"))
+        rates = cnts.crossJoin(F.broadcast(mn)).select(
+            "_lg",
+            F.floor(F.sqrt(F.col("_mn") / F.col("_cnt")) * 65536)
+            .cast("long").alias("_thr"),
+        )
+        bucket = F.expr(_hex_bucket("md5(url)", "instr", 4)).cast("long")
+        obs_temp = _Obs("temperature")
+        corpus = (
+            corpus.withColumn("_lgk", grp)
+            .join(F.broadcast(rates), F.col("_lgk") == F.col("_lg"))
+            .observe(
+                obs_temp,
+                F.sum((bucket >= F.col("_thr")).cast("long")).alias("n_dropped"),
+            )
+            .filter(bucket < F.col("_thr"))
+            .drop("_lgk", "_lg", "_thr")
+        )
     n_span_words = F.sum(F.lit(0)).cast("long")
     if strip_dup_spans:
         from pdf_extractor_spark.operators.dedup import strip_duplicate_substrings
@@ -461,7 +516,47 @@ def build_training_corpus(
         n_redact.alias("n_redact"),
         n_span_words.alias("n_span_words"),
     )
-    corpus.write.mode("overwrite").parquet(corpus_dir)
+    n_budget_dropped = 0
+    if token_budget is None:
+        corpus.write.mode("overwrite").parquet(corpus_dir)
+    else:
+        import shutil
+
+        from pdf_extractor_spark.operators.curation import select_token_budget
+
+        # global budget fill needs global score order → stage the
+        # pre-budget corpus, score over the column-pruned read-back
+        # (url, tokens, quality only), keep the best prefix. Scoring uses
+        # the FINAL shipped text (post strip/redact), so the budget counts
+        # exactly the tokens a consumer would see.
+        staging = corpus_dir.rstrip("/") + "__prebudget"
+        corpus.write.mode("overwrite").parquet(staging)
+        pre = spark.read.parquet(staging)
+        t = F.col("extracted_text")
+        punct = F.length(t) - F.length(
+            F.regexp_replace(t, r"""[.,;:!?()\[\]{}"'/\\|@#$%^&*_+=~`<>-]""", "")
+        )
+        scored = pre.select(
+            "url",
+            F.when(
+                F.length(F.trim(t)) > 0,
+                F.size(F.split(F.trim(t), r"[ \t\n\r\f\x0B]+")),
+            ).otherwise(0).alias("tokens"),
+            F.round(
+                F.log(1 + F.length(t))
+                * (1 - punct / F.greatest(F.length(t), F.lit(1))), 4
+            ).alias("quality"),
+        )
+        kept = select_token_budget(scored, budget=token_budget, id_col="url")
+        final = pre.join(kept.select("url"), "url", "left_semi")
+        obs_final = Observation("budget_out")
+        final = final.observe(obs_final, F.count(F.lit(1)).alias("n"))
+        final.write.mode("overwrite").parquet(corpus_dir)
+        n_budget_dropped = int(obs_out.get["n"]) - int(obs_final.get["n"])
+        # staging is build scratch, not lineage — local/posix remove is
+        # fine everywhere this job runs; a shared FS deployment would use
+        # its own retention on the __prebudget path
+        shutil.rmtree(staging, ignore_errors=True)
     if dedup_state_out:
         from pdf_extractor_spark.operators.dedup import minhash_band_table
 
@@ -478,6 +573,8 @@ def build_training_corpus(
         int(obs_out.get["n_redact"] or 0),
         int(obs_out.get["n_span_words"] or 0),
         int(obs_state.get["n_dropped"] or 0) if obs_state is not None else 0,
+        int(obs_temp.get["n_dropped"] or 0) if obs_temp is not None else 0,
+        n_budget_dropped,
     )
 
 

@@ -650,3 +650,97 @@ def test_training_examples_approved_xlsx_gate(spark, out_dirs, tmp_path):
         write_training_examples(
             spark, out_dir, str(tmp_path / "t2"), min_examples=1, approved_xlsx=bad
         )
+
+
+def test_build_training_corpus_temperature_lang(spark, tmp_path):
+    """--temperature-lang corpus mode: the rarest language is kept in
+    full, the head language is downsampled by the deterministic md5(url)
+    rule, the kept set matches a pure-Python replay of that rule exactly
+    (reproducible across runs and cluster sizes), and the dropped count
+    reaches the funnel."""
+    import hashlib
+    import math
+
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    rows = [
+        (
+            f"https://en/{i}",
+            f"the quick brown fox and the lazy dog of page {i} keep walking",
+            "[]",
+            "ok",
+        )
+        for i in range(16)
+    ] + [
+        (
+            f"https://fr/{i}",
+            f"le chat et la ville et le pont numero {i} sont la",
+            "[]",
+            "ok",
+        )
+        for i in range(2)
+    ]
+    src = str(tmp_path / "extracted_temp")
+    spark.createDataFrame(
+        rows,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus_temp")
+    cs = build_training_corpus(spark, src, out, temperature_lang=True)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+
+    def bucket16(url: str) -> int:
+        return int(hashlib.md5(url.encode()).hexdigest()[:4], 16)
+
+    thr = {
+        "en": math.floor(math.sqrt(2 / 16) * 65536),
+        "fr": math.floor(math.sqrt(2 / 2) * 65536),
+    }
+    expect = {
+        u for u, *_ in rows if bucket16(u) < thr["en" if "//en/" in u else "fr"]
+    }
+    assert got == expect
+    assert {u for u in got if "//fr/" in u} == {f"https://fr/{i}" for i in range(2)}
+    assert cs.temperature_dropped == len(rows) - len(got) > 0
+
+
+def test_build_training_corpus_token_budget(spark, tmp_path):
+    """--token-budget corpus mode: the final corpus keeps the best-scoring
+    docs first until the whitespace-token budget fills, the funnel carries
+    the dropped count, and the __prebudget staging dir is cleaned up."""
+    import os
+
+    from pdf_extractor_spark.pipeline import build_training_corpus
+
+    # same 12-token sentence shape, increasing length → longer docs score
+    # higher (score = ln(1+chars)*(1-punct_ratio); no punctuation here)
+    def text(i, extra):
+        base = f"document number {i} with plain simple prose tokens here now so"
+        return base + " wordy" * extra
+
+    rows = [
+        ("https://q/0", text(0, 0), "[]", "ok"),   # 12 tokens, shortest
+        ("https://q/1", text(1, 8), "[]", "ok"),   # 20 tokens
+        ("https://q/2", text(2, 18), "[]", "ok"),  # 30 tokens, best score
+    ]
+    src = str(tmp_path / "extracted_budget")
+    spark.createDataFrame(
+        rows,
+        "url string, extracted_text string, span_offsets string, parse_status string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus_budget")
+    # budget fits docs 2 and 1 (30 + 20 = 50) but not doc 0
+    cs = build_training_corpus(spark, src, out, token_budget=50)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {"https://q/2", "https://q/1"}
+    assert cs.budget_dropped == 1
+    assert cs.docs_corpus == 3  # pre-budget dedup count still in the funnel
+    assert not os.path.exists(out.rstrip("/") + "__prebudget")
+
+    # sanity: no budget → everything ships
+    out2 = str(tmp_path / "corpus_nobudget")
+    cs2 = build_training_corpus(spark, src, out2)
+    assert cs2.budget_dropped == 0
+    assert spark.read.parquet(out2).count() == 3
