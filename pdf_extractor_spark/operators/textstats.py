@@ -534,9 +534,10 @@ def score_hashed_ngram(feats, weights, id_col: str = "doc_id"):
     )
 
 
-@register(
-    "text_quality_classifier",
-    oracle=f"""
+# the classifier's trained-weights CTE chain, shared by the scoring oracle
+# and the calibration oracle (the _lloyd_ctes discipline: both driver checks
+# hash-verify the TRAINING, not a frozen snapshot)
+_CLF_CTES = f"""
     WITH d AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws
@@ -567,7 +568,12 @@ def score_hashed_ngram(feats, weights, id_col: str = "doc_id"):
              ln((np + {float(_CLF_ALPHA)}) / (tp + {float(_CLF_ALPHA * _CLF_BUCKETS)}))
              - ln((nn + {float(_CLF_ALPHA)}) / (tn + {float(_CLF_ALPHA * _CLF_BUCKETS)})) AS wt
       FROM cnt CROSS JOIN tot
-    )
+    )"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=_CLF_CTES + """
     SELECT fb.doc_id,
            CAST(count(*) AS BIGINT) AS n_feats,
            round(avg(wt), 4) AS score,
@@ -593,3 +599,72 @@ def text_quality_classifier(spark, sf_dir):
     train = feats.join(labels, "doc_id").filter(F.col("doc_id") % 3 == 0)
     weights = train_hashed_ngram_weights(spark, train)
     return score_hashed_ngram(feats, weights).orderBy("doc_id")
+
+
+_CAL_THRESHOLDS = (-0.04, -0.02, 0.0, 0.02, 0.04)
+
+
+@register(
+    "classifier_calibration",
+    oracle=_CLF_CTES + f""",
+    sc AS (
+      SELECT fb.doc_id, round(avg(wt), 4) AS score
+      FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id
+    ), held AS (
+      SELECT sc.doc_id, sc.score, lab.pos
+      FROM sc JOIN lab USING (doc_id) WHERE sc.doc_id % 3 <> 0
+    ), thr(thr) AS (VALUES {", ".join(f"({t})" for t in _CAL_THRESHOLDS)})
+    SELECT CAST(thr AS DOUBLE) AS thr,
+           CAST(sum(CASE WHEN pos AND score > thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN NOT pos AND score > thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pos AND score <= thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           round(sum(CASE WHEN pos AND score > thr THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN score > thr THEN 1 ELSE 0 END), 0)
+                        AS DOUBLE), 4) AS precision_at,
+           round(sum(CASE WHEN pos AND score > thr THEN 1 ELSE 0 END)
+                 / CAST(nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0)
+                        AS DOUBLE), 4) AS recall_at
+    FROM held CROSS JOIN thr
+    GROUP BY thr ORDER BY thr
+    """,
+    doc="Threshold calibration for the hashed-ngram quality classifier: "
+    "the same in-job training as text_quality_classifier, then a "
+    "precision/recall sweep over a fixed threshold grid on the HELD-OUT "
+    "slice (doc_id %% 3 != 0 — never the training rows). This is the "
+    "missing half of model-based filtering in practice: the keep/drop "
+    "threshold is a corpus-level tuning decision (DCLM tunes it per "
+    "mixture), and computing the whole operating curve costs ONE extra "
+    "aggregation — scored docs cross-join a 5-row broadcast threshold "
+    "grid, then one groupBy(thr) with partial aggs. The oracle re-derives "
+    "training + scoring + sweep end-to-end via the shared _CLF_CTES.",
+)
+def classifier_calibration(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(d)
+    labels = d.select("doc_id", (F.col("lang") == "en").alias("pos"))
+    train = feats.join(labels, "doc_id").filter(F.col("doc_id") % 3 == 0)
+    weights = train_hashed_ngram_weights(spark, train)
+    held = (
+        score_hashed_ngram(feats, weights)
+        .join(labels, "doc_id")
+        .filter(F.col("doc_id") % 3 != 0)
+    )
+    thr = spark.createDataFrame([(t,) for t in _CAL_THRESHOLDS], "thr double")
+    above = F.col("score") > F.col("thr")
+    tp = F.sum((F.col("pos") & above).cast("long"))
+    fp = F.sum((~F.col("pos") & above).cast("long"))
+    fn = F.sum((F.col("pos") & ~above).cast("long"))
+    return (
+        held.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            F.round(tp / F.nullif((tp + fp).cast("double"), F.lit(0.0)), 4)
+            .alias("precision_at"),
+            F.round(tp / F.nullif((tp + fn).cast("double"), F.lit(0.0)), 4)
+            .alias("recall_at"),
+        )
+        .orderBy("thr")
+    )

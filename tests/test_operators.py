@@ -70,6 +70,7 @@ SUBSET = [
     "semdedup",
     "sample_temperature",
     "token_budget_select",
+    "classifier_calibration",
 ]
 
 
