@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature",      # NEW round 5 (alpha=0.5 domain resampling)
         "mm_mp4_demux",            # NEW round 5 (ISO-BMFF sample-table demux)
         "classifier_calibration",  # NEW round 5 (held-out threshold sweep)
+        "decontam_fuzzy",          # NEW round 5 (MinHash-band decontamination)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -874,3 +874,43 @@ def dedup_incremental(spark, sf_dir):
     old_bands = minhash_band_table(d.filter(F.col("doc_id") < 300))
     new_bands = minhash_band_table(d.filter(F.col("doc_id") >= 300))
     return incremental_dedup_candidates(new_bands, old_bands)
+
+
+@register(
+    "decontam_fuzzy",
+    oracle=f"""
+    WITH {_band_cte_sql("benchb", "doc_id % 10 = 0")},
+    {_band_cte_sql("corpb", "doc_id % 10 <> 0")}
+    SELECT c.doc_id,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_hits,
+           CAST(min(b.doc_id) AS BIGINT) AS first_bench
+    FROM corpb c JOIN benchb b
+      ON c.band = b.band AND c.band_key = b.band_key
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    doc="FUZZY benchmark decontamination: the exact path (decontam_ngrams) "
+    "misses paraphrased/reformatted leakage; this flags corpus docs whose "
+    "MinHash-LSH bands collide with the benchmark slice (doc_id %% 10 == "
+    "0, same held-out convention) — near-duplicate contamination at "
+    "Jaccard-similarity granularity, the check GPT-3-era dedup missed and "
+    "modern pipelines (FineWeb, DCLM) run band-wise. The benchmark band "
+    "table is tiny (4 rows/doc) and BROADCAST, so the corpus side never "
+    "shuffles to probe — the decontam_ngrams plan shape applied to "
+    "minhash_band_table state. Output: per contaminated doc, how many "
+    "bench docs it collides with and the first one (triage pointer).",
+)
+def decontam_fuzzy(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bench = minhash_band_table(d.filter(F.col("doc_id") % 10 == 0)).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_key"
+    )
+    corpus = minhash_band_table(d.filter(F.col("doc_id") % 10 != 0))
+    return (
+        corpus.join(F.broadcast(bench), ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").cast("long").alias("n_bench_hits"),
+            F.min("bench_id").cast("long").alias("first_bench"),
+        )
+        .orderBy("doc_id")
+    )

@@ -71,6 +71,7 @@ SUBSET = [
     "sample_temperature",
     "token_budget_select",
     "classifier_calibration",
+    "decontam_fuzzy",
 ]
 
 

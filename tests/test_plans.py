@@ -483,3 +483,14 @@ def test_sample_temperature_rates_broadcast(spark):
     plan = _plan(all_ops()["sample_temperature"].build(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontam_fuzzy_bench_bands_broadcast(spark):
+    """The fuzzy-decontam probe must broadcast the benchmark band table
+    (tiny by construction: 4 rows/bench doc) so the corpus side never
+    shuffles to probe — same plan property as the exact decontam pass."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["decontam_fuzzy"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
