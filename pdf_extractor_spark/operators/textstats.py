@@ -668,3 +668,48 @@ def classifier_calibration(spark, sf_dir):
         )
         .orderBy("thr")
     )
+
+
+@register(
+    "text_collapse_repeats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ), k AS (
+      SELECT doc_id, ws,
+             list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_dropped,
+           substr(md5(list_aggregate(kept, 'string_agg', ' ')), 1, 16) AS fp
+    FROM k ORDER BY doc_id
+    """,
+    doc="Consecutive-repeat collapse: runs of identical adjacent words "
+    "reduce to one (the stutter-normalization pass for OCR output and "
+    "templated boilerplate; the within-doc cousin of Gopher's duplicate-"
+    "line rules). Entirely row-local via INDEXED higher-order array "
+    "functions — filter(ws, (x, i) -> i = 0 OR x != ws[i-1]) in Spark, "
+    "the 1-based list_filter twin in DuckDB — one codegen stage, zero "
+    "exchange at any corpus size. Output keeps the collapsed-text "
+    "fingerprint so the transform itself is hash-verified, not just the "
+    "drop counts.",
+)
+def text_collapse_repeats(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws"))
+    )
+    k = d.withColumn("kept", F.expr("filter(ws, (x, i) -> i = 0 OR x != ws[i-1])"))
+    return k.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        (F.size("ws") - F.size("kept")).cast("long").alias("n_dropped"),
+        F.substring(
+            F.md5(F.array_join("kept", " ").cast("binary")), 1, 16
+        ).alias("fp"),
+    ).orderBy("doc_id")

@@ -72,6 +72,7 @@ SUBSET = [
     "token_budget_select",
     "classifier_calibration",
     "decontam_fuzzy",
+    "text_collapse_repeats",
 ]
 
 
