@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration",  # NEW round 5 (held-out threshold sweep)
         "decontam_fuzzy",          # NEW round 5 (MinHash-band decontamination)
         "text_collapse_repeats",   # NEW round 5 (indexed-HOF stutter collapse)
+        "dsir_select",             # NEW round 5 (DSIR importance resampling)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -796,3 +796,147 @@ def token_budget_select(spark, sf_dir):
     )
     scored = d.select("doc_id", words.alias("tokens"), quality.alias("quality"))
     return select_token_budget(scored).orderBy("doc_id")
+
+
+# --- DSIR: data selection via importance resampling (Xie et al. 2023) -------
+
+_DSIR_TARGET_SRC = "src0"  # the in-domain exemplar slice p(x) is fit on
+_DSIR_KEEP_Q = 0.75  # keep the top quartile of raw docs by importance
+
+
+def dsir_weights(spark, feats, target_ids):
+    """Per-bucket log importance ratio ln p̂(b) − ln q̂(b) of the hashed-ngram
+    bag-of-features model, Laplace-smoothed.
+
+    DSIR (Xie et al. 2023, §3) fits two hashed n-gram unigram distributions
+    — p on a small in-domain target set, q on the raw pool — and weights
+    every raw document by its feature-wise likelihood ratio. Both fits are
+    ONE hash-groupBy on the 256-value bucket key with map-side partial agg;
+    the returned weight table is ≤256 rows, a broadcast dim at any corpus
+    scale (the train_hashed_ngram_weights shape with a target/raw split
+    instead of a pos/neg label).
+    """
+    from pdf_extractor_spark.operators.textstats import _CLF_BUCKETS
+
+    a, b = 1.0, float(_CLF_BUCKETS)
+    tgt = (
+        feats.join(F.broadcast(target_ids), "doc_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("np"))
+    )
+    raw = feats.groupBy("bucket").agg(F.count("*").alias("nq"))
+    spine = spark.range(_CLF_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    full = (
+        spine.join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nq", F.lit(0)).alias("nq"),
+        )
+    )
+    tot = full.agg(F.sum("np").alias("tp"), F.sum("nq").alias("tq"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("np") + a) / (F.col("tp") + b))
+            - F.log((F.col("nq") + a) / (F.col("tq") + b))
+        ).alias("wt"),
+    )
+
+
+@register(
+    "dsir_select",
+    oracle=None,  # replaced below — needs FEAT_CTES from textstats at import time
+    doc="DSIR data selection (Xie et al. 2023): hashed-ngram importance "
+    "resampling toward a target domain. p̂ is fit on the in-domain slice "
+    "(source = 'src0'), q̂ on the whole raw pool; every candidate doc "
+    "(raw minus target) scores sum of per-feature log ratios; the kept "
+    "set is the top quartile by an in-job percentile cutoff. Weight "
+    "table and cutoff are broadcast (≤256 rows / 1 row): the corpus "
+    "never shuffles to score — the only corpus-sized exchange is the "
+    "per-doc sum. The exact-percentile reduce runs over one row per DOC "
+    "(not per token); at 10^12 docs swap it for approx_percentile or a "
+    "deterministic md5 doc sample — the cutoff is the only non-sketch "
+    "step. Oracle unrolls the SAME two fits + quantile_cont as CTEs, so "
+    "the driver hash-verifies the training and the cutoff, not a frozen "
+    "snapshot (the ann_ivf_trained discipline); Spark percentile() and "
+    "DuckDB quantile_cont(DOUBLE) share the (n-1)*q linear-interpolation "
+    "convention bitwise (verified empirically on 1037 rounded doubles).",
+)
+def dsir_select(spark, sf_dir):
+    from pdf_extractor_spark.operators.textstats import hashed_ngram_features
+
+    d = load(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(d)
+    target_ids = d.filter(F.col("source") == _DSIR_TARGET_SRC).select("doc_id")
+    weights = dsir_weights(spark, feats, target_ids)
+    cand = (
+        feats.join(F.broadcast(target_ids), "doc_id", "left_anti")
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("wt"), 4).alias("logw"),
+        )
+    )
+    cut = cand.agg(F.expr(f"percentile(logw, {_DSIR_KEEP_Q})").alias("cut"))
+    return (
+        cand.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw",
+            F.round("cut", 4).alias("cutoff"),
+            (F.col("logw") >= F.col("cut")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_oracle() -> str:
+    from pdf_extractor_spark.operators.textstats import _CLF_BUCKETS, FEAT_CTES
+
+    a, b = 1.0, float(_CLF_BUCKETS)
+    return (
+        FEAT_CTES
+        + f""", tgt AS (
+      SELECT doc_id FROM documents WHERE source = '{_DSIR_TARGET_SRC}'
+    ), pt AS (
+      SELECT bucket, count(*) AS np FROM fb JOIN tgt USING (doc_id) GROUP BY 1
+    ), qr AS (
+      SELECT bucket, count(*) AS nq FROM fb GROUP BY 1
+    ), cnt AS (
+      SELECT s.bucket, coalesce(pt.np, 0) AS np, coalesce(qr.nq, 0) AS nq
+      FROM (SELECT unnest(range({_CLF_BUCKETS})) AS bucket) s
+      LEFT JOIN pt ON pt.bucket = s.bucket
+      LEFT JOIN qr ON qr.bucket = s.bucket
+    ), tot AS (SELECT sum(np) AS tp, sum(nq) AS tq FROM cnt),
+    w AS (
+      SELECT bucket,
+             ln((np + {a}) / (tp + {b})) - ln((nq + {a}) / (tq + {b})) AS wt
+      FROM cnt CROSS JOIN tot
+    ), cand AS (
+      SELECT fb.doc_id,
+             CAST(count(*) AS BIGINT) AS n_feats,
+             round(sum(wt), 4) AS logw
+      FROM fb LEFT JOIN tgt ON fb.doc_id = tgt.doc_id
+      JOIN w USING (bucket)
+      WHERE tgt.doc_id IS NULL
+      GROUP BY fb.doc_id
+    ), cut AS (SELECT quantile_cont(CAST(logw AS DOUBLE), {_DSIR_KEEP_Q}) AS cut FROM cand)
+    SELECT doc_id, n_feats, logw,
+           round(cut, 4) AS cutoff,
+           logw >= cut AS selected
+    FROM cand CROSS JOIN cut ORDER BY doc_id
+    """
+    )
+
+
+# late-bind the oracle (FEAT_CTES lives in textstats; importing it at module
+# top would be circular — textstats imports nothing from here, but keeping
+# the one-way dependency explicit at call time costs nothing)
+from pdf_extractor_spark.operators.registry import _REGISTRY as _R  # noqa: E402
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_R["dsir_select"] = _dc_replace(_R["dsir_select"], oracle=_dsir_oracle())

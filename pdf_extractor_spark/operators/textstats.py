@@ -534,10 +534,11 @@ def score_hashed_ngram(feats, weights, id_col: str = "doc_id"):
     )
 
 
-# the classifier's trained-weights CTE chain, shared by the scoring oracle
-# and the calibration oracle (the _lloyd_ctes discipline: both driver checks
-# hash-verify the TRAINING, not a frozen snapshot)
-_CLF_CTES = f"""
+# hashed-feature CTE body (d: token arrays, f: namespaced uni/bigram
+# features, fb: (doc_id, bucket)) — the DuckDB twin of
+# hashed_ngram_features(), shared by the classifier oracles here and the
+# DSIR importance-resampling oracle (operators/curation.py)
+FEAT_CTES = f"""
     WITH d AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+') AS ws
@@ -550,7 +551,12 @@ _CLF_CTES = f"""
       FROM (SELECT doc_id, ws, unnest(range(len(ws)-1)) AS i FROM d)
     ), fb AS (
       SELECT doc_id, {_BUCKET_SQL} AS bucket FROM f
-    ), lab AS (
+    )"""
+
+# the classifier's trained-weights CTE chain, shared by the scoring oracle
+# and the calibration oracle (the _lloyd_ctes discipline: both driver checks
+# hash-verify the TRAINING, not a frozen snapshot)
+_CLF_CTES = FEAT_CTES + f""", lab AS (
       SELECT doc_id, (lang = 'en') AS pos FROM documents
     ), tr AS (
       SELECT fb.bucket, lab.pos FROM fb JOIN lab USING (doc_id)

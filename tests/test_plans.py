@@ -494,3 +494,19 @@ def test_decontam_fuzzy_bench_bands_broadcast(spark):
     plan = _plan(all_ops()["decontam_fuzzy"].build(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_select_weights_and_cutoff_broadcast(spark):
+    """dsir_select (round 5): the importance-weight dim (≤256 rows) and the
+    1-row percentile cutoff must both BROADCAST — the corpus side never
+    shuffles to be scored or thresholded; the corpus-keyed exchanges are
+    the bucket-count fits and the per-doc sum. No SortMergeJoin anywhere,
+    no Python, no cartesian row explosion (the 1-row cutoff joins via
+    broadcast nested loop, which is fine)."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dsir_select"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
