@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy",          # NEW round 5 (MinHash-band decontamination)
         "text_collapse_repeats",   # NEW round 5 (indexed-HOF stutter collapse)
         "dsir_select",             # NEW round 5 (DSIR importance resampling)
+        "ccnet_buckets",           # NEW round 5 (CCNet perplexity terciles)
+        "pack_sequences",          # NEW round 5 (concat-and-chunk packing)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

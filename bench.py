@@ -67,9 +67,11 @@ HEADLINE_QUERIES = [
     "emb_near_dup_multiband",  # 48-band union (the recall-knob scale path)
     "semdedup",             # trained-cluster semantic dedup (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
+    "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "sample_temperature",   # alpha=0.5 domain resampling (round 5)
     "text_quality",         # quality scoring over documents
     "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)
+    "ccnet_buckets",        # per-lang perplexity terciles (CCNet, round 5)
     "text_quality_classifier",  # hashed-ngram trained scorer (round 5)
     "c4_filter_suite",      # C4 cleaning (scan/codegen-bound, round 4)
     "training_corpus_pipeline",  # filter → dedup → stats chain

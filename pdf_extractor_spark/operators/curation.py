@@ -798,6 +798,97 @@ def token_budget_select(spark, sf_dir):
     return select_token_budget(scored).orderBy("doc_id")
 
 
+# --- sequence packing (deterministic shuffle -> concat -> chunk) -------------
+
+_PACK_CHUNK = 512  # context length in whitespace tokens (2048/4096 in prod)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '{_WS}')) AS BIGINT)
+               AS tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start
+      FROM t
+    )
+    SELECT doc_id, tokens, start,
+           CAST(start // {_PACK_CHUNK} AS BIGINT) AS seq_id,
+           CAST(start % {_PACK_CHUNK} AS BIGINT) AS seq_off,
+           CAST((start + tokens - 1) // {_PACK_CHUNK}
+                - start // {_PACK_CHUNK} + 1 AS BIGINT) AS n_seqs
+    FROM s ORDER BY doc_id
+    """,
+    doc="Sequence packing (the GPT-style pre-training pass): shuffle the "
+    "corpus DETERMINISTICALLY (md5(doc_id) order — the global shuffle "
+    "every training pipeline runs before batching), concatenate the token "
+    "stream in that order, and chunk it into fixed context windows of "
+    f"{_PACK_CHUNK} tokens; each doc gets its window id, offset within "
+    "the window, and the number of windows it straddles. The ORACLE is "
+    "the textbook single-total-order window cumsum; the Spark side "
+    "computes the IDENTICAL start offsets with a distributed prefix sum — "
+    "the first 2 hex digits of the shuffle key give 256 buckets whose "
+    "STRING order is monotone with full-key order, per-bucket token "
+    "totals collect to <=256 rows (the bounded-driver-rows discipline), "
+    "each bucket's offset is the sum of lexically-smaller buckets, and "
+    "the cumsum window runs PARTITIONED BY bucket — 256-way parallel "
+    "local sorts, never a SinglePartition exchange. Chunk assignment is "
+    "integer row-local arithmetic, exact in both engines.",
+)
+def pack_sequences(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    key = F.md5(F.col("doc_id").cast("string"))
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), _WS)).cast("long").alias("tokens"),
+        key.alias("k"),
+        F.substring(key, 1, 2).alias("kb"),
+    )
+    totals = {
+        r.kb: r.tot
+        for r in scored.groupBy("kb").agg(F.sum("tokens").alias("tot")).collect()
+    }  # <=256 rows by construction — the 2-hex-digit prefix bounds the collect
+    offsets, acc = [], 0
+    for kb in sorted(totals):  # hex-string sort == shuffle-key order
+        offsets.append((kb, acc))
+        acc += totals[kb]
+    off_df = spark.createDataFrame(offsets, "kb string, off long")
+    w = (
+        W.partitionBy("kb")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = _PACK_CHUNK
+    return (
+        scored.join(F.broadcast(off_df), "kb")
+        .withColumn(
+            "start",
+            (F.sum("tokens").over(w) + F.col("off") - F.col("tokens")).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "tokens",
+            "start",
+            F.expr(f"start div {c}").alias("seq_id"),
+            (F.col("start") % c).cast("long").alias("seq_off"),
+            (
+                F.expr(f"(start + tokens - 1) div {c}")
+                - F.expr(f"start div {c}")
+                + F.lit(1)
+            ).cast("long").alias("n_seqs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- DSIR: data selection via importance resampling (Xie et al. 2023) -------
 
 _DSIR_TARGET_SRC = "src0"  # the in-domain exemplar slice p(x) is fit on

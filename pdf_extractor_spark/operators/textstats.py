@@ -387,21 +387,52 @@ def text_gopher_suite(spark, sf_dir):
     )
 
 
-@register(
-    "text_unigram_nll",
-    oracle="""
+# the corpus-trained unigram-NLL CTE chain (w: exploded words, nll: per-doc
+# score) — shared by the text_unigram_nll oracle and the ccnet_buckets
+# oracle, so both driver checks hash-verify the TRAINING
+_NLL_CTES = """
     WITH w AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text),
              '[ \\t\\n\\r\\f\\x0B]+')) AS word
       FROM documents WHERE length(trim(text)) > 0
     ), freq AS (
       SELECT word, count(*) AS cnt FROM w GROUP BY 1
-    ), tot AS (SELECT sum(cnt) AS n FROM freq)
-    SELECT w.doc_id,
-           CAST(count(*) AS BIGINT) AS n_words,
-           round(avg(-ln(freq.cnt / tot.n)), 4) AS avg_nll
-    FROM w JOIN freq USING (word) CROSS JOIN tot
-    GROUP BY w.doc_id ORDER BY w.doc_id
+    ), tot AS (SELECT sum(cnt) AS n FROM freq),
+    nll AS (
+      SELECT w.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             round(avg(-ln(freq.cnt / tot.n)), 4) AS avg_nll
+      FROM w JOIN freq USING (word) CROSS JOIN tot
+      GROUP BY w.doc_id
+    )"""
+
+
+def unigram_nll_scores(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_words, avg_nll): per-document mean negative log-likelihood
+    under a unigram model trained on the corpus itself — the shared scorer
+    behind text_unigram_nll and ccnet_buckets. Three bounded linear
+    shuffles (word counts, score join on word, per-doc mean); the 1-row
+    total joins via broadcast."""
+    w = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(
+            id_col,
+            F.explode(F.split(F.trim(text_col), r"[ \t\n\r\f\x0B]+")).alias("word"),
+        )
+    )
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    scored = w.join(freq, "word").crossJoin(F.broadcast(tot))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_nll"),
+    )
+
+
+@register(
+    "text_unigram_nll",
+    oracle=_NLL_CTES + """
+    SELECT doc_id, n_words, avg_nll FROM nll ORDER BY doc_id
     """,
     doc="Unigram language-model quality score (the KenLM-perplexity stand-"
     "in every CCNet-style pipeline runs, expressed set-at-a-time): train "
@@ -413,22 +444,63 @@ def text_gopher_suite(spark, sf_dir):
     "partial agg; the 1-row total joins via broadcast NLJ. No UDFs.",
 )
 def text_unigram_nll(spark, sf_dir):
-    w = (
-        load(spark, sf_dir, "documents")
-        .filter(F.length(F.trim("text")) > 0)
+    return unigram_nll_scores(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_CCNET_Q = (0.33, 0.66)  # head/middle/tail split points (CCNet §4.4 thirds)
+
+
+@register(
+    "ccnet_buckets",
+    oracle=_NLL_CTES + f""", cuts AS (
+      SELECT d.lang,
+             quantile_disc(avg_nll, {_CCNET_Q[0]}) AS q1,
+             quantile_disc(avg_nll, {_CCNET_Q[1]}) AS q2
+      FROM nll JOIN documents d USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT nll.doc_id, d.lang, avg_nll,
+           CASE WHEN avg_nll <= q1 THEN 'head'
+                WHEN avg_nll <= q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll JOIN documents d USING (doc_id) JOIN cuts ON cuts.lang = d.lang
+    ORDER BY nll.doc_id
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): score every "
+    "document by the corpus-trained unigram NLL (the KenLM stand-in), "
+    "compute PER-LANGUAGE tercile cutoffs, and label each doc head / "
+    "middle / tail — the standard pre-training quality tiers. The cutoffs "
+    "are a per-lang aggregate (a handful of rows) broadcast back onto the "
+    "corpus, so no global sort and no per-lang window: docs are bucketed "
+    "row-locally against their language's cutoffs. Cutoffs are DISCRETE "
+    "percentiles (first value with cume_dist >= q, the SQL-standard "
+    "percentile_disc both engines implement identically) — an actual "
+    "rounded data value, so bucketing by <= is exactly portable with no "
+    "interpolation arithmetic. The exact percentile holds one value per "
+    "doc in the agg buffer; at 10^12 docs swap in approx_percentile "
+    "(same broadcast shape).",
+)
+def ccnet_buckets(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    nll = unigram_nll_scores(d).join(d.select("doc_id", "lang"), "doc_id")
+    cuts = nll.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({_CCNET_Q[0]}) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("q1"),
+        F.expr(
+            f"percentile_disc({_CCNET_Q[1]}) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("q2"),
+    )
+    return (
+        nll.join(F.broadcast(cuts), "lang")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")).alias("word"),
-        )
-    )
-    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
-    tot = freq.agg(F.sum("cnt").alias("n"))
-    scored = w.join(freq, "word").crossJoin(F.broadcast(tot))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias("avg_nll"),
+            "lang",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("q1"), "head")
+            .when(F.col("avg_nll") <= F.col("q2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
         .orderBy("doc_id")
     )

@@ -679,6 +679,109 @@ def test_unigram_nll_matches_python_replay(spark):
         assert abs(got[d][1] - want) < 5e-4, (d, got[d][1], want)
 
 
+def test_ccnet_buckets_match_python_replay(spark):
+    """head/middle/tail replayed in pure Python: unigram NLL per doc, then
+    per-language DISCRETE tercile cutoffs (first value with cume_dist >= q,
+    the SQL-standard percentile_disc) — every doc's bucket must match."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.operators.registry import all_ops
+    from pdf_extractor_spark.operators.textstats import _CCNET_Q
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["text"].to_pylist(),
+            tbl["lang"].to_pylist(),
+        )
+    )
+    docs = {d: (t.strip().split(), lang) for d, t, lang in rows if t.strip()}
+    freq = Counter(w for ws, _ in docs.values() for w in ws)
+    n = sum(freq.values())
+    nll = {
+        d: round(sum(-math.log(freq[w] / n) for w in ws) / len(ws), 4)
+        for d, (ws, _) in docs.items()
+    }
+    by_lang = defaultdict(list)
+    for d, (_, lang) in docs.items():
+        by_lang[lang].append(nll[d])
+
+    def disc(vals, q):  # percentile_disc: first value with cume_dist >= q
+        vals = sorted(vals)
+        return vals[math.ceil(q * len(vals)) - 1]
+
+    cuts = {
+        lang: (disc(v, _CCNET_Q[0]), disc(v, _CCNET_Q[1]))
+        for lang, v in by_lang.items()
+    }
+    expected = {}
+    for d, (_, lang) in docs.items():
+        q1, q2 = cuts[lang]
+        expected[d] = "head" if nll[d] <= q1 else ("middle" if nll[d] <= q2 else "tail")
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in all_ops()["ccnet_buckets"].build(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # each language really splits into three non-empty tiers on this corpus
+    for lang in by_lang:
+        tiers = {expected[d] for d, (_, lg) in docs.items() if lg == lang}
+        assert tiers == {"head", "middle", "tail"}, (lang, tiers)
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    """Concat-and-chunk packing replayed in pure Python (hashlib md5 order,
+    running offset) — start/seq_id/seq_off/n_seqs must match exactly, and
+    the packed stream must tile with no gaps and no overlaps."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.operators.curation import _PACK_CHUNK
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = [
+        (d, len(t.strip().split()))
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t.strip()
+    ]
+    order = sorted(docs, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]))
+    expected, acc = {}, 0
+    for d, tok in order:
+        seq = acc // _PACK_CHUNK
+        expected[d] = (
+            tok,
+            acc,
+            seq,
+            acc % _PACK_CHUNK,
+            (acc + tok - 1) // _PACK_CHUNK - seq + 1,
+        )
+        acc += tok
+
+    rows = all_ops()["pack_sequences"].build(spark, SF_DIR).collect()
+    got = {
+        r["doc_id"]: (r["tokens"], r["start"], r["seq_id"], r["seq_off"], r["n_seqs"])
+        for r in rows
+    }
+    assert got == expected
+    # stream tiles exactly: sorted by start, each doc begins where the
+    # previous one ended
+    by_start = sorted(got.values(), key=lambda v: v[1])
+    pos = 0
+    for tok, start, _, _, _ in by_start:
+        assert start == pos
+        pos += tok
+    assert pos == sum(t for _, t in docs)
+
+
 def test_dedup_substring_consistent_with_minhash_family(spark):
     """Substring-duplication sanity: docs the MinHash-LSH pass pairs as
     near-dups must show high cross-doc 5-gram overlap, and the corpus

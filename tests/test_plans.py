@@ -398,6 +398,21 @@ def test_quality_classifier_weights_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ccnet_buckets_cuts_broadcast_no_window(spark):
+    """ccnet_buckets (round 5): the per-language tercile cutoffs (a
+    handful of rows) must BROADCAST back onto the scored corpus, and the
+    bucketing itself must be row-local — no Window, no global sort of the
+    corpus by score, no per-row Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["ccnet_buckets"].build(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the cuts join is a broadcast; the corpus never shuffles to be bucketed
+    assert "BroadcastHashJoin" in plan
+
+
 def test_incremental_dedup_is_band_equijoins(spark):
     """dedup_incremental (round 5): both legs (new-vs-old state, new-vs-
     new) must be equi-joins on (band, band_key) — never a pairwise theta
@@ -472,6 +487,21 @@ def test_token_budget_window_is_partitioned(spark):
     assert "Window" in plan
     assert "hashpartitioning(qb" in plan
     assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """pack_sequences (round 5): the packing cumsum's Window must run
+    partitioned by the 256-way md5-prefix bucket (distributed prefix sum),
+    never as a single-partition global window; the bucket-offset dim joins
+    broadcast."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["pack_sequences"].build(spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(kb" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_sample_temperature_rates_broadcast(spark):
