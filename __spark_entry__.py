@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select",             # NEW round 5 (DSIR importance resampling)
         "ccnet_buckets",           # NEW round 5 (CCNet perplexity terciles)
         "pack_sequences",          # NEW round 5 (concat-and-chunk packing)
+        "pack_windows",            # NEW round 5 (packed-sequence materialization)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

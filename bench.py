@@ -68,6 +68,7 @@ HEADLINE_QUERIES = [
     "semdedup",             # trained-cluster semantic dedup (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
+    "pack_windows",         # packed-sequence materialization (round 5)
     "sample_temperature",   # alpha=0.5 domain resampling (round 5)
     "text_quality",         # quality scoring over documents
     "text_unigram_nll",     # corpus-trained LM scoring (3-shuffle probe, round 4)

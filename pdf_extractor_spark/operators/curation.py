@@ -889,6 +889,125 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@register(
+    "pack_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '{_WS}') AS toks,
+             CAST(len(regexp_split_to_array(trim(text), '{_WS}')) AS BIGINT)
+               AS tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents WHERE length(trim(text)) > 0
+    ), s AS (
+      SELECT doc_id, toks, tokens,
+             CAST(coalesce(sum(tokens) OVER (
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, tokens, start,
+             unnest(generate_series(start // {_PACK_CHUNK},
+                                    (start + tokens - 1) // {_PACK_CHUNK}))
+               AS seq_id
+      FROM s
+    ), p AS (
+      SELECT seq_id, start,
+             toks[greatest(seq_id * {_PACK_CHUNK} - start, 0) + 1 :
+                  least((seq_id + 1) * {_PACK_CHUNK}, start + tokens) - start]
+               AS piece
+      FROM e
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(len(flatten(list(piece ORDER BY start))) AS BIGINT) AS n_tokens,
+           array_to_string(flatten(list(piece ORDER BY start)), ' ') AS seq_text
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+    doc="Materialize the packed training sequences pack_sequences plans: "
+    "each fixed context window's text, assembled from the token slices of "
+    "every document that straddles it. Same distributed prefix sum for "
+    "the start offsets (256 monotone md5-prefix buckets, bounded collect, "
+    "bucket-partitioned window — never SinglePartition); then each doc "
+    "EXPLODES only over the n_seqs windows it straddles (bounded "
+    "1 + tokens/chunk rows), slices its token array row-locally, and ONE "
+    "hash-groupBy on seq_id reassembles windows (pieces ordered by their "
+    "global start — array_sort on the collected structs, no Window). The "
+    "shuffle carries each token exactly once; window text is "
+    "space-joined, canonical in both engines because tokenization split "
+    "on whitespace runs.",
+)
+def pack_windows(spark, sf_dir):
+    c = _PACK_CHUNK
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    key = F.md5(F.col("doc_id").cast("string"))
+    t = d.select(
+        "doc_id",
+        F.split(F.trim("text"), _WS).alias("toks"),
+        key.alias("k"),
+        F.substring(key, 1, 2).alias("kb"),
+    ).withColumn("tokens", F.size("toks").cast("long"))
+    totals = {
+        r.kb: r.tot
+        for r in t.groupBy("kb").agg(F.sum("tokens").alias("tot")).collect()
+    }  # <=256 rows by construction
+    offsets, acc = [], 0
+    for kb in sorted(totals):
+        offsets.append((kb, acc))
+        acc += totals[kb]
+    off_df = spark.createDataFrame(offsets, "kb string, off long")
+    w = (
+        W.partitionBy("kb")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pieces = (
+        t.join(F.broadcast(off_df), "kb")
+        .withColumn(
+            "start",
+            (F.sum("tokens").over(w) + F.col("off") - F.col("tokens")).cast("long"),
+        )
+        .select(
+            "toks",
+            "tokens",
+            "start",
+            F.explode(
+                F.expr(f"sequence(start div {c}, (start + tokens - 1) div {c})")
+            ).alias("seq_id"),
+        )
+        .select(
+            "start",
+            "seq_id",
+            F.expr(
+                f"slice(toks, CAST(greatest(seq_id * {c} - start, 0) AS INT) + 1, "
+                f"CAST(least((seq_id + 1) * {c}, start + tokens) "
+                f"- greatest(seq_id * {c}, start) AS INT))"
+            ).alias("piece"),
+        )
+    )
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("start", "piece"))),
+            lambda x: x["piece"],
+        )
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            flat.alias("flat"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            F.size("flat").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "flat").alias("seq_text"),
+        )
+        .orderBy("seq_id")
+    )
+
+
 # --- DSIR: data selection via importance resampling (Xie et al. 2023) -------
 
 _DSIR_TARGET_SRC = "src0"  # the in-domain exemplar slice p(x) is fit on

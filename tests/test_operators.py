@@ -782,6 +782,45 @@ def test_pack_sequences_matches_python_replay(spark):
     assert pos == sum(t for _, t in docs)
 
 
+def test_pack_windows_reconstruct_stream_and_agree_with_plan(spark):
+    """The materialized windows must (a) all carry exactly _PACK_CHUNK
+    tokens except the final one, (b) concatenate in seq order back to the
+    md5-shuffled token stream byte-for-byte, and (c) agree with
+    pack_sequences on how many docs straddle each window."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.operators.curation import _PACK_CHUNK
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = [
+        (d, t.strip().split())
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if t.strip()
+    ]
+    order = sorted(docs, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0]))
+    stream = [w for _, ws in order for w in ws]
+
+    rows = sorted(
+        all_ops()["pack_windows"].build(spark, SF_DIR).collect(),
+        key=lambda r: r["seq_id"],
+    )
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == _PACK_CHUNK
+    assert " ".join(r["seq_text"] for r in rows) == " ".join(stream)
+
+    plan = all_ops()["pack_sequences"].build(spark, SF_DIR).collect()
+    straddle = Counter()
+    for p in plan:
+        for s in range(p["seq_id"], p["seq_id"] + p["n_seqs"]):
+            straddle[s] += 1
+    assert {r["seq_id"]: r["n_docs"] for r in rows} == dict(straddle)
+
+
 def test_dedup_substring_consistent_with_minhash_family(spark):
     """Substring-duplication sanity: docs the MinHash-LSH pass pairs as
     near-dups must show high cross-doc 5-gram overlap, and the corpus

@@ -504,6 +504,21 @@ def test_pack_sequences_window_is_partitioned(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_pack_windows_single_token_shuffle_no_global_sort(spark):
+    """pack_windows (round 5): prefix sum partitioned by the md5-prefix
+    bucket (never SinglePartition), window reassembly via ONE hash-groupBy
+    on seq_id (no second Window, no per-row Python) — each token crosses
+    the wire exactly once."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["pack_windows"].build(spark, SF_DIR))
+    assert "hashpartitioning(kb" in plan
+    assert "hashpartitioning(seq_id" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Window") == plan.count("WindowGroupLimit") + 1
+
+
 def test_sample_temperature_rates_broadcast(spark):
     """The in-job per-language rate dim (~n_lang rows) must broadcast back
     onto the corpus scan; the only corpus-wide exchange is the tiny
