@@ -360,9 +360,11 @@ def min_label_components(edges, max_rounds: int = 1000, jump_from_round: int = 3
 
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+# The full candidate-pair → transitive-closure CTE chain, shared by the
+# min-id (dedup_components) and quality-aware (dedup_keep_best) cluster
+# oracles. Ends with `comp` = (node, root) final labels; callers append
+# either the final SELECT or further CTEs after a comma.
+_COMPONENT_CTES = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sig AS (
       SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || '|' || s)) AS mh
@@ -390,11 +392,19 @@ def min_label_components(edges, max_rounds: int = 1000, jump_from_round: int = 3
         UNION
         SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
       ) SELECT * FROM r
-    )
+    ),
+    comp AS (SELECT node, min(root) AS root FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_COMPONENT_CTES
+    + """
     SELECT CAST(min(root) AS BIGINT) AS component,
            CAST(count(*) AS BIGINT) AS cluster_size,
            CAST(min(node) AS BIGINT) AS keep_doc
-    FROM (SELECT node, min(root) AS root FROM reach GROUP BY node)
+    FROM comp
     GROUP BY root
     """,
     doc="Near-dup CLUSTERS from MinHash-LSH candidate pairs via iterative "
@@ -429,6 +439,93 @@ def dedup_components(spark, sf_dir):
     # every upstream pinned block (edges cache, per-round label checkpoints)
     # can be released before returning. No action in this operator ever
     # returns more than the 0/1 rows of the convergence probes to the driver.
+    out = result.localCheckpoint(eager=True)
+    edges.unpersist()
+    pinned.unpersist()
+    return out
+
+
+# Deterministic quality score shared with text_quality (textstats.py):
+# ln(1+len) * (1 - stopword_ratio), rounded to 4 places on both engines.
+_QUALITY_SQL = """
+      round(ln(1 + length(text))
+            * (1 - len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b'))
+                   / CAST(len(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE)),
+            4)
+"""
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_COMPONENT_CTES
+    + f""",
+    q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality
+      FROM documents WHERE doc_id < 300
+    ),
+    ranked AS (
+      SELECT c.root, c.node, q.quality,
+             row_number() OVER (PARTITION BY c.root
+                                ORDER BY q.quality DESC, c.node) AS rn,
+             count(*) OVER (PARTITION BY c.root) AS cnt
+      FROM comp c JOIN q ON q.doc_id = c.node
+    )
+    SELECT CAST(root AS BIGINT) AS component,
+           CAST(cnt AS BIGINT) AS cluster_size,
+           CAST(node AS BIGINT) AS keep_doc,
+           quality AS keep_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-aware canonical selection per near-dup cluster (the "
+    "FineWeb/RefinedWeb refinement of min-id dedup): within each connected "
+    "component of MinHash-LSH candidates, keep the member with the HIGHEST "
+    "deterministic quality score (text_quality's ln(1+len)*(1-stop_ratio) "
+    "composite), doc_id as tie-break — recrawls and boilerplate-padded "
+    "variants lose to the cleanest copy instead of the numerically-first "
+    "one. Same component machinery as dedup_components (min-label "
+    "propagation, one shuffle per round); the keeper pass adds ONE join of "
+    "cluster labels to scored docs plus ONE window shuffle partitioned by "
+    "cluster root — no per-row Python, no driver materialization beyond "
+    "the convergence probes.",
+)
+def dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("da AS a", "db AS b")
+        .unionAll(pairs.selectExpr("db AS a", "da AS b"))
+        .cache()
+    )
+    pinned, _rounds = min_label_components(edges)
+    labels = pinned.select("node", "root")
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    words = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(data|table|row|value|query)\b"))
+    quality = F.round(
+        F.log(1 + F.length("text")) * (1 - stop_hits / words.cast("double")), 4
+    )
+    scored = docs.select(F.col("doc_id").alias("node"), quality.alias("quality"))
+
+    part = Window.partitionBy("root")
+    ranked = labels.join(scored, "node").select(
+        "root",
+        "node",
+        "quality",
+        F.row_number()
+        .over(part.orderBy(F.desc("quality"), F.asc("node")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(part).alias("cnt"),
+    )
+    result = ranked.filter("rn = 1").select(
+        F.col("root").cast("long").alias("component"),
+        F.col("cnt").cast("long").alias("cluster_size"),
+        F.col("node").cast("long").alias("keep_doc"),
+        F.col("quality").alias("keep_quality"),
+    )
+    # Same distributed-materialization discipline as dedup_components:
+    # checkpoint the bounded result, then release every upstream pin.
     out = result.localCheckpoint(eager=True)
     edges.unpersist()
     pinned.unpersist()

@@ -325,6 +325,42 @@ def test_strip_duplicate_substrings_keeps_one_owner(spark):
     assert pout[11].n_dropped == 5
 
 
+def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """Quality-aware canonical selection: within a near-dup cluster the
+    HIGHEST-quality member wins, not the numerically-first doc_id. Three
+    recrawl variants normalize to the same text (identical shingles →
+    guaranteed band collisions); the highest-id copy has the highest raw
+    quality (longest raw text, zero lowercase stopword hits), so it must
+    be the keeper."""
+    from pdf_extractor_spark.operators.dedup import dedup_keep_best
+
+    base = (
+        "the quick brown fox jumps over the lazy dog with data and table "
+        "rows repeated for shingle mass " * 3
+    ).strip()
+    rows = [
+        (10, base, "en", "src0", len(base)),
+        (11, base + "  ", "en", "src0", len(base) + 2),
+        # uppercase + padding: same NORMALIZED text (lowercased by _norm),
+        # but longer raw length and no lowercase stop-hits → best quality
+        (12, base.upper() + "    ", "en", "src0", len(base) + 4),
+        (40, "a completely unrelated gardening page about soil and tools",
+         "en", "src1", 59),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_keep_best(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # doc 40 shares no shingles → no cluster
+    row = out[0]
+    assert row.component == 10
+    assert row.cluster_size == 3
+    assert row.keep_doc == 12  # min-id dedup would have kept 10
+    assert row.keep_quality > 0
+
+
 def test_incremental_dedup_uses_persisted_band_state(spark, tmp_path):
     """Two-snapshot incremental dedup: the OLD snapshot's MinHash band
     table is persisted to parquet; the NEW crawl's candidates against it

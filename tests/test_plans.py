@@ -168,6 +168,19 @@ def test_dedup_components_result_is_distributed(spark):
     assert "ExistingRDD" in plan or "Scan" in plan
 
 
+def test_dedup_keep_best_result_is_distributed(spark):
+    """dedup_keep_best (round 5): same discipline as dedup_components —
+    cluster keepers are O(corpus), so the returned plan must scan
+    distributed (checkpointed) blocks, never a LocalTableScan
+    re-parallelized from a driver collect()."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["dedup_keep_best"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+
+
 def test_bucketed_near_dup_pairs_join_on_bucket(spark):
     """emb_near_dup_bucketed's PAIR join must be a hash join on the bucket
     key (cosine + va<vb as residual condition) — the only nested-loop join
