@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets",           # NEW round 5 (CCNet perplexity terciles)
         "pack_sequences",          # NEW round 5 (concat-and-chunk packing)
         "pack_windows",            # NEW round 5 (packed-sequence materialization)
+        "dedup_keep_best",         # NEW round 5 (quality-aware cluster keeper)
+        "url_quality_filter",      # NEW round 5 (RefinedWeb URL rules)
+        "shuffle_shard",           # NEW round 5 (deterministic training shuffle)
+        "url_seen_bloom",          # NEW round 5 (bloom seen-set probe)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1150,3 +1150,252 @@ from pdf_extractor_spark.operators.registry import _REGISTRY as _R  # noqa: E402
 from dataclasses import replace as _dc_replace  # noqa: E402
 
 _R["dsir_select"] = _dc_replace(_R["dsir_select"], oracle=_dsir_oracle())
+
+
+# --- URL quality filtering (RefinedWeb-style pre-filter) ---------------------
+
+# In production the blocklist is a multi-million-domain list (RefinedWeb
+# aggregates ~4.6M adult/malware domains) — far too big for a literal
+# expression, exactly right for a BROADCAST hash join. The pattern here is
+# the real one at any list size; the list itself is a 3-row synthetic stand-in.
+_BLOCK_HOSTS = ("src3.example.com", "src7.example.com", "src13.example.com")
+_URL_BADWORD_RE = "(casino|porn|viagra|xxx)"
+
+# Deterministic messy-URL derivation (the corpus has no url column; the
+# oracle derives the SAME urls): every 7th doc gets a digit-heavy CDN host,
+# every 5th a bad-word path segment. `vt` = the engine's string cast type
+# (Spark: STRING; DuckDB: VARCHAR).
+def _uqf_host_sql(vt: str) -> str:
+    return (
+        "CASE WHEN doc_id % 7 = 0 "
+        f"THEN 'cdn' || CAST((doc_id * 37) % 100000 AS {vt}) || '-img.example.com' "
+        "ELSE source || '.example.com' END"
+    )
+
+
+def _uqf_path_sql(vt: str) -> str:
+    return (
+        "CASE WHEN doc_id % 5 = 0 "
+        f"THEN '/casino/p/' || CAST(doc_id % 40 AS {vt}) "
+        f"ELSE '/p/' || CAST(doc_id % 40 AS {vt}) END"
+    )
+
+
+_UQF_HOST_SQL = _uqf_host_sql("VARCHAR")
+_UQF_PATH_SQL = _uqf_path_sql("VARCHAR")
+
+
+@register(
+    "url_quality_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             {_UQF_HOST_SQL} AS host,
+             'https://' || ({_UQF_HOST_SQL}) || ({_UQF_PATH_SQL}) AS url
+      FROM documents
+    ),
+    flagged AS (
+      SELECT u.doc_id, u.url, u.host,
+             (b.host IS NOT NULL) AS blocked_domain,
+             regexp_matches(u.url, '{_URL_BADWORD_RE}') AS badword_hit,
+             ((length(u.host) - length(regexp_replace(u.host, '[0-9]', '', 'g')))
+              / CAST(length(u.host) AS DOUBLE)) > 0.2 AS digit_heavy
+      FROM u LEFT JOIN (VALUES ('src3.example.com'), ('src7.example.com'),
+                               ('src13.example.com')) b(host)
+        ON b.host = u.host
+    )
+    SELECT doc_id, url, host, blocked_domain, badword_hit, digit_heavy,
+           NOT (blocked_domain OR badword_hit OR digit_heavy) AS keep
+    FROM flagged ORDER BY doc_id
+    """,
+    doc="RefinedWeb-style URL pre-filtering (Penedo et al. 2023 §3.1): the "
+    "cheapest quality gate in a web pipeline runs BEFORE fetching or "
+    "parsing bytes — blocklisted registered domains (broadcast hash join "
+    "against the domain list; the corpus side never shuffles to probe), "
+    "bad-word substrings in the URL, and digit-heavy hosts (CDN/tracker "
+    "mirrors). Emits the full per-URL decision table (each rule as a "
+    "column + the final keep bit) rather than a bare filter — audit "
+    "trails over 10^12 URLs need the reason, not just the verdict. "
+    "Everything except the blocklist probe is row-local regex/arithmetic "
+    "inside whole-stage codegen.",
+)
+def url_quality_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    host = F.expr(_uqf_host_sql("STRING"))
+    url = F.concat(
+        F.lit("https://"),
+        F.expr(_uqf_host_sql("STRING")),
+        F.expr(_uqf_path_sql("STRING")),
+    )
+    block = spark.createDataFrame(
+        [(h,) for h in _BLOCK_HOSTS], "host string"
+    ).withColumn("blocked", F.lit(True))
+    flagged = (
+        d.select("doc_id", host.alias("host"), url.alias("url"))
+        .join(F.broadcast(block), "host", "left")
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            F.coalesce("blocked", F.lit(False)).alias("blocked_domain"),
+            (F.regexp_count("url", F.lit(_URL_BADWORD_RE)) > 0).alias("badword_hit"),
+            (
+                (
+                    F.length("host")
+                    - F.length(F.regexp_replace("host", "[0-9]", ""))
+                )
+                / F.length("host").cast("double")
+                > 0.2
+            ).alias("digit_heavy"),
+        )
+    )
+    return flagged.withColumn(
+        "keep",
+        ~(F.col("blocked_domain") | F.col("badword_hit") | F.col("digit_heavy")),
+    ).orderBy("doc_id")
+
+
+# --- deterministic training-order shuffle + sharding -------------------------
+
+_N_SHARDS = 8
+_SHUF_KEY_SPARK = "md5(concat(cast(doc_id as string), ':shuf42'))"
+_SHUF_KEY_SQL = "md5(CAST(doc_id AS VARCHAR) || ':shuf42')"
+
+
+@register(
+    "shuffle_shard",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_SHUF_KEY_SQL} AS skey,
+             CAST(({_hex_bucket(_SHUF_KEY_SQL, 'strpos', 2)}) % {_N_SHARDS}
+                  AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                AS BIGINT) AS pos,
+           doc_id, skey
+    FROM keyed ORDER BY shard, pos
+    """,
+    doc="Deterministic global shuffle + sharding for training-data export: "
+    "order = md5(doc_id || epoch-seed) — reproducible on any cluster size, "
+    "re-runnable for another epoch by changing the seed suffix, and free "
+    "of the pathological locality a crawl-ordered corpus has (long runs "
+    "of one host/language). Shard = md5-prefix bucket; position within "
+    "shard = row_number over the md5 order. The window is PARTITIONED by "
+    "shard — never a single global sort — so the plan is one hash "
+    "exchange on shard + a per-shard sort, each shard independent: at "
+    "10^12 docs you raise the shard count, not the partition size. This "
+    "is how pack_windows' input order and the S6 sink's file layout get "
+    "their determinism.",
+)
+def shuffle_shard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    skey = F.expr(_SHUF_KEY_SPARK)
+    shard = (F.expr(_hex_bucket(_SHUF_KEY_SPARK, "instr", 2)) % _N_SHARDS).cast(
+        "long"
+    )
+    keyed = d.select("doc_id", skey.alias("skey"), shard.alias("shard"))
+    win = W.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(win).cast("long").alias("pos"),
+        "doc_id",
+        "skey",
+    ).orderBy("shard", "pos")
+
+
+# --- bloom-style bounded-memory seen-set probe --------------------------------
+
+_BLOOM_M_DIGITS = 3  # m = 16^3 = 4096 positions
+_BLOOM_K = 3  # probes per key
+
+# modulus 42 (not the canonical 40): lcm(20 sources, 42) = 420, so the
+# 300-doc "prior snapshot" leaves the new crawl a REAL mix — 80 recrawled
+# urls and 120 unseen ones — instead of a degenerate all-dup fixture.
+_BLOOM_URL_SPARK = (
+    "concat('https://', source, '.example.com/p/', cast(doc_id % 42 as string))"
+)
+_BLOOM_URL_SQL = (
+    "'https://' || source || '.example.com/p/' || CAST(doc_id % 42 AS VARCHAR)"
+)
+
+
+@register(
+    "url_seen_bloom",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_BLOOM_URL_SQL} AS url FROM documents
+    ),
+    probes AS (
+      SELECT doc_id, url, j,
+             CAST({_hex_bucket("md5(CAST(j AS VARCHAR) || '|' || url)", "strpos", _BLOOM_M_DIGITS)}
+                  AS BIGINT) AS pos
+      FROM u, unnest(range(0, {_BLOOM_K})) AS t(j)
+    ),
+    old_pos AS (SELECT DISTINCT pos FROM probes WHERE doc_id < 300),
+    old_urls AS (SELECT DISTINCT url FROM u WHERE doc_id < 300),
+    hit AS (
+      SELECT p.doc_id, p.url, bool_and(op.pos IS NOT NULL) AS bloom_hit
+      FROM probes p LEFT JOIN old_pos op ON op.pos = p.pos
+      WHERE p.doc_id >= 300 GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.url, h.bloom_hit, (ou.url IS NOT NULL) AS true_dup
+    FROM hit h LEFT JOIN old_urls ou ON ou.url = h.url
+    ORDER BY h.doc_id
+    """,
+    doc="Bloom-filter seen-set probe for crawl frontier dedup: 'have we "
+    "already crawled this URL?' answered in O(m) memory REGARDLESS of how "
+    "many URLs the accumulated corpus holds — the prior snapshot is "
+    "compressed to k=3 md5-derived positions per key in an m=4096 "
+    "position space, and only the DISTINCT positions (≤ m rows, bounded "
+    "by construction) are broadcast to probe the new crawl; the new side "
+    "never shuffles to probe. One-sided error by design: bloom_hit is "
+    "true for every true duplicate (no false negatives — the output "
+    "carries the exact truth bit so the FP rate is measurable), a false "
+    "positive only skips a re-crawl. At 10^12 URLs you raise m (the "
+    "broadcast stays ≤ m rows) — the exact-join alternative ships the "
+    "full URL set to every executor.",
+)
+def url_seen_bloom(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.expr(_BLOOM_URL_SPARK).alias("url"))
+    probes = docs.select(
+        "doc_id",
+        "url",
+        F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr(
+            _hex_bucket(
+                "md5(concat(cast(j as string), '|', url))", "instr", _BLOOM_M_DIGITS
+            )
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    old_pos = (
+        probes.filter("doc_id < 300").select("pos").distinct()
+        .withColumn("present", F.lit(True))
+    )
+    old_urls = (
+        docs.filter("doc_id < 300").select("url").distinct()
+        .withColumn("td", F.lit(True))
+    )
+    hit = (
+        probes.filter("doc_id >= 300")
+        .join(F.broadcast(old_pos), "pos", "left")
+        .groupBy("doc_id", "url")
+        .agg(F.bool_and(F.coalesce("present", F.lit(False))).alias("bloom_hit"))
+    )
+    return (
+        hit.join(F.broadcast(old_urls), "url", "left")
+        .select(
+            "doc_id",
+            "url",
+            "bloom_hit",
+            F.coalesce("td", F.lit(False)).alias("true_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,6 +73,10 @@ SUBSET = [
     "classifier_calibration",
     "decontam_fuzzy",
     "text_collapse_repeats",
+    "dedup_keep_best",
+    "url_quality_filter",
+    "shuffle_shard",
+    "url_seen_bloom",
 ]
 
 
@@ -359,6 +363,77 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
     assert row.cluster_size == 3
     assert row.keep_doc == 12  # min-id dedup would have kept 10
     assert row.keep_quality > 0
+
+
+def test_url_quality_filter_rules(spark, tmp_path):
+    """Each RefinedWeb-style URL rule fires on exactly the doc built to
+    trip it: blocklisted domain (broadcast list), bad-word path segment,
+    digit-heavy CDN host — and a clean doc keeps."""
+    from pdf_extractor_spark.operators.curation import url_quality_filter
+
+    rows = [
+        (3, "text", "en", "src3", 4),    # src3.example.com is blocklisted
+        (5, "text", "en", "src1", 4),    # %5 == 0 → /casino/ path
+        # %7 == 0 and large enough that cdn||(id*37%100000) carries 5 digits
+        # (273*37 = 10101 → 'cdn10101-img.example.com', 5/24 > 0.2)
+        (273, "text", "en", "src1", 4),
+        (11, "text", "en", "src1", 4),   # trips nothing
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in url_quality_filter(spark, str(tmp_path)).collect()}
+    assert out[3].blocked_domain and not out[3].keep
+    assert out[5].badword_hit and "/casino/" in out[5].url and not out[5].keep
+    assert out[273].digit_heavy and out[273].host.startswith("cdn")
+    assert not out[273].keep
+    assert out[11].keep
+    assert not (out[11].blocked_domain or out[11].badword_hit or out[11].digit_heavy)
+
+
+def test_shuffle_shard_deterministic_and_contiguous(spark):
+    """The training-order shuffle must be a deterministic PERMUTATION:
+    every doc appears exactly once, positions within each shard are
+    contiguous 1..n, and re-running (or re-partitioning the input) yields
+    the byte-identical assignment — epoch reproducibility at any
+    parallelism."""
+    from pdf_extractor_spark.operators.curation import shuffle_shard
+
+    sf = "/root/testdata/sf0.001"
+    a = shuffle_shard(spark, sf).collect()
+    b = shuffle_shard(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(a) == n_docs
+    assert len({r.doc_id for r in a}) == n_docs  # permutation, no dup/loss
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the md5 order is not the input order (it actually shuffles)
+    first_shard = sorted(by_shard)[0]
+    ids_in_order = [
+        r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))
+        if r.shard == first_shard
+    ]
+    assert ids_in_order != sorted(ids_in_order)
+
+
+def test_url_seen_bloom_one_sided_error(spark):
+    """Bloom seen-set semantics: NO false negatives ever (every true
+    recrawl is flagged), false positives possible and measurable via the
+    carried truth bit; the sf0.001 fixture has a real mix of seen and
+    unseen URLs."""
+    from pdf_extractor_spark.operators.curation import url_seen_bloom
+
+    out = url_seen_bloom(spark, "/root/testdata/sf0.001").collect()
+    assert any(r.true_dup for r in out) and any(not r.true_dup for r in out)
+    for r in out:
+        if r.true_dup:
+            assert r.bloom_hit, f"false negative at doc {r.doc_id}"
 
 
 def test_incremental_dedup_uses_persisted_band_state(spark, tmp_path):

@@ -168,6 +168,43 @@ def test_dedup_components_result_is_distributed(spark):
     assert "ExistingRDD" in plan or "Scan" in plan
 
 
+def test_url_filter_blocklist_is_broadcast(spark):
+    """url_quality_filter: the domain blocklist (multi-million rows in
+    production) probes via BroadcastHashJoin — the corpus side must never
+    sort-merge to check a membership list."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["url_quality_filter"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shuffle_shard_window_partitioned_by_shard(spark):
+    """shuffle_shard: position assignment runs as a window PARTITIONED by
+    shard (independent per-shard sorts), never a single global sort — the
+    shape that scales by raising shard count."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["shuffle_shard"].build(spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_sides_broadcast(spark):
+    """url_seen_bloom: both bounded sides (≤m distinct positions, distinct
+    prior urls for the truth bit) broadcast; the new-crawl side never
+    shuffles to probe."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["url_seen_bloom"].build(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_dedup_keep_best_result_is_distributed(spark):
     """dedup_keep_best (round 5): same discipline as dedup_components —
     cluster keepers are O(corpus), so the returned plan must scan
