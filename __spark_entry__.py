@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality_filter",      # NEW round 5 (RefinedWeb URL rules)
         "shuffle_shard",           # NEW round 5 (deterministic training shuffle)
         "url_seen_bloom",          # NEW round 5 (bloom seen-set probe)
+        "quality_signals_wide",    # NEW round 5 (one-pass signal table)
+        "domain_mix_report",       # NEW round 5 (ROLLUP mixture report)
+        "text_bigram_nll",         # NEW round 5 (interpolated bigram LM)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -791,3 +791,200 @@ def text_collapse_repeats(spark, sf_dir):
             F.md5(F.array_join("kept", " ").cast("binary")), 1, 16
         ).alias("fp"),
     ).orderBy("doc_id")
+
+
+# --- one-pass wide quality-signal table --------------------------------------
+
+_WS_SQL = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+@register(
+    "quality_signals_wide",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, lang, source, text,
+             length(text) AS chars,
+             len(regexp_split_to_array(trim(text), '{_WS_SQL}')) AS words,
+             len(regexp_extract_all(text, '{_TOKEN_PAT}')) AS bpe_tokens,
+             len(regexp_extract_all(text, '\\b(data|table|row|value|query)\\b'))
+               AS stop_hits,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS digits,
+             length(regexp_replace(text, '{_WS_SQL}', '', 'g')) AS chars_nospace
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, lang, source,
+           CAST(chars AS BIGINT) AS chars,
+           CAST(words AS BIGINT) AS words,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           round(stop_hits / CAST(words AS DOUBLE), 4) AS stop_ratio,
+           round(digits / CAST(chars AS DOUBLE), 4) AS digit_ratio,
+           round(chars_nospace / CAST(words AS DOUBLE), 4) AS mean_word_len,
+           round(ln(1 + chars) * (1 - stop_hits / CAST(words AS DOUBLE)), 4)
+             AS quality
+    FROM raw
+    """,
+    doc="One-pass per-document quality-signal table (the Dolma / "
+    "RedPajama-v2 'quality signals' companion artifact): every row-local "
+    "signal — char/word/BPE-ish token counts, stopword ratio, digit "
+    "ratio, mean word length, the composite quality score — computed in "
+    "a SINGLE projection over a SINGLE scan. At 10^12 docs the signal "
+    "table is written once and filtered many times, so the thing that "
+    "matters is that signal computation never re-reads the corpus and "
+    "never shuffles: this plan is scan → one whole-stage-codegen "
+    "projection, zero exchanges, zero UDFs (plan-pinned).",
+)
+def quality_signals_wide(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    chars = F.length("text")
+    words = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    bpe = F.regexp_count("text", F.lit(_TOKEN_PAT))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(data|table|row|value|query)\b"))
+    digits = chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    nospace = F.length(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", ""))
+    wd = words.cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        chars.cast("long").alias("chars"),
+        words.cast("long").alias("words"),
+        bpe.cast("long").alias("bpe_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.round(stop_hits / wd, 4).alias("stop_ratio"),
+        F.round(digits / chars.cast("double"), 4).alias("digit_ratio"),
+        F.round(nospace / wd, 4).alias("mean_word_len"),
+        F.round(F.log(1 + chars) * (1 - stop_hits / wd), 4).alias("quality"),
+    )
+
+
+# --- corpus mixture report (ROLLUP) -------------------------------------------
+
+
+@register(
+    "domain_mix_report",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS lvl,
+           count(*) AS docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '{_WS_SQL}')))
+                AS BIGINT) AS ws_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY ROLLUP (lang, source)
+    """,
+    doc="Corpus mixture-composition report: docs and tokens per "
+    "(lang, source), per lang, and grand total in ONE aggregation pass "
+    "via ROLLUP — the table a training run's data card publishes, and the "
+    "input to mixture reweighting (sample_stratified / sample_temperature "
+    "rates are derived from exactly these counts). Spark plans rollup as "
+    "Expand + one partial+final hash aggregate: each row is expanded to "
+    "its 3 grouping sets map-side and combined before the single "
+    "shuffle — no second pass over the corpus, no union of three "
+    "aggregations. lvl = GROUPING bitmask (0 = leaf, 1 = per-lang "
+    "subtotal, 3 = grand total), identical bit order in both engines.",
+)
+def domain_mix_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ws_tokens = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    return d.rollup("lang", "source").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count("*").alias("docs"),
+        F.sum(ws_tokens).cast("long").alias("ws_tokens"),
+    ).select("lang", "source", "lvl", "docs", "ws_tokens")
+
+
+# --- interpolated bigram LM score ---------------------------------------------
+
+
+@register(
+    "text_bigram_nll",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '{_WS_SQL}') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+    freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS n FROM freq),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+      FROM d WHERE len(ws) >= 2
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS bc FROM big GROUP BY 1, 2),
+    pcnt AS (SELECT w1, count(*) AS pc FROM big GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             0.7 * (bcnt.bc / CAST(pcnt.pc AS DOUBLE))
+             + 0.3 * (freq.cnt / CAST(tot.n AS DOUBLE)) AS p
+      FROM big b
+      JOIN bcnt USING (w1, w2)
+      JOIN pcnt USING (w1)
+      JOIN freq ON freq.word = b.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(p)), 4) AS avg_nll
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    doc="Interpolated bigram LM quality score — one modeling step past "
+    "text_unigram_nll toward CCNet's 5-gram KenLM: p(w2|w1) = "
+    "0.7·p_bigram + 0.3·p_unigram (fixed-weight Jelinek-Mercer "
+    "smoothing), trained ON the corpus in-job and scored per document as "
+    "mean -ln p over its bigrams. Bigrams are built ROW-LOCALLY from the "
+    "word array (indexed array transform — no positional self-join), so "
+    "training is two hash-groupBys (bigram and prefix counts, each with "
+    "map-side partial agg) and scoring is keyed equi-joins on the gram — "
+    "every stage linear in corpus tokens. The 1-row total broadcasts. "
+    "The oracle unrolls the SAME training as CTEs, so the driver "
+    "hash-verifies training, not a frozen snapshot.",
+)
+def text_bigram_nll(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws"))
+    )
+    w = d.select("doc_id", F.explode("ws").alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("n"))
+    big = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    pcnt = big.groupBy("w1").agg(F.count("*").alias("pc"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(pcnt, "w1")
+        .join(freq, F.col("w2") == F.col("word"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                0.7 * (F.col("bc") / F.col("pc").cast("double"))
+                + 0.3 * (F.col("cnt") / F.col("n").cast("double"))
+            ).alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -77,6 +77,9 @@ SUBSET = [
     "url_quality_filter",
     "shuffle_shard",
     "url_seen_bloom",
+    "quality_signals_wide",
+    "domain_mix_report",
+    "text_bigram_nll",
 ]
 
 
@@ -1145,3 +1148,68 @@ def test_dsir_importance_prefers_target_domain(spark):
     best_law = max(v for k, v in logw.items() if k >= 30)
     # clean separation: every medical doc outranks every legal doc
     assert worst_med > best_law, (worst_med, best_law)
+
+
+def test_quality_signals_wide_hand_computed(spark, tmp_path):
+    """Every signal column on a crafted doc matches hand arithmetic."""
+    from pdf_extractor_spark.operators.textstats import quality_signals_wide
+
+    spark.createDataFrame(
+        [(1, "aa bb99 cc.", "en", "src0", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    r = quality_signals_wide(spark, str(tmp_path)).collect()[0]
+    assert r.chars == 11
+    assert r.words == 3
+    assert r.bpe_tokens == 5  # aa / bb / 99 / cc / .
+    assert r.stop_hits == 0 and r.stop_ratio == 0.0
+    assert r.digit_ratio == round(2 / 11, 4)
+    assert r.mean_word_len == 3.0  # 9 non-space chars / 3 words
+    import math
+
+    assert r.quality == round(math.log(12), 4)
+
+
+def test_domain_mix_report_levels(spark, tmp_path):
+    """ROLLUP emits leaf, per-lang subtotal, and grand-total rows whose
+    counts are consistent — one aggregation pass, three levels."""
+    from pdf_extractor_spark.operators.textstats import domain_mix_report
+
+    rows = [
+        (1, "w1 w2", "en", "srcA", 5),
+        (2, "w1 w2 w3", "en", "srcB", 8),
+        (3, "w1", "fr", "srcA", 2),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = domain_mix_report(spark, str(tmp_path)).collect()
+    by_key = {(r.lang, r.source, r.lvl): r for r in out}
+    assert by_key[("en", "srcA", 0)].docs == 1
+    assert by_key[("en", "srcA", 0)].ws_tokens == 2
+    assert by_key[("en", None, 1)].docs == 2
+    assert by_key[("en", None, 1)].ws_tokens == 5
+    assert by_key[(None, None, 3)].docs == 3
+    assert by_key[(None, None, 3)].ws_tokens == 6
+    assert len(out) == 3 + 2 + 1  # leaves + per-lang + grand total
+
+
+def test_bigram_nll_hand_computed(spark, tmp_path):
+    """Jelinek-Mercer interpolation on a 2-doc fixture matches hand math:
+    p(a,b)=0.7*(2/2)+0.3*(2/5)=0.82, p(b,a)=0.7*(1/1)+0.3*(3/5)=0.88."""
+    import math
+
+    from pdf_extractor_spark.operators.textstats import text_bigram_nll
+
+    spark.createDataFrame(
+        [(1, "a b a", "en", "s", 5), (2, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in text_bigram_nll(spark, str(tmp_path)).collect()}
+    assert out[1].n_bigrams == 2
+    assert out[2].n_bigrams == 1
+    assert out[1].avg_nll == round((-math.log(0.82) - math.log(0.88)) / 2, 4)
+    assert out[2].avg_nll == round(-math.log(0.82), 4)

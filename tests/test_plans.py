@@ -605,3 +605,38 @@ def test_dsir_select_weights_and_cutoff_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_signals_wide_zero_shuffle(spark):
+    """quality_signals_wide: the signal table is scan → ONE codegen
+    projection — zero exchanges of any kind, zero Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["quality_signals_wide"].build(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    # `*(1)` = every operator fused into codegen stage 1, and no stage 2
+    assert "*(1)" in plan and "*(2)" not in plan
+
+
+def test_domain_mix_rollup_single_aggregation_pass(spark):
+    """domain_mix_report: rollup plans as Expand + one partial+final hash
+    aggregate — exactly ONE shuffle, not a union of three aggregations."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["domain_mix_report"].build(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_nll_no_cartesian_no_python(spark):
+    """text_bigram_nll: bigrams come from a row-local indexed array
+    transform (a Generate, not a positional self-join); scoring joins are
+    keyed; the only unkeyed join is the broadcast 1-row total."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["text_bigram_nll"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
