@@ -640,3 +640,19 @@ def test_bigram_nll_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_encode_rowlocal_rerank_equijoin(spark):
+    """ann_pq_adc's scale contract: PQ encoding + reconstruction are
+    row-local against broadcast codebook literals (no shuffle, no join
+    against a centroid table, no cartesian product); the only joins are
+    the broadcast-query NLJ for the ADC scan and the vec_id equi-join
+    that fetches exact vectors for the bounded Q x L re-rank — never a
+    SortMergeJoin of the corpus against itself."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["ann_pq_adc"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 5-row query side, broadcast
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
