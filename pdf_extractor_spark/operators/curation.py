@@ -1399,3 +1399,72 @@ def url_seen_bloom(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- boilerplate segment stripping (jusText-style) --------------------------
+
+_BP_W = 8  # words per pseudo-block (the extraction-side analog of a DOM block)
+_BP_MIN_LEN = 3  # trailing fragments shorter than this are chrome, drop them
+
+
+@register(
+    "boilerplate_strip",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(ws) / {_BP_W}.0) AS BIGINT)),
+               s -> ws[s * {_BP_W} + 1 : least((s + 1) * {_BP_W}, len(ws))]
+             ) AS segs
+      FROM d
+    ), kept AS (
+      SELECT doc_id, len(segs) AS n_segments,
+             list_filter(segs, g ->
+               len(list_filter(g, w -> w IN ({{stops}}))) >= 1
+               AND len(g) >= {_BP_MIN_LEN}) AS k
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(flatten(k), ' '), '') AS clean_text
+    FROM kept ORDER BY doc_id
+    """.replace("{stops}", ", ".join(f"'{s}'" for s in ("the", "a", "of", "to", "and", "in"))),
+    doc="jusText-style boilerplate stripping (Pomikálek 2011, the "
+    "stopword-density block classifier CC pipelines run after DOM "
+    "chrome removal): segment each document into fixed word-count "
+    "pseudo-blocks, keep blocks with stopword evidence and a minimum "
+    "length, drop the rest, reassemble in order. The entire transform is "
+    "higher-order array functions over one row — transform/filter/"
+    "flatten/array_join inside a single codegen stage, ZERO exchanges at "
+    "any corpus size (plan-pinned) — the shape to reach for before any "
+    "corpus-wide line-frequency pass (dedup_lines) is even needed.",
+)
+def boilerplate_strip(spark, sf_dir):
+    stops = ", ".join(f"'{s}'" for s in ("the", "a", "of", "to", "and", "in"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws")
+    )
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size(ws) / {_BP_W}.0) as int) - 1), "
+        f"s -> slice(ws, s * {_BP_W} + 1, {_BP_W}))"
+    )
+    kept = F.expr(
+        f"filter(segs, g -> size(filter(g, w -> w IN ({stops}))) >= 1 "
+        f"AND size(g) >= {_BP_MIN_LEN})"
+    )
+    return (
+        d.withColumn("segs", segs)
+        .withColumn("k", kept)
+        .select(
+            "doc_id",
+            F.size("segs").cast("long").alias("n_segments"),
+            F.size("k").cast("long").alias("n_kept"),
+            F.array_join(F.flatten("k"), " ").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

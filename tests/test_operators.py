@@ -1233,3 +1233,25 @@ def test_pq_adc_shortlist_rerank_recall(spark):
     assert recall >= 0.4  # sf0.001 measures 0.53, sf0.01 0.80
     # exactly top-3 per query, ranks 1..3
     assert (pq.groupby("query_id")["rank"].count() == 3).all()
+
+
+def test_boilerplate_strip_pure_python_replay(spark):
+    """Replay the jusText-lite rule in plain Python from the parquet text
+    and require exact agreement on every column for the first 15 docs —
+    independent of both the Spark HOF expressions and the DuckDB oracle."""
+    import pandas as pd
+
+    stops = {"the", "a", "of", "to", "and", "in"}
+    got = (
+        all_ops()["boilerplate_strip"].build(spark, SF_DIR).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+    import re
+    for doc_id in list(got.index)[:15]:
+        ws = re.split(r"[ \t\n\r\f\x0B]+", docs.loc[doc_id, "text"].strip())
+        segs = [ws[i : i + 8] for i in range(0, len(ws), 8)]
+        kept = [g for g in segs if len(g) >= 3 and any(w in stops for w in g)]
+        assert got.loc[doc_id, "n_segments"] == len(segs)
+        assert got.loc[doc_id, "n_kept"] == len(kept)
+        assert got.loc[doc_id, "clean_text"] == " ".join(w for g in kept for w in g)

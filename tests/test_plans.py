@@ -656,3 +656,17 @@ def test_pq_adc_encode_rowlocal_rerank_equijoin(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 5-row query side, broadcast
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_boilerplate_strip_zero_exchange(spark):
+    """boilerplate_strip is pure row-local array algebra: the physical
+    plan must contain NO Exchange of any kind (the orderBy is presentation
+    only at the driver gate; check the pre-sort plan), no join, no Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["boilerplate_strip"].build(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # the ONLY exchange permitted is the rangepartitioning for the final
+    # presentation sort — never a hashpartitioning shuffle
+    assert "hashpartitioning" not in plan
