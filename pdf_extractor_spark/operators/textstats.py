@@ -988,3 +988,79 @@ def text_bigram_nll(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- corpus diversity report -------------------------------------------------
+
+
+@register(
+    "corpus_diversity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               list_transform(ws, w -> 'u:' || w),
+               list_transform(range(len(ws) - 1),
+                              i -> 'b:' || ws[i + 1] || ' ' || ws[i + 2])
+             )) AS g
+      FROM d
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(count(*) FILTER (WHERE g LIKE 'u:%') AS BIGINT) AS tokens,
+           CAST(count(DISTINCT g) FILTER (WHERE g LIKE 'u:%') AS BIGINT)
+             AS distinct_unigrams,
+           CAST(count(DISTINCT g) FILTER (WHERE g LIKE 'b:%') AS BIGINT)
+             AS distinct_bigrams,
+           round(count(DISTINCT g) FILTER (WHERE g LIKE 'u:%')
+                 / CAST(count(*) FILTER (WHERE g LIKE 'u:%') AS DOUBLE), 6)
+             AS ttr,
+           round(count(DISTINCT g) FILTER (WHERE g LIKE 'b:%')
+                 / CAST(greatest(count(*) FILTER (WHERE g LIKE 'b:%'), 1) AS DOUBLE), 6)
+             AS distinct_bigram_ratio
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc="Corpus diversity report per source: type-token ratio and "
+    "distinct-bigram ratio (the distinct-n diversity family used to "
+    "detect mode-collapsed / over-deduplicated / boilerplate-heavy "
+    "slices before training). Unigrams and bigrams are built row-local "
+    "with array HOFs, tagged, and exploded ONCE; the only shuffle is the "
+    "per-source aggregation (count-distinct expands to a two-key partial "
+    "agg — still one pass over corpus bytes at any scale).",
+)
+def corpus_diversity(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws")
+    )
+    # guard: sequence(0, stop) runs DESCENDING for stop < 0 (same gotcha as
+    # curation.decontaminate) — a 1-word doc must yield zero bigrams
+    grams = F.expr(
+        "concat(transform(ws, w -> concat('u:', w)), "
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), "
+        "i -> concat('b:', ws[i], ' ', ws[i + 1])) "
+        "ELSE cast(array() as array<string>) END)"
+    )
+    g = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    is_u = F.col("g").startswith("u:")
+    is_b = F.col("g").startswith("b:")
+    tokens = F.count(F.when(is_u, 1))
+    du = F.count_distinct(F.when(is_u, F.col("g")))
+    db = F.count_distinct(F.when(is_b, F.col("g")))
+    nb = F.count(F.when(is_b, 1))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("docs"),
+            tokens.cast("long").alias("tokens"),
+            du.cast("long").alias("distinct_unigrams"),
+            db.cast("long").alias("distinct_bigrams"),
+            F.round(du / tokens.cast("double"), 6).alias("ttr"),
+            F.round(db / F.greatest(nb, F.lit(1)).cast("double"), 6)
+            .alias("distinct_bigram_ratio"),
+        )
+        .orderBy("source")
+    )

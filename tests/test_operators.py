@@ -1255,3 +1255,45 @@ def test_boilerplate_strip_pure_python_replay(spark):
         assert got.loc[doc_id, "n_segments"] == len(segs)
         assert got.loc[doc_id, "n_kept"] == len(kept)
         assert got.loc[doc_id, "clean_text"] == " ".join(w for g in kept for w in g)
+
+
+def test_corpus_diversity_hand_computed(spark):
+    """Replay the diversity metrics in plain Python for two sources and a
+    hand-built single-word-doc edge (the descending-sequence guard)."""
+    import re
+
+    import pandas as pd
+
+    got = (
+        all_ops()["corpus_diversity"].build(spark, SF_DIR).toPandas()
+        .set_index("source").sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for source in list(got.index)[:2]:
+        texts = docs[docs.source == source].text
+        uni, big, tokens = set(), set(), 0
+        for t in texts:
+            ws = re.split(r"[ \t\n\r\f\x0B]+", t.strip())
+            tokens += len(ws)
+            uni.update(ws)
+            big.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        assert got.loc[source, "docs"] == len(texts)
+        assert got.loc[source, "tokens"] == tokens
+        assert got.loc[source, "distinct_unigrams"] == len(uni)
+        assert got.loc[source, "distinct_bigrams"] == len(big)
+        assert got.loc[source, "ttr"] == round(len(uni) / tokens, 6)
+
+
+def test_corpus_diversity_single_word_doc(spark, tmp_path):
+    """A 1-word document must contribute ZERO bigrams — sequence(0, -1)
+    descends in Spark, so the bigram branch needs its explicit guard."""
+    import pandas as pd
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["word", "alpha beta"], "source": ["s", "s"]}
+    ).to_parquet(f"{d}/documents.parquet")
+    got = all_ops()["corpus_diversity"].build(spark, d).toPandas().iloc[0]
+    assert got.tokens == 3
+    assert got.distinct_unigrams == 3
+    assert got.distinct_bigrams == 1  # only "alpha beta"
