@@ -1468,3 +1468,80 @@ def boilerplate_strip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- contamination run lengths (islands-and-gaps) ---------------------------
+
+
+@register(
+    "decontam_overlap_len",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i,
+             md5(list_aggregate(ws[i+1:i+{_DECON_N}], 'string_agg', ' ')) AS h
+      FROM (SELECT doc_id, ws,
+                   unnest(range(greatest(len(ws)-{_DECON_N}+1, 0))) AS i
+            FROM docs)
+    ), bench AS (
+      SELECT DISTINCT h FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), hitpos AS (
+      SELECT g.doc_id, g.i,
+             g.i - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.i) AS island
+      FROM grams g JOIN bench USING (h)
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+    ), runs AS (
+      SELECT doc_id, island, count(*) AS n_grams,
+             count(*) + {_DECON_N} - 1 AS run_words
+      FROM hitpos GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(sum(n_grams) AS BIGINT) AS hit_positions,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_words) AS BIGINT) AS max_run_words
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Contamination RUN LENGTHS, not just hit counts: consecutive "
+    "matched gram positions chain into islands (pos minus per-doc rank — "
+    "the classic islands-and-gaps construction), so a doc that embeds a "
+    "whole benchmark passage reports one long run while a doc that "
+    "reuses a stock phrase reports a short one — the signal that decides "
+    "drop-the-doc vs strip-the-span. Bench gram hashes broadcast (corpus "
+    "never shuffles to probe); the window and both aggs are partitioned "
+    "by doc_id — per-doc state only, no global sort at any scale.",
+)
+def decontam_overlap_len(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("ws")
+    )
+    gram_arr = F.expr(
+        f"CASE WHEN size(ws) >= {_DECON_N} THEN "
+        f"transform(sequence(0, size(ws)-{_DECON_N}), "
+        f"i -> array_join(slice(ws, i+1, {_DECON_N}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    grams = d.select("doc_id", F.posexplode(gram_arr).alias("i", "g")).withColumn(
+        "h", F.md5("g")
+    )
+    bench_h = grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("h").distinct()
+    w = W.partitionBy("doc_id").orderBy("i")
+    hitpos = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench_h), "h")
+        .withColumn("island", F.col("i") - F.row_number().over(w))
+    )
+    runs = hitpos.groupBy("doc_id", "island").agg(
+        F.count("*").alias("n_grams"),
+        (F.count("*") + F.lit(_DECON_N - 1)).alias("run_words"),
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("n_grams").cast("long").alias("hit_positions"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_words").cast("long").alias("max_run_words"),
+        )
+        .orderBy("doc_id")
+    )

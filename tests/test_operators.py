@@ -1297,3 +1297,42 @@ def test_corpus_diversity_single_word_doc(spark, tmp_path):
     assert got.tokens == 3
     assert got.distinct_unigrams == 3
     assert got.distinct_bigrams == 1  # only "alpha beta"
+
+
+def test_decontam_overlap_len_islands(spark, tmp_path):
+    """Hand-built contamination shapes: a doc embedding a contiguous
+    20-word benchmark span reports ONE run of exactly 20 words; a doc
+    reusing one 8-word stock phrase in two separate places reports TWO
+    runs of 8; an untouched doc reports nothing."""
+    import pandas as pd
+
+    bench_words = [f"b{i}" for i in range(20)]
+    phrase = bench_words[:8]
+    filler = lambda tag, n: [f"{tag}{i}" for i in range(n)]  # noqa: E731
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                " ".join(bench_words),  # benchmark doc (doc_id % 10 == 0)
+                " ".join(filler("x", 5) + bench_words + filler("y", 5)),
+                " ".join(phrase + filler("z", 6) + phrase),
+                " ".join(filler("q", 30)),
+            ],
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+    got = (
+        all_ops()["decontam_overlap_len"].build(spark, d).toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1: grams at positions 5..17 all match -> one island, 13 grams,
+    # run_words = 13 + 7 = 20 (the embedded span, exactly)
+    assert got.loc[1, "n_runs"] == 1
+    assert got.loc[1, "max_run_words"] == 20
+    # doc 2: the 8-word phrase appears twice, separated by unique filler ->
+    # two islands of 1 gram each, run_words = 8
+    assert got.loc[2, "n_runs"] == 2
+    assert got.loc[2, "max_run_words"] == 8
+    # doc 3: clean
+    assert 3 not in got.index

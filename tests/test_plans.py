@@ -670,3 +670,16 @@ def test_boilerplate_strip_zero_exchange(spark):
     # the ONLY exchange permitted is the rangepartitioning for the final
     # presentation sort — never a hashpartitioning shuffle
     assert "hashpartitioning" not in plan
+
+
+def test_decontam_overlap_len_broadcast_and_partitioned_window(spark):
+    """The run-length pass must keep the decontam scale contract: bench
+    gram hashes BROADCAST (the corpus side never shuffles to probe) and
+    the islands window partitioned by doc_id — never SinglePartition."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["decontam_overlap_len"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
