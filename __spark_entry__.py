@@ -83,6 +83,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals_wide",    # NEW round 5 (one-pass signal table)
         "domain_mix_report",       # NEW round 5 (ROLLUP mixture report)
         "text_bigram_nll",         # NEW round 5 (interpolated bigram LM)
+        "ann_pq_adc",              # NEW round 5 (PQ + ADC shortlist + re-rank)
+        "boilerplate_strip",       # NEW round 5 (jusText-lite block strip)
+        "corpus_diversity",        # NEW round 5 (distinct-n diversity report)
+        "decontam_overlap_len",    # NEW round 5 (contamination run lengths)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -66,6 +66,10 @@ HEADLINE_QUERIES = [
     "emb_near_dup_bucketed",  # cosine near-dup pairs inside LSH buckets
     "emb_near_dup_multiband",  # 48-band union (the recall-knob scale path)
     "semdedup",             # trained-cluster semantic dedup (round 5)
+    "ann_pq_adc",           # PQ codes + ADC shortlist + exact re-rank (round 5)
+    "boilerplate_strip",    # jusText-lite row-local block strip (round 5)
+    "corpus_diversity",     # per-source distinct-n diversity report (round 5)
+    "decontam_overlap_len",  # contamination run lengths (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1064,3 +1064,88 @@ def corpus_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- language-ID evaluation: confusion matrix --------------------------------
+
+
+@register(
+    "langid_confusion",
+    oracle="""
+    WITH hints(code, marker) AS (VALUES
+      ('en', ' data '), ('en', ' table '), ('fr', ' colonne '), ('es', ' fila '),
+      ('de', ' spalte '), ('en', ' query ')),
+    hits AS (
+      SELECT d.doc_id, h.code,
+             sum((length(' ' || lower(d.text) || ' ')
+                  - length(replace(' ' || lower(d.text) || ' ', h.marker, '')))
+                 // length(h.marker)) AS n_hits
+      FROM documents d CROSS JOIN hints h
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT doc_id, code AS predicted_lang FROM (
+        SELECT doc_id, code,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, code) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ), conf AS (
+      SELECT d.lang, p.predicted_lang, count(*) AS n
+      FROM pred p JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, sum(n) AS lang_total FROM conf GROUP BY 1
+    )
+    SELECT c.lang, c.predicted_lang,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.lang_total AS DOUBLE), 6) AS row_rate
+    FROM conf c JOIN tot t USING (lang)
+    ORDER BY c.lang, c.predicted_lang
+    """,
+    doc="Language-ID evaluation: confusion matrix of the marker-argmax "
+    "classifier (text_lang_id's rule, run corpus-wide) against the "
+    "table's ground-truth lang labels, with row-normalized rates — the "
+    "precision/recall surface a pipeline tunes its lang filter against. "
+    "Hint table broadcast; argmax per doc; two bounded aggs (cells are "
+    "|langs|^2 rows at any corpus size).",
+)
+def langid_confusion(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    hints = spark.createDataFrame(
+        [("en", " data "), ("en", " table "), ("fr", " colonne "), ("es", " fila "),
+         ("de", " spalte "), ("en", " query ")],
+        ["code", "marker"],
+    )
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    n_hits = F.floor(
+        (F.length(padded) - F.length(F.replace(padded, F.col("marker"), F.lit(""))))
+        / F.length("marker")
+    )
+    hits = (
+        d.crossJoin(F.broadcast(hints))
+        .groupBy("doc_id", "code")
+        .agg(F.sum(n_hits).alias("n_hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("code"))
+    pred = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("code").alias("predicted_lang"))
+    )
+    conf = (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return (
+        conf.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("lang_total").cast("double"), 6)
+            .alias("row_rate"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
