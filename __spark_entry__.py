@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip",       # NEW round 5 (jusText-lite block strip)
         "corpus_diversity",        # NEW round 5 (distinct-n diversity report)
         "decontam_overlap_len",    # NEW round 5 (contamination run lengths)
+        "langid_confusion",        # NEW round 5 (lang-ID confusion matrix)
+        "dedup_winnow",            # NEW round 5 (winnowing fingerprints, MOSS)
+        "vocab_oov_report",        # NEW round 5 (in-job vocab OOV/fertility)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -70,6 +70,8 @@ HEADLINE_QUERIES = [
     "boilerplate_strip",    # jusText-lite row-local block strip (round 5)
     "corpus_diversity",     # per-source distinct-n diversity report (round 5)
     "decontam_overlap_len",  # contamination run lengths (round 5)
+    "dedup_winnow",         # winnowing fingerprints, positional near-dup (round 5)
+    "vocab_oov_report",     # in-job vocab + per-source OOV/fertility (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1011,3 +1011,107 @@ def decontam_fuzzy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) --------------------------
+
+_WIN_K = 8  # chars per gram
+_WIN_W = 4  # grams per winnowing window
+# Over-common fingerprints are dropped before pairing (MOSS does exactly
+# this): a fingerprint shared by hundreds of documents is boilerplate, not
+# evidence, and at any scale it is also the quadratic bucket that kills the
+# pair join — on this small-vocab synthetic corpus the uncapped join
+# produced tens of millions of candidate rows.
+_WIN_MAX_DF = 8
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ), sel AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) >= {_WIN_W} THEN
+               list_distinct(list_transform(
+                 range(len(grams) - {_WIN_W} + 1),
+                 j -> list_min(grams[j + 1 : j + {_WIN_W}])))
+             WHEN len(grams) > 0 THEN [list_min(grams)]
+             ELSE CAST([] AS VARCHAR[]) END AS fps
+      FROM (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= {_WIN_K} THEN
+                 list_transform(range(length(norm) - {_WIN_K} + 1),
+                                i -> md5(substr(norm, CAST(i + 1 AS INT), {_WIN_K})))
+               ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM d)
+    ), fp0 AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), keepfp AS (
+      SELECT fp FROM fp0 GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {_WIN_MAX_DF}
+    ), fp AS (
+      SELECT doc_id, fp FROM fp0 JOIN keepfp USING (fp)
+    )
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY da, db
+    """.replace("{_WIN_MAX_DF}", str(_WIN_MAX_DF)),
+    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS "
+    "local-similarity algorithm): per document, hash every 8-char gram "
+    "of the normalized text and keep the MINIMUM hash of each 4-gram "
+    "window — the guarantee dedup_minhash lacks: any shared substring "
+    "longer than k+w-1 chars shares at least one selected fingerprint, "
+    "so matches are POSITIONAL, not whole-document. Selection is pure "
+    "row-local array algebra (transform/slice/array_min/array_distinct, "
+    "one codegen stage); fingerprints seen in more than _WIN_MAX_DF docs "
+    "are dropped first (the MOSS stop-fingerprint rule — boilerplate is "
+    "not evidence, and the hot key is what makes the pair join "
+    "quadratic); candidate pairs then come from ONE equi-join on the "
+    "fingerprint key exactly like the MinHash band join. Pairs sharing "
+    ">= 2 fingerprints are reported with their overlap weight.",
+)
+def dedup_winnow(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _norm(F.col("text")).alias("norm")
+    )
+    grams_sql = (
+        f"CASE WHEN length(norm) >= {_WIN_K} THEN "
+        f"transform(sequence(0, length(norm) - {_WIN_K}), "
+        f"i -> md5(substring(norm, i + 1, {_WIN_K}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    # The gram array is BOUND as a lambda variable (transform over a 1-element
+    # array — SQL's missing `let`), not referenced as a projected column:
+    # CollapseProject would inline the md5-per-position expression into every
+    # reference inside the window-min lambda, and HOF lambdas re-evaluate
+    # their arguments per step — O(n^2) md5 calls per document in interpreted
+    # eval. Bound once, the selection is O(n*w) comparisons as intended.
+    sel = F.expr(
+        f"transform(array({grams_sql}), g -> "
+        f"CASE WHEN size(g) >= {_WIN_W} THEN "
+        f"array_distinct(transform(sequence(0, size(g) - {_WIN_W}), "
+        f"j -> array_min(slice(g, j + 1, {_WIN_W})))) "
+        f"WHEN size(g) > 0 THEN array(array_min(g)) "
+        f"ELSE cast(array() as array<string>) END)[0]"
+    )
+    fp0 = d.select("doc_id", F.explode(sel).alias("fp"))
+    keep = (
+        fp0.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_MAX_DF))
+        .select("fp")
+    )
+    fp = fp0.join(keep, "fp")
+    a = fp.select(F.col("doc_id").alias("da"), "fp")
+    b = fp.select(F.col("doc_id").alias("db"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+        .orderBy("da", "db")
+    )

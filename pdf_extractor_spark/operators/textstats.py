@@ -1149,3 +1149,81 @@ def langid_confusion(spark, sf_dir):
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+# --- vocabulary coverage / fertility report ----------------------------------
+
+# In-job trained vocab size (top-K by corpus frequency). 24 on the synthetic
+# corpus (31 distinct words) so the tail is genuinely OUT of vocab and the
+# per-source OOV/fertility numbers discriminate; at real scale this is the
+# 30k-entry knob and the same plan holds (vocab stays a broadcast dim).
+_VOCAB_K = 24
+
+
+@register(
+    "vocab_oov_report",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(lower(text)),
+                                          '[ \\t\\n\\r\\f\\x0B]+')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM w GROUP BY w
+      ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+           CAST(sum(CASE WHEN v.w IS NULL THEN length(w.w) ELSE 1 END) AS BIGINT)
+             AS effective_tokens,
+           round(sum(CASE WHEN v.w IS NULL THEN length(w.w) ELSE 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS fertility
+    FROM w LEFT JOIN vocab v ON w.w = v.w
+    GROUP BY source ORDER BY source
+    """,
+    doc="Tokenizer coverage report with an IN-JOB trained vocabulary: the "
+    f"top-{_VOCAB_K} words by corpus frequency (ties to the lexically "
+    "smallest — deterministic, engine-portable) stand in for a trained "
+    "wordpiece vocab; per-source OOV rate and char-fallback fertility "
+    "(an OOV word costs len(word) byte-tokens, in-vocab costs 1) — the "
+    "what-will-this-corpus-cost-to-tokenize numbers checked before "
+    "committing a tokenizer at scale. Training is one hash-groupBy + a "
+    "bounded global top-K (TakeOrdered, K rows to the driver); scoring "
+    "probes the BROADCAST vocab — the corpus never shuffles to score. "
+    "The oracle re-trains the same vocab in CTEs (the text_unigram_nll "
+    "discipline), so the driver hash-verifies training + scoring.",
+)
+def vocab_oov_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")).alias("w"),
+    )
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_VOCAB_K)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    scored = w.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    eff = F.when(F.col("_in_vocab").isNull(), F.length("w")).otherwise(F.lit(1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(F.sum(oov) / F.count("*").cast("double"), 6).alias("oov_rate"),
+            F.sum(eff).cast("long").alias("effective_tokens"),
+            F.round(F.sum(eff) / F.count("*").cast("double"), 4).alias("fertility"),
+        )
+        .orderBy("source")
+    )

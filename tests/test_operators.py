@@ -1336,3 +1336,112 @@ def test_decontam_overlap_len_islands(spark, tmp_path):
     assert got.loc[2, "max_run_words"] == 8
     # doc 3: clean
     assert 3 not in got.index
+
+
+def test_winnow_positional_guarantee(spark, tmp_path):
+    """Schleimer et al. 2003 guarantee: any shared substring of length >=
+    k+w-1 chars shares at least one selected fingerprint. A 60-char span
+    shared by two otherwise-different docs must surface exactly that pair;
+    sub-k and sub-w docs must flow through their guard branches quietly."""
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                f"alpha section opener {shared} omega tail words",
+                f"completely different preamble {shared} closing remark",
+                "zq zw ze zr zt zy zu zi zo zp zx zc zv zb zn zm",
+                "tiny",  # < k chars -> zero grams branch
+                "12345678x",  # k <= len < k+w-1 -> single-fingerprint branch
+            ],
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+    got = all_ops()["dedup_winnow"].build(spark, d).toPandas()
+    pairs = set(zip(got.da, got.db))
+    assert (0, 1) in pairs
+    assert got.set_index(["da", "db"]).loc[(0, 1), "shared_fps"] >= 2
+    assert all(2 not in p and 3 not in p and 4 not in p for p in pairs)
+
+
+def test_winnow_drops_overcommon_fingerprints(spark, tmp_path):
+    """The MOSS stop-fingerprint rule: a span shared by MORE than
+    _WIN_MAX_DF documents is boilerplate, not evidence — its fingerprints
+    are dropped before pairing, so ten docs sharing ONLY a boilerplate
+    footer produce zero candidate pairs (and the hot key that would make
+    the pair join quadratic never reaches it)."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.dedup import _WIN_MAX_DF
+
+    n = _WIN_MAX_DF + 2
+    boiler = "subscribe to our newsletter for updates and exclusive offers"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(n)),
+            "text": [f"{boiler} unique{i:03d}marker{i:03d}" for i in range(n)],
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+    got = all_ops()["dedup_winnow"].build(spark, d).toPandas()
+    assert len(got) == 0
+
+
+def test_vocab_oov_pure_python_replay(spark):
+    """Replay vocab training (top-K by frequency, ties lexical) and
+    per-source OOV/fertility scoring in plain Python over the real table;
+    the report must also be non-degenerate (some tail IS out of vocab)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.textstats import _VOCAB_K
+
+    got = (
+        all_ops()["vocab_oov_report"].build(spark, SF_DIR).toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cnt: Counter = Counter()
+    per_source: dict = {}
+    for _, r in docs.iterrows():
+        ws = re.split(r"[ \t\n\r\f\x0B]+", r.text.strip().lower())
+        cnt.update(ws)
+        per_source.setdefault(r.source, []).extend(ws)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {w for w, _ in ranked[:_VOCAB_K]}
+    for source, ws in per_source.items():
+        toks = len(ws)
+        oov = sum(1 for w in ws if w not in vocab)
+        eff = sum(len(w) if w not in vocab else 1 for w in ws)
+        row = got.loc[source]
+        assert row.tokens == toks
+        assert row.oov_tokens == oov
+        assert row.effective_tokens == eff
+        assert row.oov_rate == round(oov / toks, 6)
+        assert row.fertility == round(eff / toks, 4)
+    assert (got.oov_tokens > 0).any()
+
+
+def test_vocab_oov_tiebreak_is_lexical(spark, tmp_path):
+    """K+1 words all at frequency 1: the vocab is the K lexically smallest
+    (the deterministic, engine-portable tie rule) — the lexically largest
+    word is the one OOV token."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.textstats import _VOCAB_K
+
+    words = [f"a{i:02d}" for i in range(_VOCAB_K)] + ["zzz"]
+    pd.DataFrame(
+        {"doc_id": [0], "text": [" ".join(words)], "source": ["s"]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = all_ops()["vocab_oov_report"].build(spark, str(tmp_path)).toPandas()
+    row = got.iloc[0]
+    assert row.tokens == _VOCAB_K + 1
+    assert row.oov_tokens == 1
+    assert row.effective_tokens == _VOCAB_K + len("zzz")

@@ -683,3 +683,29 @@ def test_decontam_overlap_len_broadcast_and_partitioned_window(spark):
     assert "SortMergeJoin" not in plan
     assert "SinglePartition" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_winnow_pairs_are_fingerprint_equijoins(spark):
+    """Winnowing's scale contract: fingerprint selection is row-local array
+    algebra and candidate pairs come from equi-joins on the fingerprint
+    key — no cartesian product, no Python, and the pair join keyed on fp."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dedup_winnow"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(fp" in plan
+
+
+def test_vocab_scoring_probes_broadcast_vocab(spark):
+    """The tokenizer-coverage contract: vocab training bounds driver rows
+    via a global top-K (TakeOrdered, never a global sort) and scoring
+    probes the BROADCAST vocab — the exploded corpus never sort-merges."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["vocab_oov_report"].build(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrdered" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
