@@ -1077,6 +1077,15 @@ def dedup_winnow(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _norm(F.col("text")).alias("norm")
     )
+    # Fingerprint selection is CPU-bound (one md5 per char position), so a
+    # small scan (one parquet split) would strand every other core on it.
+    # Fan out ONLY when the scan parallelism is below the session default —
+    # at real scale the scan already yields >= cores splits and no extra
+    # exchange is inserted; locally the shuffled payload is just the
+    # normalized text, far cheaper than the kernel it unblocks.
+    want = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < want:
+        d = d.repartition(want, "doc_id")
     grams_sql = (
         f"CASE WHEN length(norm) >= {_WIN_K} THEN "
         f"transform(sequence(0, length(norm) - {_WIN_K}), "
