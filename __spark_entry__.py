@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion",        # NEW round 5 (lang-ID confusion matrix)
         "dedup_winnow",            # NEW round 5 (winnowing fingerprints, MOSS)
         "vocab_oov_report",        # NEW round 5 (in-job vocab OOV/fertility)
+        "vocab_growth",            # NEW round 5 (Heaps-law growth checkpoints)
+        "bpe_merges",              # NEW round 5 (in-job BPE merge training)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -72,6 +72,8 @@ HEADLINE_QUERIES = [
     "decontam_overlap_len",  # contamination run lengths (round 5)
     "dedup_winnow",         # winnowing fingerprints, positional near-dup (round 5)
     "vocab_oov_report",     # in-job vocab + per-source OOV/fertility (round 5)
+    "vocab_growth",         # Heaps-law vocabulary growth curve (round 5)
+    "bpe_merges",           # in-job BPE merge training, 8 rounds (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

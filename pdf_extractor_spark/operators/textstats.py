@@ -1227,3 +1227,278 @@ def vocab_oov_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- Heaps-law vocabulary growth -----------------------------------------------
+
+# Checkpoint count for the growth curve. 10 equal doc-id deciles: the curve
+# needs only enough points to expose the V = K * T^beta shape, and the spine
+# stays a constant-size table at any corpus size.
+_GROWTH_CKPTS = 10
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),
+                                          '[ \\t\\n\\r\\f\\x0B]+')) AS w
+      FROM documents
+    ), wb AS (
+      SELECT CAST(floor(doc_id * {_GROWTH_CKPTS} / (mx + 1)) AS INT) AS b, w
+      FROM w CROSS JOIN mx WHERE w <> ''
+    ), nv AS (
+      SELECT fb AS b, count(*) AS nw
+      FROM (SELECT w, min(b) AS fb FROM wb GROUP BY w) GROUP BY fb
+    ), tk AS (
+      SELECT b, count(*) AS tok FROM wb GROUP BY b
+    ), dc AS (
+      SELECT CAST(floor(doc_id * {_GROWTH_CKPTS} / (mx + 1)) AS INT) AS b,
+             count(*) AS n
+      FROM documents CROSS JOIN mx GROUP BY 1
+    ), spine AS (SELECT unnest(range({_GROWTH_CKPTS})) AS b)
+    SELECT CAST(s.b + 1 AS INT) AS checkpoint,
+           CAST(sum(coalesce(dc.n, 0)) OVER (ORDER BY s.b) AS BIGINT) AS docs,
+           CAST(sum(coalesce(tk.tok, 0)) OVER (ORDER BY s.b) AS BIGINT) AS tokens,
+           CAST(sum(coalesce(nv.nw, 0)) OVER (ORDER BY s.b) AS BIGINT) AS vocab,
+           round(ln(sum(coalesce(nv.nw, 0)) OVER (ORDER BY s.b))
+                 / ln(sum(coalesce(tk.tok, 0)) OVER (ORDER BY s.b)), 4)
+             AS heaps_beta
+    FROM spine s
+    LEFT JOIN nv ON nv.b = s.b
+    LEFT JOIN tk ON tk.b = s.b
+    LEFT JOIN dc ON dc.b = s.b
+    ORDER BY checkpoint
+    """,
+    doc="Heaps-law vocabulary growth curve: cumulative distinct-word count "
+    "vs cumulative token count at 10 doc-id checkpoints, plus the implied "
+    "Heaps exponent ln(V)/ln(T) — the does-vocabulary-saturate number that "
+    "sizes a tokenizer (and flags synthetic/templated corpora, which "
+    "plateau early). Cumulative-distinct is NOT computed with a global "
+    "window: each word contributes at its FIRST-occurrence checkpoint "
+    "(one groupBy(word) -> min(bucket)), per-bucket news are summed, and "
+    "only the constant 10-row checkpoint spine is windowed — the corpus "
+    "sees two hash aggs and nothing else. The 1-row max(doc_id) hint and "
+    "the spine join are broadcasts.",
+)
+def vocab_growth(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.floor(F.col("doc_id") * _GROWTH_CKPTS / (F.col("mx") + 1)).cast("int")
+    w = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .join(F.broadcast(mx))
+        .select(bucket.alias("b"), "w")
+    )
+    nv = (
+        w.groupBy("w")
+        .agg(F.min("b").alias("fb"))
+        .groupBy(F.col("fb").alias("b"))
+        .agg(F.count("*").alias("nw"))
+    )
+    tk = w.groupBy("b").agg(F.count("*").alias("tok"))
+    dc = (
+        d.join(F.broadcast(mx))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(_GROWTH_CKPTS).select(F.col("id").cast("int").alias("b"))
+    cum = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    docs = F.sum(F.coalesce("n", F.lit(0))).over(cum)
+    toks = F.sum(F.coalesce("tok", F.lit(0))).over(cum)
+    voc = F.sum(F.coalesce("nw", F.lit(0))).over(cum)
+    return (
+        spine.join(F.broadcast(nv), "b", "left")
+        .join(F.broadcast(tk), "b", "left")
+        .join(F.broadcast(dc), "b", "left")
+        .select(
+            (F.col("b") + 1).cast("int").alias("checkpoint"),
+            docs.cast("long").alias("docs"),
+            toks.cast("long").alias("tokens"),
+            voc.cast("long").alias("vocab"),
+            F.round(F.log(voc) / F.log(toks), 4).alias("heaps_beta"),
+        )
+        .orderBy("checkpoint")
+    )
+
+
+# --- BPE merge training (Sennrich et al. 2016) --------------------------------
+
+_BPE_ROUNDS = 8  # learned merges; fixed so the oracle can unroll them as CTEs
+# Training operates on the distinct-word frequency table (the Zipf-bounded
+# side, exactly how real BPE trainers work) capped to the top-N words by
+# (count, word) — the FAISS-prefix-sample discipline: merge statistics need
+# the head of the distribution, not 10^12 raw tokens.
+_BPE_TRAIN_W = 4096
+
+_BPE_WSPLIT = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+')"
+
+
+def _bpe_ctes(n_rounds: int) -> list[str]:
+    """The unrolled-BPE CTE chain: word-frequency table -> top-_BPE_TRAIN_W
+    cap -> char split -> n_rounds of (adjacent-pair count, argmax pair,
+    left-to-right re-tokenize via list_reduce). Ends with b{r}/w{r} per
+    round. Ties break (count DESC, left, right) in both engines; the fold
+    encodes the running tokenization as a chr(31)-joined string because
+    list_reduce's accumulator must share the element type."""
+    ctes = [
+        f"""base AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest({_BPE_WSPLIT}) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )""",
+        f"""cap AS (
+      SELECT word, cnt FROM (
+        SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+        FROM base
+      ) WHERE rn <= {_BPE_TRAIN_W}
+    )""",
+        """w0 AS (
+      SELECT word, cnt,
+             list_transform(range(length(word)),
+                            i -> substr(word, CAST(i + 1 AS INT), 1)) AS toks
+      FROM cap
+    )""",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""p{r} AS (
+      SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest(toks[1:len(toks) - 1]) AS l,
+               unnest(toks[2:len(toks)]) AS r
+        FROM w{r - 1} WHERE len(toks) >= 2
+      ) GROUP BY l, r
+    )""")
+        ctes.append(f"""b{r} AS (
+      SELECT l, r, pc FROM p{r} ORDER BY pc DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS (
+      SELECT word, cnt,
+        CASE WHEN len(toks) <= 1 THEN toks
+        ELSE string_split(list_reduce(toks, (acc, x) ->
+          CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND x = b.r
+               THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+               ELSE acc || chr(31) || x END), chr(31))
+        END AS toks
+      FROM w{r - 1} CROSS JOIN b{r} b
+    )""")
+    return ctes
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    legs = [
+        f"""SELECT {r} AS merge_round, l AS pair_left, r AS pair_right,
+               l || r AS merged, pc AS pair_count,
+               (SELECT CAST(sum(cnt * len(toks)) AS BIGINT) FROM w{r})
+                 AS corpus_tokens
+        FROM b{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(n_rounds))
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(legs)
+        + "\n) ORDER BY merge_round"
+    )
+
+
+_BPE_SEP = "\x1f"
+
+
+def _bpe_merge_fold(toks, left: str, right: str):
+    """Left-to-right non-overlapping BPE merge of (left, right) over a token
+    array, as a pure fold: the accumulator is the chr(31)-joined running
+    tokenization (tokens never contain chr(31)), matching the DuckDB
+    list_reduce twin in _bpe_ctes byte for byte. Literals are bound with
+    F.lit, so no SQL-string escaping of data-derived tokens ever happens."""
+    sep, lft, merged = F.lit(_BPE_SEP), F.lit(left), F.lit(left + right)
+
+    def step(acc, x):
+        hit = ((acc == lft) | acc.endswith(F.concat(sep, lft))) & (x == F.lit(right))
+        stripped = F.substring(acc, F.lit(1), F.length(acc) - len(left))
+        return F.when(hit, F.concat(stripped, merged)).otherwise(
+            F.concat(acc, sep, x)
+        )
+
+    folded = F.aggregate(
+        F.slice(toks, 2, F.size(toks) - 1), F.element_at(toks, 1), step
+    )
+    return F.when(F.size(toks) <= 1, toks).otherwise(F.split(folded, _BPE_SEP))
+
+
+@register(
+    "bpe_merges",
+    oracle=_bpe_oracle_sql(_BPE_ROUNDS),
+    doc="BPE tokenizer training IN-JOB (Sennrich et al. 2016): learn the "
+    f"first {_BPE_ROUNDS} merge rules from the corpus and report each "
+    "round's chosen pair, its frequency, and the training-table token "
+    "count after applying it. Training runs on the distinct-word frequency "
+    "table (one corpus groupBy; the Zipf-bounded side, exactly where real "
+    f"BPE trainers operate) capped to the top-{_BPE_TRAIN_W} words; each "
+    "round is one hash agg over adjacent token pairs + a LIMIT-1 argmax "
+    "(one row to the driver, the ann_ivf_trained Lloyd discipline) + a "
+    "row-local left-to-right merge fold — bounded rounds, bounded driver "
+    "rows, no windows over the corpus. The DuckDB oracle unrolls the SAME "
+    "rounds as chained CTEs (shared _bpe_ctes), so the driver hash-verifies "
+    "the training itself, not a frozen merge table.",
+)
+def bpe_merges(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_BPE_TRAIN_W)
+        .selectExpr(
+            "word",
+            "cnt",
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            " AS toks",
+        )
+    )
+    cur = wf.persist()
+    rows, prev = [], None
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            cur.filter(F.size("toks") >= 2)
+            .selectExpr(
+                "cnt",
+                "inline(transform(sequence(0, size(toks) - 2),"
+                " i -> named_struct('l', toks[i], 'r', toks[i + 1])))",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # exactly ONE argmax row per round to the driver
+        )
+        if not top:  # training table fully merged — no adjacent pairs left
+            break
+        pl, pr, pc = top[0].l, top[0].r, top[0].pc
+        prev, cur = cur, cur.withColumn(
+            "toks", _bpe_merge_fold(F.col("toks"), pl, pr)
+        ).persist()
+        ct = cur.agg(F.sum(F.col("cnt") * F.size("toks"))).collect()[0][0]
+        prev.unpersist()
+        rows.append((r, pl, pr, pl + pr, int(pc), int(ct)))
+    cur.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint, corpus_tokens bigint",
+    ).orderBy("merge_round")

@@ -1445,3 +1445,69 @@ def test_vocab_oov_tiebreak_is_lexical(spark, tmp_path):
     assert row.tokens == _VOCAB_K + 1
     assert row.oov_tokens == 1
     assert row.effective_tokens == _VOCAB_K + len("zzz")
+
+
+def test_vocab_growth_hand_computed(spark, tmp_path):
+    """10 docs, one word each except doc 0 (two words): checkpoint k covers
+    doc ids < k, so cumulative docs/tokens/vocab are hand-computable. Vocab
+    counts each word at its FIRST occurrence only; repeats add tokens but
+    not vocab."""
+    import pandas as pd
+
+    # doc 0: 'w0 w0' (repeat, 2 tokens 1 word); docs 1..9: one word each,
+    # docs 5..9 repeat earlier words (no vocab growth past checkpoint 5).
+    texts = ["w0 w0"] + [f"w{i}" for i in range(1, 5)] + ["w0", "w1", "w2", "w3", "w4"]
+    pd.DataFrame({"doc_id": range(10), "text": texts}).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["vocab_growth"].build(spark, str(tmp_path)).toPandas()
+    assert list(got.checkpoint) == list(range(1, 11))
+    assert list(got.docs) == list(range(1, 11))
+    assert list(got.tokens) == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+    assert list(got.vocab) == [1, 2, 3, 4, 5, 5, 5, 5, 5, 5]
+    # monotone, and the plateau drives beta down — the saturation signal
+    assert got.heaps_beta.iloc[-1] < got.heaps_beta.iloc[4]
+
+
+def test_bpe_fold_merges_left_to_right_nonoverlapping(spark):
+    """Standard BPE within-round semantics: merging (a,a) over 'aaaa' gives
+    [aa, aa] (left-to-right, non-overlapping — never [a, aa, a] or a triple),
+    and 'aaa' gives [aa, a]."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.textstats import _bpe_merge_fold
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("ba",), ("a",)], ["w"])
+    toks = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    got = {
+        r.w: r.m
+        for r in df.select("w", _bpe_merge_fold(toks, "a", "a").alias("m")).collect()
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ba"] == ["b", "a"]  # 'a' at end, no left partner
+    assert got["a"] == ["a"]  # sub-2-token guard branch
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    """Corpus 'abab abab ab': pair (a,b) appears 5 times weighted — round 1
+    must merge it everywhere; round 2 then merges (ab, ab) inside 'abab'.
+    Token counts after each round are hand-computable."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["abab abab", "ab"]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = all_ops()["bpe_merges"].build(spark, str(tmp_path)).toPandas()
+    r1 = got.iloc[0]
+    # word table: abab (cnt 2), ab (cnt 1) -> pair (a,b) weight 2*2+1=5
+    assert (r1.pair_left, r1.pair_right, r1.merged) == ("a", "b", "ab")
+    assert r1.pair_count == 5
+    # after round 1: abab -> [ab, ab] (2 words * 2 toks * cnt 2 = 4), ab -> [ab] (1)
+    assert r1.corpus_tokens == 5
+    r2 = got.iloc[1]
+    assert (r2.pair_left, r2.pair_right, r2.merged) == ("ab", "ab", "abab")
+    assert r2.pair_count == 2
+    assert r2.corpus_tokens == 3  # abab -> [abab] (cnt 2), ab stays (1)
+    # afterwards no adjacent pairs remain anywhere -> early stop, 2 rows only
+    assert len(got) == 2

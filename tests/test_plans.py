@@ -709,3 +709,17 @@ def test_vocab_scoring_probes_broadcast_vocab(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrdered" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_vocab_growth_windows_only_the_spine(spark):
+    """The Heaps-curve contract: the corpus pays two hash aggs (first-
+    occurrence and token counts); the cumulative window runs over the
+    constant 10-row checkpoint spine, every join is a broadcast, and no
+    sort-merge or Python touches the corpus."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["vocab_growth"].build(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(w" in plan  # first-occurrence agg is partial+final
