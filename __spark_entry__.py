@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_report",        # NEW round 5 (in-job vocab OOV/fertility)
         "vocab_growth",            # NEW round 5 (Heaps-law growth checkpoints)
         "bpe_merges",              # NEW round 5 (in-job BPE merge training)
+        "domain_reweight",         # NEW round 5 (DoReMi-lite mixture weights)
+        "hard_negative_mining",    # NEW round 5 (contrastive triples)
+        "split_leakage",           # NEW round 5 (host-disjoint split audit)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

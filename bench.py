@@ -74,6 +74,9 @@ HEADLINE_QUERIES = [
     "vocab_oov_report",     # in-job vocab + per-source OOV/fertility (round 5)
     "vocab_growth",         # Heaps-law vocabulary growth curve (round 5)
     "bpe_merges",           # in-job BPE merge training, 8 rounds (round 5)
+    "domain_reweight",      # DoReMi-lite domain mixture weights (round 5)
+    "hard_negative_mining",  # contrastive positive/hard-negative triples (round 5)
+    "split_leakage",        # host-disjoint split leakage audit (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1124,3 +1124,74 @@ def dedup_winnow(spark, sf_dir):
         .filter(F.col("shared_fps") >= 2)
         .orderBy("da", "db")
     )
+
+
+# --- leakage-free split audit ---------------------------------------------------
+
+# md5-top-byte of the SOURCE (site), not the doc: a host-disjoint split puts
+# every document of a site on one side, the standard defense against
+# train/val leakage through same-site templating. < 64 of 256 ~ 25% of
+# sites to validation.
+_SPLIT_VAL_LIM = 64
+_SPLIT_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(source), 2, 1)) - 1"
+)
+_SPLIT_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1"
+)
+
+
+@register(
+    "split_leakage",
+    oracle=f"""
+    WITH {_band_cte_sql("bb", "TRUE")},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_SPLIT_DUCK} < {_SPLIT_VAL_LIM}
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT v.doc_id AS val_doc,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_hits,
+           CAST(min(t.doc_id) AS BIGINT) AS first_train
+    FROM bb v
+    JOIN sp sv ON sv.doc_id = v.doc_id AND sv.split = 'val'
+    JOIN bb t ON v.band = t.band AND v.band_key = t.band_key
+    JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'
+    GROUP BY v.doc_id ORDER BY val_doc
+    """,
+    doc="Train/val split leakage audit: documents are split HOST-disjoint "
+    "(md5 bucket of the source site — every doc of a site lands on one "
+    "side, the standard defense against leakage through same-site "
+    "templating), then MinHash band collisions CROSSING the boundary are "
+    "reported per validation doc — near-duplicates of training text "
+    "sitting in the eval set, which silently inflate every eval number. "
+    "Same (band, band_key) equi-join scale shape as dedup_minhash_lsh "
+    "over the shared minhash_band_table state; the split column is a pure "
+    "row-local md5 expression, so the audit adds no pass over the text "
+    "beyond the band table the pipeline already persists.",
+)
+def split_leakage(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.expr(_SPLIT_SPARK) < _SPLIT_VAL_LIM, F.lit("val")
+    ).otherwise(F.lit("train"))
+    sp = d.select("doc_id", split.alias("split"))
+    bands = minhash_band_table(d)
+    v = bands.join(sp.filter(F.col("split") == "val"), "doc_id").select(
+        F.col("doc_id").alias("val_doc"), "band", "band_key"
+    )
+    t = bands.join(sp.filter(F.col("split") == "train"), "doc_id").select(
+        F.col("doc_id").alias("train_doc"), "band", "band_key"
+    )
+    return (
+        v.join(t, ["band", "band_key"])
+        .groupBy("val_doc")
+        .agg(
+            F.countDistinct("train_doc").cast("long").alias("n_train_hits"),
+            F.min("train_doc").cast("long").alias("first_train"),
+        )
+        .orderBy("val_doc")
+    )

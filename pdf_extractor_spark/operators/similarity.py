@@ -1282,3 +1282,88 @@ def ann_pq_adc(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- contrastive hard-negative mining ------------------------------------------
+
+_HNM_QUERIES = 8  # anchor rows: vec_id < 8, the ann_cosine_topk convention
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+               FROM embeddings WHERE vec_id < {_HNM_QUERIES}),
+         v AS (SELECT vec_id, label, embedding::DOUBLE[] e,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+               FROM embeddings),
+         c AS (
+           SELECT q.vec_id AS query_id, q.label AS label, v.vec_id AS cand,
+                  q.label = v.label AS same,
+                  list_dot_product(q.e, v.e) / (q.nrm * v.nrm) AS sim,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id, q.label = v.label
+                    ORDER BY list_dot_product(q.e, v.e) / (q.nrm * v.nrm) DESC,
+                             v.vec_id
+                  ) AS rn
+           FROM q JOIN v ON q.vec_id <> v.vec_id
+         )
+    SELECT query_id, label,
+           max(CASE WHEN same THEN cand END) AS positive_id,
+           max(CASE WHEN same THEN round(sim, 4) END) AS pos_sim,
+           max(CASE WHEN NOT same THEN cand END) AS negative_id,
+           max(CASE WHEN NOT same THEN round(sim, 4) END) AS neg_sim
+    FROM c WHERE rn = 1 GROUP BY query_id, label ORDER BY query_id
+    """,
+    doc="Contrastive training-data mining: for each anchor, the POSITIVE is "
+    "its highest-cosine same-label neighbor and the HARD NEGATIVE its "
+    "highest-cosine different-label neighbor — the maximally-confusable "
+    "impostor, which is what makes triplet/InfoNCE training data effective "
+    "(random negatives are too easy). The anchor side is tiny and "
+    "BROADCAST; one pass over the corpus computes both ranks with a single "
+    "window partitioned by (anchor, same-label), so the corpus never "
+    "shuffles and is scanned once. Ties break (sim DESC, vec_id).",
+)
+def hard_negative_mining(spark, sf_dir):
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _HNM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("vlabel"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("cand"))
+        .select(
+            "query_id",
+            "label",
+            "cand",
+            (F.col("label") == F.col("vlabel")).alias("same"),
+            (dot / (F.col("qn") * F.col("vn"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id", "same").orderBy(F.desc("sim"), F.asc("cand"))
+    top = cands.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.groupBy("query_id", "label")
+        .agg(
+            F.max(F.when(F.col("same"), F.col("cand"))).alias("positive_id"),
+            F.max(F.when(F.col("same"), F.round("sim", 4))).alias("pos_sim"),
+            F.max(F.when(~F.col("same"), F.col("cand"))).alias("negative_id"),
+            F.max(F.when(~F.col("same"), F.round("sim", 4))).alias("neg_sim"),
+        )
+        .orderBy("query_id")
+    )

@@ -1502,3 +1502,76 @@ def bpe_merges(spark, sf_dir):
         "merge_round int, pair_left string, pair_right string, "
         "merged string, pair_count bigint, corpus_tokens bigint",
     ).orderBy("merge_round")
+
+
+# --- DoReMi-lite domain reweighting --------------------------------------------
+
+# Every domain keeps at least this much unnormalized weight, so low-excess
+# domains are downweighted, never starved (DoReMi's uniform smoothing term).
+_REWEIGHT_FLOOR = 0.1
+
+
+@register(
+    "domain_reweight",
+    oracle=_NLL_CTES + """
+    , s AS (
+      SELECT d.source, n.avg_nll FROM nll n JOIN documents d USING (doc_id)
+    ), m AS (SELECT avg(avg_nll) AS mu FROM s),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             round(avg(avg_nll), 4) AS mean_nll
+      FROM s GROUP BY source
+    ), x AS (
+      SELECT source, docs, mean_nll,
+             round(mean_nll - m.mu, 4) AS excess,
+             greatest(mean_nll - m.mu, 0.0) + 0.1 AS wraw
+      FROM g CROSS JOIN m
+    ), t AS (SELECT sum(wraw) AS tw FROM x)
+    SELECT source, docs, mean_nll, excess,
+           round(wraw / t.tw, 6) AS weight
+    FROM x CROSS JOIN t ORDER BY source
+    """,
+    doc="DoReMi-lite domain reweighting (Xie et al. 2023, deterministic "
+    "analog): per-source mean unigram NLL under the corpus-trained model "
+    "(shared unigram_nll_scores / _NLL_CTES training, so the driver "
+    "hash-verifies the model too), excess loss vs the corpus mean, and a "
+    "normalized mixture weight = max(excess, 0) + floor — domains the "
+    "reference model finds HARD get upweighted, easy/templated domains "
+    "drift toward the smoothing floor, no domain starves. All aggregation "
+    "is hash aggs; the two 1-row scalars (corpus mean, weight total) join "
+    "via broadcast — nothing corpus-sized is windowed or collected.",
+)
+def domain_reweight(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    scores = unigram_nll_scores(d).join(d.select("doc_id", "source"), "doc_id")
+    mu = scores.agg(F.avg("avg_nll").alias("mu"))
+    g = (
+        scores.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+        )
+        .crossJoin(F.broadcast(mu))
+    )
+    x = g.select(
+        "source",
+        "docs",
+        "mean_nll",
+        F.round(F.col("mean_nll") - F.col("mu"), 4).alias("excess"),
+        (
+            F.greatest(F.col("mean_nll") - F.col("mu"), F.lit(0.0))
+            + _REWEIGHT_FLOOR
+        ).alias("wraw"),
+    )
+    tot = x.agg(F.sum("wraw").alias("tw"))
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs",
+            "mean_nll",
+            "excess",
+            F.round(F.col("wraw") / F.col("tw"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

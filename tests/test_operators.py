@@ -1511,3 +1511,79 @@ def test_bpe_merges_hand_computed(spark, tmp_path):
     assert r2.corpus_tokens == 3  # abab -> [abab] (cnt 2), ab stays (1)
     # afterwards no adjacent pairs remain anywhere -> early stop, 2 rows only
     assert len(got) == 2
+
+
+def test_domain_reweight_upweights_hard_domain(spark, tmp_path):
+    """One source full of corpus-rare words (high NLL under the corpus-
+    trained unigram model) must get the largest mixture weight; the
+    templated source drifts toward the smoothing floor; weights sum to 1
+    and every domain keeps weight > 0 (no starvation)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(20):  # templated: same 4 words everywhere
+        rows.append((i, "the cat sat down", "easy"))
+    for i in range(20, 30):  # rare-word-heavy: every word unique
+        rows.append((i, f"zq{i}a wx{i}b kj{i}c vn{i}d", "hard"))
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["domain_reweight"].build(spark, str(tmp_path)).toPandas()
+        .set_index("source")
+    )
+    assert got.loc["hard"].weight > got.loc["easy"].weight
+    assert got.loc["hard"].excess > 0 > got.loc["easy"].excess
+    assert abs(got.weight.sum() - 1.0) < 1e-4
+    assert (got.weight > 0).all()
+
+
+def test_hard_negative_mining_picks_confusable_impostor(spark, tmp_path):
+    """Hand-built 4-dim embeddings: the anchor's positive must be the
+    closest SAME-label vector and its hard negative the closest DIFFERENT-
+    label vector — not the farthest, and never itself."""
+    import pandas as pd
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),   # anchor (vec_id < 8)
+        (10, [0.9, 0.1, 0.0, 0.0], 7),  # same label, very close -> positive
+        (11, [0.0, 1.0, 0.0, 0.0], 7),  # same label, orthogonal
+        (20, [0.95, 0.05, 0.0, 0.0], 3),  # diff label, closest -> hard neg
+        (21, [0.0, 0.0, 1.0, 0.0], 3),  # diff label, orthogonal (easy neg)
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = all_ops()["hard_negative_mining"].build(spark, str(tmp_path)).toPandas()
+    r = got[got.query_id == 0].iloc[0]
+    assert r.positive_id == 10
+    assert r.negative_id == 20
+    assert r.pos_sim > 0.9 and r.neg_sim > 0.9  # the impostor IS confusable
+
+
+def test_split_leakage_flags_only_cross_split_dups(spark, tmp_path):
+    """Sources 'alpha'/'gamma' hash to val, 'beta'/'delta' to train (md5
+    top byte < 64). A near-dup pair crossing the boundary is reported once
+    under the VAL doc; an equally-duplicated pair living entirely in train
+    is not leakage and must stay silent."""
+    import pandas as pd
+
+    dup = ("the quick brown fox jumps over the lazy dog and then "
+           "runs far away into the deep green forest tonight") * 2
+    train_dup = ("completely different boilerplate sentence repeated "
+                 "across two training documents for this fixture") * 2
+    uniq = "qw er ty ui op as df gh jk zx cv bn md ke lw pz"
+    rows = [
+        (0, dup, "alpha"),        # val side of the leaked pair
+        (1, dup, "beta"),         # train side of the leaked pair
+        (2, train_dup, "beta"),   # train-train dup: not leakage
+        (3, train_dup, "delta"),  # train-train dup: not leakage
+        (4, uniq, "gamma"),       # clean val doc
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["split_leakage"].build(spark, str(tmp_path)).toPandas()
+    assert list(got.val_doc) == [0]
+    assert got.iloc[0].n_train_hits == 1
+    assert got.iloc[0].first_train == 1

@@ -723,3 +723,42 @@ def test_vocab_growth_windows_only_the_spine(spark):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(w" in plan  # first-occurrence agg is partial+final
+
+
+def test_domain_reweight_scalars_broadcast(spark):
+    """The reweighting contract: NLL training + per-source means are hash
+    aggs; the corpus mean and the weight total are 1-row BROADCAST hints,
+    never a corpus-wide window or a sort-merge of scalars."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["domain_reweight"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(word" in plan  # model training is partial+final
+    assert "Window" not in plan
+
+
+def test_hard_negative_mining_single_corpus_pass(spark):
+    """The mining contract: anchors broadcast (NLJ against the tiny side is
+    the right plan for theta self-exclusion), the corpus is scanned once,
+    and both ranks come from ONE window keyed on (anchor, same-label)."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["hard_negative_mining"].build(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2  # anchor slice + corpus, no third pass
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_split_leakage_is_band_equijoin(spark):
+    """The audit's scale contract: candidate pairs come from the (band,
+    band_key) equi-join over the shared band table; the split column is
+    row-local md5 — no cartesian, no Python, no corpus window."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["split_leakage"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(band" in plan
