@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reweight",         # NEW round 5 (DoReMi-lite mixture weights)
         "hard_negative_mining",    # NEW round 5 (contrastive triples)
         "split_leakage",           # NEW round 5 (host-disjoint split audit)
+        "mixture_plan",            # NEW round 5 (epoch-capped sampling plan)
+        "band_skew_stats",         # NEW round 5 (LSH hot-bucket telemetry)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

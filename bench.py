@@ -77,6 +77,8 @@ HEADLINE_QUERIES = [
     "domain_reweight",      # DoReMi-lite domain mixture weights (round 5)
     "hard_negative_mining",  # contrastive positive/hard-negative triples (round 5)
     "split_leakage",        # host-disjoint split leakage audit (round 5)
+    "mixture_plan",         # epoch-capped domain sampling plan (round 5)
+    "band_skew_stats",      # LSH bucket-skew telemetry (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1195,3 +1195,42 @@ def split_leakage(spark, sf_dir):
         )
         .orderBy("val_doc")
     )
+
+
+@register(
+    "band_skew_stats",
+    oracle=f"""
+    WITH {_band_cte_sql("bb", "TRUE")},
+    sizes AS (
+      SELECT band, band_key, count(*) AS n FROM bb GROUP BY band, band_key
+    )
+    SELECT CAST(n AS BIGINT) AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * n * (n - 1) / 2 AS BIGINT) AS cand_pairs
+    FROM sizes GROUP BY n ORDER BY bucket_size
+    """,
+    doc="LSH bucket-skew telemetry over the MinHash band table: the exact "
+    "bucket-size distribution and, per size, the candidate-pair volume it "
+    "induces (n*(n-1)/2 per bucket) — the number that decides whether the "
+    "dedup pair join is linear-ish or quadratic. At corpus scale THE "
+    "failure mode of LSH dedup is a hot bucket (empty/boilerplate docs "
+    "hashing identically): this report is the pre-flight check that sizes "
+    "the pair join and justifies the stop-key caps (dedup_winnow's "
+    "stop-fingerprint rule, the salted aggs). Two hash aggs over the "
+    "persisted band-table state, integer-exact output.",
+)
+def band_skew_stats(spark, sf_dir):
+    bands = minhash_band_table(load(spark, sf_dir, "documents"))
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    return (
+        sizes.groupBy("n")
+        .agg(F.count("*").alias("nb"))
+        .select(
+            F.col("n").cast("long").alias("bucket_size"),
+            F.col("nb").cast("long").alias("n_buckets"),
+            (F.col("nb") * F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("cand_pairs"),
+        )
+        .orderBy("bucket_size")
+    )

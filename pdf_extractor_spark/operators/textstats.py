@@ -1510,26 +1510,75 @@ def bpe_merges(spark, sf_dir):
 # domains are downweighted, never starved (DoReMi's uniform smoothing term).
 _REWEIGHT_FLOOR = 0.1
 
-
-@register(
-    "domain_reweight",
-    oracle=_NLL_CTES + """
+# The reweighting CTE chain shared by domain_reweight and mixture_plan —
+# extends _NLL_CTES to per-source (docs, toks, mean_nll, excess, weight),
+# so BOTH driver checks hash-verify the model training AND the weighting.
+_REWEIGHT_CTES = _NLL_CTES + """
     , s AS (
-      SELECT d.source, n.avg_nll FROM nll n JOIN documents d USING (doc_id)
+      SELECT d.source, n.avg_nll, n.n_words
+      FROM nll n JOIN documents d USING (doc_id)
     ), m AS (SELECT avg(avg_nll) AS mu FROM s),
     g AS (
       SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_words) AS BIGINT) AS toks,
              round(avg(avg_nll), 4) AS mean_nll
       FROM s GROUP BY source
     ), x AS (
-      SELECT source, docs, mean_nll,
+      SELECT source, docs, toks, mean_nll,
              round(mean_nll - m.mu, 4) AS excess,
              greatest(mean_nll - m.mu, 0.0) + 0.1 AS wraw
       FROM g CROSS JOIN m
-    ), t AS (SELECT sum(wraw) AS tw FROM x)
-    SELECT source, docs, mean_nll, excess,
-           round(wraw / t.tw, 6) AS weight
-    FROM x CROSS JOIN t ORDER BY source
+    ), t AS (SELECT sum(wraw) AS tw FROM x),
+    wts AS (
+      SELECT source, docs, toks, mean_nll, excess,
+             round(wraw / t.tw, 6) AS weight
+      FROM x CROSS JOIN t
+    )"""
+
+
+def domain_weights_frame(spark, sf_dir):
+    """(source, docs, toks, mean_nll, excess, weight) — the Spark twin of
+    the `wts` CTE in _REWEIGHT_CTES, shared by domain_reweight and
+    mixture_plan."""
+    d = load(spark, sf_dir, "documents")
+    scores = unigram_nll_scores(d).join(d.select("doc_id", "source"), "doc_id")
+    mu = scores.agg(F.avg("avg_nll").alias("mu"))
+    g = (
+        scores.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_words").cast("long").alias("toks"),
+            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+        )
+        .crossJoin(F.broadcast(mu))
+    )
+    x = g.select(
+        "source",
+        "docs",
+        "toks",
+        "mean_nll",
+        F.round(F.col("mean_nll") - F.col("mu"), 4).alias("excess"),
+        (
+            F.greatest(F.col("mean_nll") - F.col("mu"), F.lit(0.0))
+            + _REWEIGHT_FLOOR
+        ).alias("wraw"),
+    )
+    tot = x.agg(F.sum("wraw").alias("tw"))
+    return x.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "toks",
+        "mean_nll",
+        "excess",
+        F.round(F.col("wraw") / F.col("tw"), 6).alias("weight"),
+    )
+
+
+@register(
+    "domain_reweight",
+    oracle=_REWEIGHT_CTES + """
+    SELECT source, docs, mean_nll, excess, weight
+    FROM wts ORDER BY source
     """,
     doc="DoReMi-lite domain reweighting (Xie et al. 2023, deterministic "
     "analog): per-source mean unigram NLL under the corpus-trained model "
@@ -1542,36 +1591,51 @@ _REWEIGHT_FLOOR = 0.1
     "via broadcast — nothing corpus-sized is windowed or collected.",
 )
 def domain_reweight(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    scores = unigram_nll_scores(d).join(d.select("doc_id", "source"), "doc_id")
-    mu = scores.agg(F.avg("avg_nll").alias("mu"))
-    g = (
-        scores.groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("docs"),
-            F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
-        )
-        .crossJoin(F.broadcast(mu))
-    )
-    x = g.select(
-        "source",
-        "docs",
-        "mean_nll",
-        F.round(F.col("mean_nll") - F.col("mu"), 4).alias("excess"),
-        (
-            F.greatest(F.col("mean_nll") - F.col("mu"), F.lit(0.0))
-            + _REWEIGHT_FLOOR
-        ).alias("wraw"),
-    )
-    tot = x.agg(F.sum("wraw").alias("tw"))
     return (
-        x.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "docs",
-            "mean_nll",
-            "excess",
-            F.round(F.col("wraw") / F.col("tw"), 6).alias("weight"),
-        )
+        domain_weights_frame(spark, sf_dir)
+        .select("source", "docs", "mean_nll", "excess", "weight")
         .orderBy("source")
     )
+
+
+# Token budget for the sampling plan — larger than the small-SF corpora on
+# purpose, so repeat epochs (the data-constrained regime) actually appear.
+_MIX_BUDGET = 100_000
+# Muennighoff et al. 2023 (data-constrained scaling): past ~4 epochs the
+# value of a repeated token collapses — plans exceeding it get flagged.
+_MIX_EPOCH_CAP = 4.0
+
+
+@register(
+    "mixture_plan",
+    oracle=_REWEIGHT_CTES + f"""
+    SELECT source, toks, weight,
+           CAST(round({_MIX_BUDGET} * weight) AS BIGINT) AS target_tokens,
+           round(CAST(round({_MIX_BUDGET} * weight) AS BIGINT)
+                 / CAST(toks AS DOUBLE), 4) AS epochs,
+           round(CAST(round({_MIX_BUDGET} * weight) AS BIGINT)
+                 / CAST(toks AS DOUBLE), 4) > {_MIX_EPOCH_CAP} AS repeat_risk
+    FROM wts ORDER BY source
+    """,
+    doc="Sampling plan from the DoReMi-lite weights: per domain, the token "
+    f"target out of a {_MIX_BUDGET}-token training budget, the implied "
+    "EPOCH count over the tokens the domain actually has, and a flag when "
+    f"the plan repeats data past {_MIX_EPOCH_CAP} epochs — the "
+    "data-constrained-scaling guard (Muennighoff et al. 2023: token value "
+    "collapses after ~4 repeats), i.e. the check that a mixture weight is "
+    "ACHIEVABLE before the training job launches. Shares _REWEIGHT_CTES / "
+    "domain_weights_frame with domain_reweight, so the driver hash-"
+    "verifies model training, weighting, and planning in one chain.",
+)
+def mixture_plan(spark, sf_dir):
+    wts = domain_weights_frame(spark, sf_dir)
+    target = F.round(F.lit(_MIX_BUDGET) * F.col("weight")).cast("long")
+    epochs = F.round(target / F.col("toks").cast("double"), 4)
+    return wts.select(
+        "source",
+        "toks",
+        "weight",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        (epochs > _MIX_EPOCH_CAP).alias("repeat_risk"),
+    ).orderBy("source")

@@ -1587,3 +1587,54 @@ def test_split_leakage_flags_only_cross_split_dups(spark, tmp_path):
     assert list(got.val_doc) == [0]
     assert got.iloc[0].n_train_hits == 1
     assert got.iloc[0].first_train == 1
+
+
+def test_mixture_plan_flags_unachievable_weights(spark, tmp_path):
+    """The data-constrained guard: a domain the model finds hard but that
+    has almost no tokens gets a high weight AND a repeat_risk flag (its
+    epoch count blows past the cap); the large easy domain stays safe.
+    Targets must sum to ~the budget and epochs must equal target/toks."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.textstats import _MIX_BUDGET, _MIX_EPOCH_CAP
+
+    rows = []
+    for i in range(40):  # big templated domain
+        rows.append((i, "the cat sat down on the mat again", "easy"))
+    for i in range(40, 44):  # tiny rare-word domain -> high NLL, few tokens
+        rows.append((i, f"zq{i}a wx{i}b", "hard"))
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["mixture_plan"].build(spark, str(tmp_path)).toPandas()
+        .set_index("source")
+    )
+    assert abs(got.target_tokens.sum() - _MIX_BUDGET) <= len(got)  # rounding only
+    for _, r in got.iterrows():
+        assert r.epochs == round(r.target_tokens / r.toks, 4)
+        assert r.repeat_risk == (r.epochs > _MIX_EPOCH_CAP)
+    assert bool(got.loc["hard"].repeat_risk)
+    assert got.loc["hard"].epochs > got.loc["easy"].epochs
+
+
+def test_band_skew_stats_exposes_hot_bucket(spark, tmp_path):
+    """Six identical docs hash into the same 4 band buckets (one per band):
+    the report must show 4 buckets of size 6 inducing 4*15=60 candidate
+    pairs, and the unique docs as size-1 buckets inducing zero."""
+    import pandas as pd
+
+    hot = "identical boilerplate footer text repeated across many documents"
+    rows = [(i, hot) for i in range(6)]
+    rows += [(10 + i, f"unique{i:02d} content marker {'x' * i} tail{i:02d}")
+             for i in range(5)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["band_skew_stats"].build(spark, str(tmp_path)).toPandas()
+        .set_index("bucket_size")
+    )
+    assert got.loc[6].n_buckets == 4
+    assert got.loc[6].cand_pairs == 4 * 15
+    assert got.loc[1].cand_pairs == 0

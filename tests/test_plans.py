@@ -762,3 +762,16 @@ def test_split_leakage_is_band_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning(band" in plan
+
+
+def test_band_skew_stats_is_two_hash_aggs(spark):
+    """Telemetry must be cheaper than the thing it guards: two hash aggs
+    over the band table, no joins beyond the band construction, no Python,
+    nothing windowed."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["band_skew_stats"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(band" in plan
