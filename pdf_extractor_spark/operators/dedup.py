@@ -80,7 +80,7 @@ def shingle_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(id, s) distinct char-8-gram shingles at stride 4 over normalized
     text — the feature base of the MinHash family, over ANY doc frame."""
     t = _norm(F.col(text_col))
-    return (
+    sh = (
         docs.select(id_col, t.alias("t"))
         .filter(F.length("t") >= 8)
         .select(
@@ -93,8 +93,17 @@ def shingle_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
             "t",
         )
         .select(id_col, F.expr("substr(t, CAST(i AS INT), 8)").alias("s"))
-        .distinct()
     )
+    # The dedup exchange is pinned to the configured shuffle width as a
+    # USER repartition (same single shuffle — the distinct reuses the
+    # (id, s) clustering): AQE would coalesce this exchange by BYTES, but
+    # what sits downstream is the 12-way md5 signature explode, which is
+    # CPU-bound — byte-coalescing it to a few partitions strands cores at
+    # any scale where the shingle table is small relative to the work.
+    n_shuffle = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return sh.repartition(n_shuffle, id_col, "s").distinct()
 
 
 def _shingles(spark, sf_dir):
