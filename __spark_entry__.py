@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage",           # NEW round 5 (host-disjoint split audit)
         "mixture_plan",            # NEW round 5 (epoch-capped sampling plan)
         "band_skew_stats",         # NEW round 5 (LSH hot-bucket telemetry)
+        "bm25_topk",               # NEW round 5 (BM25 retrieval, in-job queries)
+        "tfidf_keywords",          # NEW round 5 (per-source tf-idf fingerprint)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1639,3 +1639,188 @@ def mixture_plan(spark, sf_dir):
         epochs.alias("epochs"),
         (epochs > _MIX_EPOCH_CAP).alias("repeat_risk"),
     ).orderBy("source")
+
+
+# --- BM25 retrieval --------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERIES = 5  # 2-term queries drawn from the corpus top-10 vocabulary
+_BM25_TOPK = 3
+
+# 2-term queries on purpose: a + b is order-insensitive in IEEE doubles, so
+# the per-doc score is BIT-identical no matter which engine (or partition
+# order) sums the term contributions — 3+ terms would make the ranking
+# depend on addition order at ulp scale.
+_BM25_TERMS_PER_Q = 2
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)),
+                                          '[ \\t\\n\\r\\f\\x0B]+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), topw AS (
+      SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM (
+        SELECT w, count(*) AS cnt FROM w GROUP BY w
+      )
+    ), q AS (
+      SELECT CAST((rn - 1) // {_BM25_TERMS_PER_Q} AS INT) AS query_id, w
+      FROM topw WHERE rn <= {_BM25_QUERIES * _BM25_TERMS_PER_Q}
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                 * tf.tf / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                     + {_BM25_B} * dl.dl / stats.avgdl))) AS score
+      FROM q
+      JOIN tf ON tf.w = q.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN dfreq ON dfreq.w = q.w
+      CROSS JOIN stats
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank, round(score, 4) AS score FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    ORDER BY query_id, rank
+    """,
+    doc="BM25 retrieval over the corpus (Robertson/Lucene form, k1=1.2 "
+    "b=0.75): score = sum over query terms of idf(t) * tf / (tf + k1*(1-b "
+    "+ b*dl/avgdl)) with idf = ln((N-df+0.5)/(df+0.5)+1) — the targeted-"
+    "selection primitive (retrieve corpus docs matching a probe query, "
+    "DSIR/DoGE-style) and the search-quality eval baseline. Queries are "
+    "derived IN-JOB from the corpus top vocabulary (deterministic, "
+    f"{_BM25_TERMS_PER_Q} terms each so the term sum is order-exact in "
+    "IEEE doubles). Posting-list shape: tf is one hash agg; the query "
+    "term table, df table and the 1-row (N, avgdl) stats are all tiny "
+    "BROADCASTs probed by the tf table — the corpus never shuffles to "
+    "score; top-k is a per-query window over matched docs only.",
+)
+def bm25_topk(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")).alias("w"),
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    topw = (
+        w.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(_BM25_QUERIES * _BM25_TERMS_PER_Q)
+        .select(
+            "w",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("w")))
+            .alias("rn"),
+        )
+    )
+    q = topw.select(
+        (((F.col("rn") - 1) / _BM25_TERMS_PER_Q).cast("int")).alias("query_id"),
+        "w",
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = idf * F.col("tf") / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .join(F.broadcast(dfreq.join(F.broadcast(q.select("w")), "w")), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term).alias("score"))
+    )
+    rk = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- TF-IDF distinctive keywords per source ---------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)),
+                                          '[ \\t\\n\\r\\f\\x0B]+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT source, w, count(*) AS tf FROM w GROUP BY source, w
+    ), ns AS (SELECT count(DISTINCT source) AS n FROM w),
+    sdf AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+    SELECT source, w AS keyword, rank, round(tfidf, 4) AS tfidf FROM (
+      SELECT tf.source, tf.w,
+             tf.tf * ln((ns.n + 1.0) / (sdf.df + 1.0)) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.source
+               ORDER BY tf.tf * ln((ns.n + 1.0) / (sdf.df + 1.0)) DESC, tf.w
+             ) AS rank
+      FROM tf JOIN sdf USING (w) CROSS JOIN ns
+    ) WHERE rank <= {_TFIDF_TOPK} AND tfidf > 0
+    ORDER BY source, rank
+    """,
+    doc=f"Top-{_TFIDF_TOPK} DISTINCTIVE terms per source by tf-idf with "
+    "source-level document frequency (smoothed idf = ln((n_sources+1)/"
+    "(df+1)); corpus-wide words idf<=0 and drop out) — the what-is-this-"
+    "domain-about fingerprint used to spot mislabeled or templated "
+    "sources in a mixture. One hash agg for per-source term counts, a "
+    "BROADCAST source-df probe, and a per-source top-k window over the "
+    "(source, term) table — already aggregated, orders of magnitude "
+    "smaller than the corpus. Ranking ties break lexically; idf inputs "
+    "are integer-derived so both engines rank bit-identical values.",
+)
+def tfidf_keywords(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = d.filter(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+")).alias("w"),
+    )
+    tf = w.groupBy("source", "w").agg(F.count("*").alias("tf"))
+    ns = w.agg(F.countDistinct("source").alias("n"))
+    sdf = tf.groupBy("w").agg(F.count("*").alias("df"))
+    tfidf = F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+    rk = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        tf.join(F.broadcast(sdf), "w")
+        .crossJoin(F.broadcast(ns))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(rk))
+        .filter((F.col("rank") <= _TFIDF_TOPK) & (F.col("tfidf") > 0))
+        .select(
+            "source",
+            F.col("w").alias("keyword"),
+            "rank",
+            F.round("tfidf", 4).alias("tfidf"),
+        )
+        .orderBy("source", "rank")
+    )

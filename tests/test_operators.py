@@ -1638,3 +1638,54 @@ def test_band_skew_stats_exposes_hot_bucket(spark, tmp_path):
     assert got.loc[6].n_buckets == 4
     assert got.loc[6].cand_pairs == 4 * 15
     assert got.loc[1].cand_pairs == 0
+
+
+def test_bm25_ranks_rare_term_docs_first(spark, tmp_path):
+    """BM25 sanity on a hand corpus: for a query containing a rare term,
+    the doc concentrated on that term must outrank a long doc that
+    mentions it once among much filler (the length normalization), and
+    docs without any query term must not appear."""
+    import pandas as pd
+
+    # 'apple banana' will be the top-2 vocabulary (most frequent overall);
+    # query 0 is exactly these two terms.
+    rows = [
+        (0, "apple apple apple banana banana"),          # focused -> top
+        (1, "apple " + " ".join(f"f{i}" for i in range(40))),  # diluted
+        (2, "banana banana apple apple"),                 # focused
+        (3, " ".join(f"g{i}" for i in range(10))),        # no query terms
+        (4, "apple banana apple banana apple banana"),    # focused
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["bm25_topk"].build(spark, str(tmp_path)).toPandas()
+    q0 = got[got.query_id == 0]
+    assert len(q0) == 3
+    assert 3 not in set(q0.doc_id)  # no-match doc never retrieved
+    assert 1 not in set(q0.doc_id)  # diluted single mention loses to focused docs
+    assert (q0.score > 0).all()
+
+
+def test_tfidf_keywords_finds_domain_terms(spark, tmp_path):
+    """Words shared by every source have idf <= 0 and drop out; each
+    source's distinctive vocabulary surfaces with rank ties lexical."""
+    import pandas as pd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "common filler words everywhere quantum quark", "physics"))
+    for i in range(10, 20):
+        rows.append((i, "common filler words everywhere enzyme protein", "biology"))
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["tfidf_keywords"].build(spark, str(tmp_path)).toPandas()
+    phys = got[got.source == "physics"]
+    bio = got[got.source == "biology"]
+    # shared words (df = n_sources) have idf = ln(3/3) = 0 -> excluded
+    assert set(phys.keyword) == {"quantum", "quark"}
+    assert set(bio.keyword) == {"enzyme", "protein"}
+    # equal tf/df -> tie -> lexical order
+    assert list(phys.sort_values("rank").keyword) == ["quantum", "quark"]
+    assert list(bio.sort_values("rank").keyword) == ["enzyme", "protein"]

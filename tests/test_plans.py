@@ -775,3 +775,29 @@ def test_band_skew_stats_is_two_hash_aggs(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(band" in plan
+
+
+def test_bm25_probes_are_broadcast(spark):
+    """The posting-list contract: the corpus-sized tf table probes the tiny
+    query/df/stats sides via broadcast and is never sort-merged; top-k is
+    a window over matched docs only."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["bm25_topk"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_tfidf_keywords_window_is_post_agg(spark):
+    """tf-idf ranks the already-aggregated (source, term) table: the only
+    window partitions by source AFTER the hash agg; the df side is
+    broadcast."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["tfidf_keywords"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(source" in plan
