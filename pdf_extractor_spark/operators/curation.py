@@ -1545,3 +1545,141 @@ def decontam_overlap_len(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- host-graph PageRank ------------------------------------------------------
+
+# Fixed-point scale for PageRank mass. All rank arithmetic is BIGINT
+# multiply / integer-divide at this scale, so per-host sums are EXACT and
+# order-independent — the only way a damped iteration hash-matches across
+# engines (float contributions would differ at ulp scale with summation
+# order). 10^12 < 2^53, so the final double share is also exact.
+_PR_SCALE = 10**12
+_PR_ROUNDS = 4  # fixed so the oracle can unroll the iteration as CTEs
+
+
+def _pr_ctes(n_rounds: int) -> str:
+    """Unrolled PageRank CTE chain for the DuckDB oracle: deterministic
+    link-graph synthesis, out-degrees, then n_rounds of (contribution sum,
+    damped update). Shares the _B16_SQL md5 draw with sample_temperature."""
+    ctes = [
+        "mx AS (SELECT max(doc_id) AS m FROM documents)",
+        f"""draws AS (
+      SELECT d.source AS src,
+             CAST(({_B16_SQL}) % (mx.m + 1) AS BIGINT) AS tgt
+      FROM documents d CROSS JOIN mx
+    )""",
+        """e0 AS (
+      SELECT dr.src, d2.source AS dst
+      FROM draws dr JOIN documents d2 ON d2.doc_id = dr.tgt
+      UNION ALL
+      SELECT DISTINCT source, source FROM documents
+    )""",
+        "edges AS (SELECT DISTINCT src, dst FROM e0)",
+        "outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src)",
+        "hosts AS (SELECT DISTINCT source AS host FROM documents)",
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts)",
+        f"r0 AS (SELECT host, {_PR_SCALE} // n.n AS r FROM hosts CROSS JOIN n)",
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(f"""c{k} AS (
+      SELECT e.dst AS host, sum(r.r // o.od) AS s
+      FROM edges e
+      JOIN r{k - 1} r ON r.host = e.src
+      JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    )""")
+        ctes.append(f"""r{k} AS (
+      SELECT h.host,
+             (15 * {_PR_SCALE}) // (100 * n.n)
+               + (85 * coalesce(c.s, 0)) // 100 AS r
+      FROM hosts h CROSS JOIN n LEFT JOIN c{k} c ON c.host = h.host
+    )""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "host_pagerank",
+    oracle=f"""
+    WITH {_pr_ctes(_PR_ROUNDS)}
+    SELECT host, CAST(r AS BIGINT) AS rank_scaled,
+           round(r / {_PR_SCALE}.0, 6) AS rank_share
+    FROM r{_PR_ROUNDS} ORDER BY host
+    """,
+    doc="Host-graph PageRank (damping 0.85, the Common-Crawl host-centrality "
+    "quality signal: rank hosts by link mass, weight their documents "
+    "accordingly) as a FIXED-POINT integer iteration: ranks live at scale "
+    "10^12 as BIGINTs, every contribution is rank div out-degree and every "
+    "update is teleport + (85*sum) div 100 — exact integer arithmetic, so "
+    f"the {_PR_ROUNDS}-round result is bit-identical across engines and "
+    "summation orders (float PageRank never hash-matches). The link graph "
+    "is synthesized deterministically (each page links to the page its md5 "
+    "draw selects, doc->doc equi-join; per-host self-loop guards dangling "
+    "mass) — at production scale edges come from the kernel's extracted "
+    "hrefs and the iteration below is unchanged. Distributed shape per "
+    "round: edges JOIN ranks on src (equi-join), one hash agg on dst with "
+    "map-side partial agg, LEFT JOIN back to the host spine — the classic "
+    "message-passing round, node and edge tables never leave the cluster; "
+    "only two bounded scalars (host count, max doc id) visit the driver "
+    "(the Lloyd/BPE discipline). The loop-invariant (src, dst, od) table "
+    "is materialized ONCE and each round's ranks are eagerly "
+    "checkpointed (the dedup_components iteration discipline), so the doc "
+    "scan and the distinct/out-degree shuffles are paid once, not once "
+    "per round, and lineage stays O(1).",
+)
+def host_pagerank(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    # two bounded driver scalars: graph size and the draw modulus
+    n = hosts.count()
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    teleport = (15 * _PR_SCALE) // (100 * n)
+
+    draws = d.select(
+        F.col("source").alias("src"),
+        (F.expr(_B16_SPARK) % F.lit(int(max_id) + 1)).cast("long").alias("tgt"),
+    )
+    e0 = draws.join(
+        d.select(F.col("doc_id").alias("tgt"), F.col("source").alias("dst")),
+        "tgt",
+    ).select("src", "dst").unionAll(
+        hosts.select(F.col("host").alias("src"), F.col("host").alias("dst"))
+    )
+    edges = e0.distinct()
+    outd = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    # the edge table is loop-invariant: materialize (src, dst, od) ONCE and
+    # iterate against the pinned blocks — without this the doc scan, the
+    # distinct exchange, and the out-degree agg replay every round (the
+    # dedup_components discipline at dedup.py:329)
+    esrc = edges.join(outd, "src").cache()
+    spine = hosts.cache()  # host spine, scanned per round
+
+    ranks = spine.withColumn("r", F.lit(_PR_SCALE // n).cast("long"))
+    pinned = None  # handle holding the previous round's checkpoint blocks
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            esrc.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), F.expr("r div od").alias("c"))
+            .groupBy("host")
+            .agg(F.sum("c").alias("s"))
+        )
+        # eager checkpoint per round: lineage stays O(1) instead of nesting
+        # _PR_ROUNDS join-agg layers, and the final frame no longer
+        # references esrc, so the cache can be dropped before returning
+        ranks = spine.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(teleport)
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("r"),
+        ).localCheckpoint(eager=True)
+        if pinned is not None:
+            pinned.unpersist()
+        pinned = ranks
+    esrc.unpersist()
+    spine.unpersist()
+    return ranks.select(
+        "host",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("rank_share"),
+    ).orderBy("host")

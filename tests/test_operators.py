@@ -1689,3 +1689,27 @@ def test_tfidf_keywords_finds_domain_terms(spark, tmp_path):
     # equal tf/df -> tie -> lexical order
     assert list(phys.sort_values("rank").keyword) == ["quantum", "quark"]
     assert list(bio.sort_values("rank").keyword) == ["enzyme", "protein"]
+
+
+def test_host_pagerank_centrality_and_mass(spark, tmp_path):
+    """A host owning 45/50 doc_ids receives ~90% of the md5 link draws, so
+    it must end with the top rank by a clear margin (edges are DISTINCT
+    (src,dst) pairs, so the margin comes from in-link breadth — five small
+    hosts each pointing at big — not raw draw multiplicity); fixed-point
+    integer mass is conserved up to div-truncation (shares sum to just
+    under 1); one row per host."""
+    import pandas as pd
+
+    rows = [(i, f"text {i}", "big.example") for i in range(45)]
+    rows += [(45 + i, f"text {45 + i}", f"small{i}.example") for i in range(5)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["host_pagerank"].build(spark, str(tmp_path)).toPandas()
+    assert len(got) == 6
+    top = got.sort_values("rank_scaled", ascending=False).iloc[0]
+    assert top.host == "big.example"
+    small_max = got[got.host != "big.example"].rank_scaled.max()
+    assert top.rank_scaled > 1.3 * small_max
+    total = got.rank_share.sum()
+    assert 0.999 <= total <= 1.0 + 1e-9

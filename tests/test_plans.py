@@ -801,3 +801,18 @@ def test_tfidf_keywords_window_is_post_agg(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_host_pagerank_rounds_are_checkpointed(spark):
+    """The returned PageRank frame must scan the final round's pinned
+    blocks — not replay 4 nested join+agg layers (lineage O(1), edge
+    table paid once) — and clusters never collect to the driver."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["host_pagerank"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+    # the iteration itself ran checkpointed: no join remains in the plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
