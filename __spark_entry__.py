@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk",               # NEW round 5 (BM25 retrieval, in-job queries)
         "tfidf_keywords",          # NEW round 5 (per-source tf-idf fingerprint)
         "host_pagerank",           # NEW round 5 (fixed-point host centrality)
+        "crawl_budget",            # NEW round 5 (politeness-capped fetch slots;
+                                   # position 50 — outside the driver cap, so
+                                   # its parity record is the local sweep)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

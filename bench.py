@@ -82,6 +82,7 @@ HEADLINE_QUERIES = [
     "bm25_topk",            # BM25 retrieval with in-job queries (round 5)
     "tfidf_keywords",       # per-source tf-idf fingerprint (round 5)
     "host_pagerank",        # fixed-point host-graph PageRank (round 5)
+    "crawl_budget",         # politeness-capped fetch allocation (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1628,6 +1628,17 @@ def _pr_ctes(n_rounds: int) -> str:
     "per round, and lineage stays O(1).",
 )
 def host_pagerank(spark, sf_dir):
+    ranks = host_pagerank_ranks(spark, sf_dir)
+    return ranks.select(
+        "host",
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("rank_share"),
+    ).orderBy("host")
+
+
+def host_pagerank_ranks(spark, sf_dir):
+    """The iteration behind host_pagerank, returning the raw fixed-point
+    rank frame (host, r) — shared with crawl_budget."""
     d = load(spark, sf_dir, "documents")
     hosts = d.select(F.col("source").alias("host")).distinct()
     # two bounded driver scalars: graph size and the draw modulus
@@ -1678,8 +1689,52 @@ def host_pagerank(spark, sf_dir):
         pinned = ranks
     esrc.unpersist()
     spine.unpersist()
-    return ranks.select(
-        "host",
-        F.col("r").alias("rank_scaled"),
-        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 6).alias("rank_share"),
-    ).orderBy("host")
+    return ranks
+
+
+# --- crawl-budget allocation --------------------------------------------------
+
+_CRAWL_BUDGET = 10_000  # global fetch slots per crawl cycle
+_CRAWL_CAP = 500        # per-host politeness cap (max fetches per cycle)
+
+
+@register(
+    "crawl_budget",
+    oracle=f"""
+    WITH {_pr_ctes(_PR_ROUNDS)},
+    tot AS (SELECT sum(r) AS t FROM r{_PR_ROUNDS})
+    SELECT host, CAST(r AS BIGINT) AS rank_scaled,
+           CAST(least({_CRAWL_CAP}, greatest(1, ({_CRAWL_BUDGET} * r) // tot.t))
+                AS BIGINT) AS fetch_budget
+    FROM r{_PR_ROUNDS} CROSS JOIN tot ORDER BY host
+    """,
+    doc="Crawl-cycle fetch-budget allocation over the PageRank host ranks "
+    "(the frontier-scheduling use of host centrality): each host gets "
+    f"slots proportional to its rank share of a {_CRAWL_BUDGET}-slot "
+    f"global budget, floored at 1 (every known host stays warm) and "
+    f"capped at {_CRAWL_CAP} (politeness — no host absorbs the crawler "
+    "regardless of rank). All arithmetic stays in the fixed-point BIGINT "
+    "domain (budget×rank < 2^63), so the allocation is bit-identical "
+    "across engines. Distributed shape: the rank iteration of "
+    "host_pagerank_ranks (edge table materialized once, per-round "
+    "checkpoints), then ONE bounded 1-row total (exact BIGINT sum) "
+    "broadcast back over the host frame — allocation itself is row-local; "
+    "the host table never reshuffles to be priced.",
+)
+def crawl_budget(spark, sf_dir):
+    ranks = host_pagerank_ranks(spark, sf_dir)
+    tot = ranks.agg(F.sum("r").alias("t"))
+    return (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            F.col("r").alias("rank_scaled"),
+            F.least(
+                F.lit(_CRAWL_CAP),
+                F.greatest(
+                    F.lit(1), F.expr(f"({_CRAWL_BUDGET} * r) div t")
+                ),
+            ).cast("long").alias("fetch_budget"),
+        )
+        .orderBy("host")
+    )

@@ -1713,3 +1713,27 @@ def test_host_pagerank_centrality_and_mass(spark, tmp_path):
     assert top.rank_scaled > 1.3 * small_max
     total = got.rank_share.sum()
     assert 0.999 <= total <= 1.0 + 1e-9
+
+
+def test_crawl_budget_cap_floor_and_monotone(spark, tmp_path):
+    """A hub host owning a third of the doc_ids exceeds its proportional
+    share of the 10k-slot budget and must be clamped to the 500-slot
+    politeness cap; leaf hosts stay uncapped, budgets are monotone in
+    rank, and every host gets at least the 1-slot floor. (A few leaf
+    hosts draw enough md5 in-links to hit the cap too — only the mix of
+    capped and proportional hosts is asserted, not leaf-specific caps.)"""
+    import pandas as pd
+
+    rows = [(i, f"text {i}", "hub.example") for i in range(21)]
+    rows += [(21 + i, f"text {21 + i}", f"leaf{i:02d}.example") for i in range(39)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["crawl_budget"].build(spark, str(tmp_path)).toPandas()
+    assert len(got) == 40
+    assert got.fetch_budget.between(1, 500).all()
+    hub = got[got.host == "hub.example"].iloc[0]
+    assert hub.fetch_budget == 500  # proportional share would exceed the cap
+    assert (got.fetch_budget < 500).any()  # and not everyone is capped
+    ordered = got.sort_values("rank_scaled")
+    assert ordered.fetch_budget.is_monotonic_increasing

@@ -816,3 +816,17 @@ def test_host_pagerank_rounds_are_checkpointed(spark):
     # the iteration itself ran checkpointed: no join remains in the plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_budget_allocation_is_row_local(spark):
+    """Budget pricing joins ONE bounded 1-row total via broadcast onto the
+    checkpointed rank frame — no sort-merge, no Python, no driver-side
+    LocalTableScan of the host table."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["crawl_budget"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
