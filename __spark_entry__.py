@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget",            # NEW round 5 (politeness-capped fetch slots;
                                    # position 50 — outside the driver cap, so
                                    # its parity record is the local sweep)
+        "length_quantiles",        # NEW round 5 (exact rank-arithmetic token-
+                                   # length quantiles; outside the cap, local
+                                   # sweep parity record)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1824,3 +1824,79 @@ def tfidf_keywords(spark, sf_dir):
         )
         .orderBy("source", "rank")
     )
+
+
+# --- exact length quantiles ---------------------------------------------------
+
+_QUANT_PCTS = [25, 50, 90, 99]  # integer percents: exact-rank arithmetic
+
+_WS_SPLIT_SPARK = r"[ \t\n\r\f\x0B]+"
+_WS_SPLIT_SQL = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+@register(
+    "length_quantiles",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(regexp_split_to_array(trim(text), '{_WS_SPLIT_SQL}')) AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    spine AS (SELECT toks, count(*) AS cnt FROM lens GROUP BY toks),
+    cum AS (
+      SELECT toks, sum(cnt) OVER (ORDER BY toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM spine
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+    grid AS (SELECT unnest([{", ".join(str(p) for p in _QUANT_PCTS)}]) AS pct)
+    SELECT g.pct,
+           CAST(min(c.toks) AS BIGINT) AS toks_at,
+           CAST((g.pct * tot.n + 99) // 100 AS BIGINT) AS target_rank,
+           tot.n AS n_docs
+    FROM grid g CROSS JOIN tot JOIN cum c
+      ON c.cum >= (g.pct * tot.n + 99) // 100
+    GROUP BY g.pct, tot.n ORDER BY g.pct
+    """,
+    doc="EXACT token-length quantiles (p25/p50/p90/p99) — the corpus "
+    "telemetry that sizes sequence packing, truncation limits, and the "
+    "token-budget selector. Not approx_percentile: the quantile rule is "
+    "pinned to integer rank arithmetic (target = ceil(p·n/100) computed "
+    "as (p·n+99) div 100, answer = min length whose cumulative doc count "
+    "reaches the target), so the result is bit-identical across engines "
+    "and partitionings — approximate sketches can never hash-match an "
+    "oracle. Distributed shape: per-doc lengths are a row-local split "
+    "inside codegen; ONE hash agg collapses the corpus to the "
+    "distinct-length spine (bounded by max doc length, ~10^4 rows at any "
+    "corpus size — the vocab_growth spine discipline); the cumulative "
+    "window runs over that bounded spine only, never the corpus; the "
+    "4-row percent grid and the 1-row exact total are broadcast.",
+)
+def length_quantiles(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    lens = d.select(
+        F.size(F.split(F.trim("text"), _WS_SPLIT_SPARK)).alias("toks")
+    )
+    spine = lens.groupBy("toks").agg(F.count("*").alias("cnt"))
+    cum = spine.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("toks").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = lens.agg(F.count("*").cast("long").alias("n"))
+    grid = spark.createDataFrame([(p,) for p in _QUANT_PCTS], "pct int")
+    target = F.expr(f"(pct * n + 99) div 100")
+    return (
+        cum.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= target)
+        .groupBy("pct", "n")
+        .agg(F.min("toks").cast("long").alias("toks_at"))
+        .select(
+            "pct",
+            "toks_at",
+            target.cast("long").alias("target_rank"),
+            F.col("n").alias("n_docs"),
+        )
+        .orderBy("pct")
+    )

@@ -1737,3 +1737,23 @@ def test_crawl_budget_cap_floor_and_monotone(spark, tmp_path):
     assert (got.fetch_budget < 500).any()  # and not everyone is capped
     ordered = got.sort_values("rank_scaled")
     assert ordered.fetch_budget.is_monotonic_increasing
+
+
+def test_length_quantiles_exact_ranks(spark, tmp_path):
+    """Ten docs with word counts 1..10: target rank is ceil(p·n/100), the
+    answer the smallest length whose cumulative count reaches it —
+    p25→3, p50→5, p90→9, p99→10, all exact."""
+    import pandas as pd
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(10)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["length_quantiles"].build(spark, str(tmp_path)).toPandas()
+        .set_index("pct")
+    )
+    assert (got.n_docs == 10).all()
+    for pct, rank, toks in [(25, 3, 3), (50, 5, 5), (90, 9, 9), (99, 10, 10)]:
+        assert got.loc[pct].target_rank == rank
+        assert got.loc[pct].toks_at == toks

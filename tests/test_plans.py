@@ -830,3 +830,16 @@ def test_crawl_budget_allocation_is_row_local(spark):
     assert "ExistingRDD" in plan or "Scan" in plan
     assert "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_length_quantiles_window_is_on_spine_only(spark):
+    """The cumulative window must run over the aggregated distinct-length
+    spine (post hash-agg on toks), never the corpus; grid and total are
+    broadcast; nothing sort-merges and no Python runs."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["length_quantiles"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(toks" in plan  # corpus collapses to the spine first
+    assert "Window" in plan
