@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles",        # NEW round 5 (exact rank-arithmetic token-
                                    # length quantiles; outside the cap, local
                                    # sweep parity record)
+        "pack_efficiency",         # NEW round 5 (truncation/padding telemetry
+                                   # per context length; outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

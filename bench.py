@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "host_pagerank",        # fixed-point host-graph PageRank (round 5)
     "crawl_budget",         # politeness-capped fetch allocation (round 5)
     "length_quantiles",     # exact token-length quantiles (round 5)
+    "pack_efficiency",      # packing waste per context length (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

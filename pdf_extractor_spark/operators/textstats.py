@@ -1900,3 +1900,68 @@ def length_quantiles(spark, sf_dir):
         )
         .orderBy("pct")
     )
+
+
+_PACK_CTX = [128, 512, 2048]  # candidate context lengths (tokens)
+
+
+@register(
+    "pack_efficiency",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(regexp_split_to_array(trim(text), '{_WS_SPLIT_SQL}')) AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    spine AS (SELECT toks, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY toks),
+    grid AS (SELECT unnest([{", ".join(str(c) for c in _PACK_CTX)}]) AS ctx)
+    SELECT g.ctx,
+           sum(s.cnt) AS n_docs,
+           sum(s.toks * s.cnt) AS total_toks,
+           sum((s.toks - least(s.toks, g.ctx)) * s.cnt) AS trunc_loss_toks,
+           sum((g.ctx - least(s.toks, g.ctx)) * s.cnt) AS pad_waste_toks,
+           (sum(least(s.toks, g.ctx) * s.cnt) + g.ctx - 1) // g.ctx AS seqs_concat,
+           round(sum((g.ctx - least(s.toks, g.ctx)) * s.cnt)
+                 / CAST(sum(s.cnt) * g.ctx AS DOUBLE), 4) AS pad_waste_frac
+    FROM spine s CROSS JOIN grid g
+    GROUP BY g.ctx ORDER BY g.ctx
+    """,
+    doc="Packing-strategy telemetry at candidate context lengths: for each "
+    "ctx, the tokens LOST to per-doc truncation (doc-per-sequence packing "
+    "caps every doc at ctx) and the padding WASTED filling each truncated "
+    "doc's sequence to ctx, plus the sequence count concat-and-chunk "
+    "packing (pack_sequences) would need for the same truncated tokens — "
+    "the numbers that decide between padding and packing and pick the "
+    "context length, read together with length_quantiles. All counts are "
+    "exact BIGINT arithmetic over the distinct-length spine (the corpus "
+    "collapses in ONE hash agg; the ctx grid is a 3-row broadcast), so "
+    "rows are bit-identical across engines; the one fraction divides two "
+    "exact integers and is rounded.",
+)
+def pack_efficiency(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    spine = (
+        d.select(F.size(F.split(F.trim("text"), _WS_SPLIT_SPARK)).alias("toks"))
+        .groupBy("toks")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grid = spark.createDataFrame([(c,) for c in _PACK_CTX], "ctx int")
+    kept = F.least("toks", "ctx")
+    return (
+        spine.crossJoin(F.broadcast(grid))
+        .groupBy("ctx")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum(F.col("toks") * F.col("cnt")).alias("total_toks"),
+            F.sum((F.col("toks") - kept) * F.col("cnt")).alias("trunc_loss_toks"),
+            F.sum((F.col("ctx") - kept) * F.col("cnt")).alias("pad_waste_toks"),
+            F.expr(
+                "(sum(least(toks, ctx) * cnt) + ctx - 1) div ctx"
+            ).alias("seqs_concat"),
+            F.round(
+                F.sum((F.col("ctx") - kept) * F.col("cnt"))
+                / (F.sum("cnt") * F.col("ctx")).cast("double"),
+                4,
+            ).alias("pad_waste_frac"),
+        )
+        .orderBy("ctx")
+    )

@@ -1757,3 +1757,30 @@ def test_length_quantiles_exact_ranks(spark, tmp_path):
     for pct, rank, toks in [(25, 3, 3), (50, 5, 5), (90, 9, 9), (99, 10, 10)]:
         assert got.loc[pct].target_rank == rank
         assert got.loc[pct].toks_at == toks
+
+
+def test_pack_efficiency_hand_computed(spark, tmp_path):
+    """Three docs of 2/4/10 words at the grid's smallest ctx (128):
+    nothing truncates (kept = min(toks,128) keeps all 16 tokens), pad
+    waste is 3*128-16 = 368 filling each doc's sequence, and one
+    concat-and-chunk sequence suffices — every number hand-reproducible."""
+    import pandas as pd
+
+    rows = [
+        (0, "a b"),
+        (1, "a b c d"),
+        (2, " ".join(f"w{j}" for j in range(10))),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["pack_efficiency"].build(spark, str(tmp_path)).toPandas()
+        .set_index("ctx")
+    )
+    r = got.loc[128]
+    assert r.n_docs == 3 and r.total_toks == 16
+    assert r.trunc_loss_toks == 0
+    assert r.pad_waste_toks == 3 * 128 - 16
+    assert r.seqs_concat == 1
+    assert abs(r.pad_waste_frac - round(368 / 384, 4)) < 1e-9

@@ -843,3 +843,15 @@ def test_length_quantiles_window_is_on_spine_only(spark):
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(toks" in plan  # corpus collapses to the spine first
     assert "Window" in plan
+
+
+def test_pack_efficiency_aggregates_on_spine(spark):
+    """pack_efficiency must collapse the corpus to the distinct-length
+    spine before the ctx grid fans anything out: hash agg on toks, a
+    broadcast 3-row grid, no sort-merge join, no Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["pack_efficiency"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(toks" in plan
