@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # sweep parity record)
         "pack_efficiency",         # NEW round 5 (truncation/padding telemetry
                                    # per context length; outside the cap)
+        "host_link_stats",         # NEW round 5 (degree/reciprocity telemetry;
+                                   # outside the cap, local sweep record)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1558,26 +1558,34 @@ _PR_SCALE = 10**12
 _PR_ROUNDS = 4  # fixed so the oracle can unroll the iteration as CTEs
 
 
-def _pr_ctes(n_rounds: int) -> str:
-    """Unrolled PageRank CTE chain for the DuckDB oracle: deterministic
-    link-graph synthesis, out-degrees, then n_rounds of (contribution sum,
-    damped update). Shares the _B16_SQL md5 draw with sample_temperature."""
-    ctes = [
-        "mx AS (SELECT max(doc_id) AS m FROM documents)",
-        f"""draws AS (
+# Deterministic link-graph CTEs shared by host_pagerank / crawl_budget /
+# host_link_stats oracles: each page links to the page its md5 draw selects
+# (doc->doc equi-join), plus a per-host self-loop to guard dangling mass.
+_EDGE_CTES = [
+    "mx AS (SELECT max(doc_id) AS m FROM documents)",
+    f"""draws AS (
       SELECT d.source AS src,
              CAST(({_B16_SQL}) % (mx.m + 1) AS BIGINT) AS tgt
       FROM documents d CROSS JOIN mx
     )""",
-        """e0 AS (
+    """e0 AS (
       SELECT dr.src, d2.source AS dst
       FROM draws dr JOIN documents d2 ON d2.doc_id = dr.tgt
       UNION ALL
       SELECT DISTINCT source, source FROM documents
     )""",
-        "edges AS (SELECT DISTINCT src, dst FROM e0)",
+    "edges AS (SELECT DISTINCT src, dst FROM e0)",
+    "hosts AS (SELECT DISTINCT source AS host FROM documents)",
+]
+
+
+def _pr_ctes(n_rounds: int) -> str:
+    """Unrolled PageRank CTE chain for the DuckDB oracle: deterministic
+    link-graph synthesis (_EDGE_CTES), out-degrees, then n_rounds of
+    (contribution sum, damped update). Shares the _B16_SQL md5 draw with
+    sample_temperature."""
+    ctes = _EDGE_CTES + [
         "outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src)",
-        "hosts AS (SELECT DISTINCT source AS host FROM documents)",
         "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hosts)",
         f"r0 AS (SELECT host, {_PR_SCALE} // n.n AS r FROM hosts CROSS JOIN n)",
     ]
@@ -1636,16 +1644,9 @@ def host_pagerank(spark, sf_dir):
     ).orderBy("host")
 
 
-def host_pagerank_ranks(spark, sf_dir):
-    """The iteration behind host_pagerank, returning the raw fixed-point
-    rank frame (host, r) — shared with crawl_budget."""
-    d = load(spark, sf_dir, "documents")
-    hosts = d.select(F.col("source").alias("host")).distinct()
-    # two bounded driver scalars: graph size and the draw modulus
-    n = hosts.count()
-    max_id = d.agg(F.max("doc_id")).collect()[0][0]
-    teleport = (15 * _PR_SCALE) // (100 * n)
-
+def _host_edges(d, hosts, max_id: int):
+    """Deterministic distinct (src, dst) host-link table — the Spark twin
+    of _EDGE_CTES, shared by host_pagerank_ranks and host_link_stats."""
     draws = d.select(
         F.col("source").alias("src"),
         (F.expr(_B16_SPARK) % F.lit(int(max_id) + 1)).cast("long").alias("tgt"),
@@ -1656,7 +1657,20 @@ def host_pagerank_ranks(spark, sf_dir):
     ).select("src", "dst").unionAll(
         hosts.select(F.col("host").alias("src"), F.col("host").alias("dst"))
     )
-    edges = e0.distinct()
+    return e0.distinct()
+
+
+def host_pagerank_ranks(spark, sf_dir):
+    """The iteration behind host_pagerank, returning the raw fixed-point
+    rank frame (host, r) — shared with crawl_budget."""
+    d = load(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    # two bounded driver scalars: graph size and the draw modulus
+    n = hosts.count()
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    teleport = (15 * _PR_SCALE) // (100 * n)
+
+    edges = _host_edges(d, hosts, max_id)
     outd = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
     # the edge table is loop-invariant: materialize (src, dst, od) ONCE and
     # iterate against the pinned blocks — without this the doc scan, the
@@ -1735,6 +1749,75 @@ def crawl_budget(spark, sf_dir):
                     F.lit(1), F.expr(f"({_CRAWL_BUDGET} * r) div t")
                 ),
             ).cast("long").alias("fetch_budget"),
+        )
+        .orderBy("host")
+    )
+
+
+_EDGE_CTES_SQL = ",\n".join(_EDGE_CTES)
+
+
+@register(
+    "host_link_stats",
+    oracle=f"""
+    WITH {_EDGE_CTES_SQL},
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+    ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS idg FROM edges GROUP BY dst),
+    rec AS (
+      SELECT e1.src, CAST(count(*) AS BIGINT) AS rc
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.dst AND e1.dst = e2.src AND e1.src <> e1.dst
+      GROUP BY e1.src
+    )
+    SELECT h.host,
+           coalesce(o.od, 0) AS out_degree,
+           coalesce(i.idg, 0) AS in_degree,
+           coalesce(r.rc, 0) AS reciprocal_edges
+    FROM hosts h
+    LEFT JOIN outd o ON o.src = h.host
+    LEFT JOIN ind i ON i.dst = h.host
+    LEFT JOIN rec r ON r.src = h.host
+    ORDER BY h.host
+    """,
+    doc="Host link-graph degree telemetry: distinct out-degree, in-degree "
+    "and reciprocal (mutual, self-loops excluded) edge count per host — "
+    "the structural signals next to host_pagerank (link farms show as "
+    "high mutual density, orphan hosts as in_degree = self-loop only) and "
+    "the numbers that size the rank iteration's shuffles. Shares the "
+    "deterministic edge synthesis with host_pagerank (_host_edges / "
+    "_EDGE_CTES). Distributed shape: two hash aggs over the host-level "
+    "edge table plus ONE pair-keyed self equi-join for reciprocity "
+    "(src,dst)=(dst,src) — all exact integer counts, host spine "
+    "LEFT-JOINed so every host reports.",
+)
+def host_link_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    edges = _host_edges(d, hosts, max_id)
+    outd = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").cast("long").alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("long").alias("in_degree")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").cast("long").alias("reciprocal_edges"))
+    )
+    return (
+        hosts.join(outd, "host", "left")
+        .join(ind, "host", "left")
+        .join(rec, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("reciprocal_edges", F.lit(0)).cast("long")
+            .alias("reciprocal_edges"),
         )
         .orderBy("host")
     )

@@ -1784,3 +1784,25 @@ def test_pack_efficiency_hand_computed(spark, tmp_path):
     assert r.pad_waste_toks == 3 * 128 - 16
     assert r.seqs_concat == 1
     assert abs(r.pad_waste_frac - round(368 / 384, 4)) < 1e-9
+
+
+def test_host_link_stats_degrees_and_reciprocity(spark, tmp_path):
+    """Every host has its self-loop (degrees >= 1 both ways); a hub
+    owning most doc_ids absorbs most draws, so its in-degree must top the
+    table; reciprocal counts are symmetric in aggregate (each mutual pair
+    contributes one to BOTH endpoints, so the total is even) and never
+    exceed min(out,in) after the self-loop discount."""
+    import pandas as pd
+
+    rows = [(i, f"text {i}", "hub.example") for i in range(30)]
+    rows += [(30 + i, f"text {30 + i}", f"leaf{i}.example") for i in range(10)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["host_link_stats"].build(spark, str(tmp_path)).toPandas()
+    assert len(got) == 11
+    assert (got.out_degree >= 1).all() and (got.in_degree >= 1).all()
+    top = got.sort_values("in_degree", ascending=False).iloc[0]
+    assert top.host == "hub.example"
+    assert got.reciprocal_edges.sum() % 2 == 0
+    assert (got.reciprocal_edges <= got[["out_degree", "in_degree"]].min(axis=1)).all()

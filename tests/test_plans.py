@@ -855,3 +855,14 @@ def test_pack_efficiency_aggregates_on_spine(spark):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(toks" in plan
+
+
+def test_host_link_stats_reciprocity_is_pair_equijoin(spark):
+    """Reciprocity must be the (src,dst)=(dst,src) equi-join on the
+    host-level edge table — never a cartesian or a per-row Python probe."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["host_link_stats"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(src" in plan or "hashpartitioning(dst" in plan
