@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # per context length; outside the cap)
         "host_link_stats",         # NEW round 5 (degree/reciprocity telemetry;
                                    # outside the cap, local sweep record)
+        "bitext_mine",             # NEW round 5 (margin-based cross-lingual
+                                   # pair mining; outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1806,3 +1806,33 @@ def test_host_link_stats_degrees_and_reciprocity(spark, tmp_path):
     assert top.host == "hub.example"
     assert got.reciprocal_edges.sum() % 2 == 0
     assert (got.reciprocal_edges <= got[["out_degree", "in_degree"]].min(axis=1)).all()
+
+
+def test_bitext_mine_margin_prunes_ambiguous(spark, tmp_path):
+    """Margin semantics on a hand 4-dim fixture: a source with one clear
+    English neighbor (cos 0.949 vs runner-up 0.316 -> margin 1.5) is
+    kept; an equidistant source (two cos-0.707 candidates, margin 1.0)
+    and a single-candidate source (margin 1 by construction) are both
+    dropped — absolute cosine alone would have kept all three."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        [(0, "en text a", "en"), (1, "en text b", "en"),
+         (10, "de text", "de"), (11, "fr text", "fr"), (12, "zh text", "zh")],
+        columns=["doc_id", "text", "lang"],
+    )
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+    embs = pd.DataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (10, [0.9, 0.3, 0.0, 0.0]),   # clear: t0 wins big
+         (11, [0.7, 0.7, 0.0, 0.0]),   # ambiguous: t0 == t1
+         (12, [0.05, 0.25, 0.0, 0.0])],  # single candidate (t0 under floor)
+        columns=["vec_id", "embedding"],
+    )
+    embs.to_parquet(f"{tmp_path}/embeddings.parquet")
+    got = all_ops()["bitext_mine"].build(spark, str(tmp_path)).toPandas()
+    assert list(got.src_id) == [10]
+    r = got.iloc[0]
+    assert r.src_lang == "de" and r.tgt_id == 0
+    assert abs(r.best_cos - 0.9487) < 1e-3
+    assert abs(r.margin - 1.5) < 1e-3

@@ -866,3 +866,16 @@ def test_host_link_stats_reciprocity_is_pair_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning(src" in plan or "hashpartitioning(dst" in plan
+
+
+def test_bitext_mine_source_shard_is_broadcast(spark):
+    """The bounded source-language shard must broadcast against the
+    English corpus (which is scanned once and never shuffles to be
+    probed); the only window partitions by source; no Python runs."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["bitext_mine"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "hashpartitioning(src_id" in plan
