@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap, local sweep record)
         "bitext_mine",             # NEW round 5 (margin-based cross-lingual
                                    # pair mining; outside the cap)
+        "chunk_overlap",           # NEW round 5 (RAG overlapping chunker;
+                                   # outside the cap)
+        "cross_source_dup",        # NEW round 5 (syndication matrix; outside
+                                   # the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

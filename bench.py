@@ -87,6 +87,8 @@ HEADLINE_QUERIES = [
     "pack_efficiency",      # packing waste per context length (round 5)
     "host_link_stats",      # link-graph degree/reciprocity telemetry (round 5)
     "bitext_mine",          # margin-based cross-lingual mining (round 5)
+    "chunk_overlap",        # RAG overlapping word-window chunker (round 5)
+    "cross_source_dup",     # cross-source syndication matrix (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1821,3 +1821,64 @@ def host_link_stats(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+# --- overlapping chunker ------------------------------------------------------
+
+_CHUNK_W = 32   # words per chunk
+_CHUNK_S = 24   # stride (25% overlap) — the RAG/embedding-prep default shape
+
+
+@register(
+    "chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS words
+      FROM documents WHERE length(trim(text)) > 0 AND doc_id < 120
+    ),
+    starts AS (
+      SELECT doc_id, words, unnest(range(0, len(words), {_CHUNK_S})) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           array_to_string(words[s + 1 : s + {_CHUNK_W}], ' ') AS chunk_text,
+           CAST(least({_CHUNK_W}, len(words) - s) AS BIGINT) AS n_words
+    FROM starts ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Overlapping word-window chunker ({_CHUNK_W}-word chunks, stride "
+    f"{_CHUNK_S} = 25% overlap) — the retrieval/embedding-prep primitive: "
+    "every chunk carries its trailing context into the next so no span "
+    "falls on a boundary; chunk_idx is the deterministic within-doc "
+    "address (start div stride). Entirely row-local array algebra inside "
+    "codegen (split → sequence of starts → posexplode → slice → join): "
+    "zero shuffles before the output sort, linear in corpus tokens, "
+    "embarrassingly parallel at any scale. The doc_id<120 window bounds "
+    "the driver-compare row count, not the technique.",
+)
+def chunk_overlap(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.length(F.trim("text")) > 0) & (F.col("doc_id") < 120))
+        .select(
+            "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("words")
+        )
+    )
+    starts = d.select(
+        "doc_id",
+        "words",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("words") - 1, F.lit(_CHUNK_S))
+        ).alias("k", "s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"s div {_CHUNK_S}").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice("words", F.col("s") + 1, _CHUNK_W), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(_CHUNK_W), F.size("words") - F.col("s"))
+        .cast("long")
+        .alias("n_words"),
+    ).orderBy("doc_id", "chunk_idx")

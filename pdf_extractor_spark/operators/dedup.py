@@ -1243,3 +1243,61 @@ def band_skew_stats(spark, sf_dir):
         )
         .orderBy("bucket_size")
     )
+
+
+@register(
+    "cross_source_dup",
+    oracle=f"""
+    WITH {_band_cte_sql("b", "TRUE")},
+    sb AS (
+      SELECT b.doc_id, b.band, b.band_key, d.source
+      FROM b JOIN documents d ON d.doc_id = b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT least(a.source, c.source) AS src_a,
+             greatest(a.source, c.source) AS src_b,
+             a.doc_id AS da, c.doc_id AS db
+      FROM sb a JOIN sb c
+        ON a.band = c.band AND a.band_key = c.band_key
+       AND a.doc_id < c.doc_id AND a.source <> c.source
+    )
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS dup_pairs
+    FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+    doc="Cross-source duplication matrix: MinHash band collisions between "
+    "documents of DIFFERENT sources, aggregated to distinct near-dup pair "
+    "counts per unordered source pair — the syndication/mirror-site "
+    "detector (a hot cell means two sources republish the same content; "
+    "the per-source dedup budget and the canonical-source choice hang off "
+    "this number). Reuses minhash_band_table (the persisted dedup state — "
+    "the report adds NO new pass over text) and stays a (band, band_key) "
+    "equi-join + two hash aggs; the source dimension rides along the "
+    "band table via one doc_id equi-join.",
+)
+def cross_source_dup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bands = minhash_band_table(d).join(d.select("doc_id", "source"), "doc_id")
+    a = bands.select(
+        F.col("doc_id").alias("da"), "band", "band_key",
+        F.col("source").alias("sa"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), "band", "band_key",
+        F.col("source").alias("sb"),
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter((F.col("da") < F.col("db")) & (F.col("sa") != F.col("sb")))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "da",
+            "db",
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("dup_pairs"))
+        .orderBy("src_a", "src_b")
+    )

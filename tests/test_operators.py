@@ -1836,3 +1836,52 @@ def test_bitext_mine_margin_prunes_ambiguous(spark, tmp_path):
     assert r.src_lang == "de" and r.tgt_id == 0
     assert abs(r.best_cos - 0.9487) < 1e-3
     assert abs(r.margin - 1.5) < 1e-3
+
+
+def test_chunk_overlap_windows_and_tail(spark, tmp_path):
+    """A 50-word doc at W=32/S=24 yields chunks at starts 0, 24, 48:
+    words 1-32, 25-50 (26 words), and the 2-word tail — overlap means
+    words 25-32 appear in BOTH of the first two chunks; a 5-word doc
+    yields exactly one short chunk."""
+    import pandas as pd
+
+    long_doc = " ".join(f"w{j:02d}" for j in range(50))
+    pd.DataFrame(
+        [(0, long_doc), (1, "a b c d e")], columns=["doc_id", "text"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = all_ops()["chunk_overlap"].build(spark, str(tmp_path)).toPandas()
+    d0 = got[got.doc_id == 0].sort_values("chunk_idx")
+    assert list(d0.n_words) == [32, 26, 2]
+    assert d0.iloc[0].chunk_text.startswith("w00") and d0.iloc[0].chunk_text.endswith("w31")
+    assert d0.iloc[1].chunk_text.startswith("w24")  # 8-word overlap with chunk 0
+    assert d0.iloc[2].chunk_text == "w48 w49"
+    d1 = got[got.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].n_words == 5
+
+
+def test_cross_source_dup_detects_syndication(spark, tmp_path):
+    """Two sources republishing the same long article (plus a third with
+    only unique content) must surface as exactly one hot (mirror-a,
+    mirror-b) cell; same-source duplicates never count."""
+    import pandas as pd
+
+    article = (
+        "breaking news the quick brown fox jumped over the lazy dog while "
+        "the market rallied and analysts debated the implications for "
+        "global trade policy throughout the afternoon session"
+    )
+    rows = [
+        (0, article, "mirror-a.example"),
+        (1, article, "mirror-b.example"),
+        (2, article, "mirror-a.example"),  # same-source dup: must NOT count
+        (3, "completely unrelated recipe for sourdough bread with rye flour "
+            "and a long cold fermentation schedule", "solo.example"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["cross_source_dup"].build(spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.src_a, r.src_b) == ("mirror-a.example", "mirror-b.example")
+    assert r.dup_pairs == 2  # (0,1) and (1,2) — distinct doc pairs, not bands

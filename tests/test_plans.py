@@ -879,3 +879,26 @@ def test_bitext_mine_source_shard_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "hashpartitioning(src_id" in plan
+
+
+def test_cross_source_dup_is_band_equijoin(spark):
+    """The syndication matrix must form candidates ONLY via the
+    (band, band_key) equi-join on the persisted-state-shaped band table —
+    no cartesian, no Python, source rides along via a doc_id equi-join."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["cross_source_dup"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(band" in plan
+
+
+def test_chunk_overlap_is_row_local(spark):
+    """The chunker must stay row-local array algebra inside codegen: no
+    join of any kind, no Python, the only exchange is the output sort."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["chunk_overlap"].build(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan  # rangepartitioning for the sort only
