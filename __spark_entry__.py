@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "cross_source_dup",        # NEW round 5 (syndication matrix; outside
                                    # the cap)
+        "text_char_entropy",       # NEW round 5 (templated-content signal;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1965,3 +1965,66 @@ def pack_efficiency(spark, sf_dir):
         )
         .orderBy("ctx")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+      WHERE doc_id < 200 AND length(text) > 0
+    ),
+    f AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+          FROM c GROUP BY doc_id, ch),
+    t AS (SELECT doc_id, sum(c) AS n, count(*) AS k FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(t.n AS BIGINT) AS chars,
+           CAST(t.k AS BIGINT) AS distinct_chars,
+           round(-sum((f.c / t.n) * log2(f.c / t.n)), 4) AS entropy_bits
+    FROM f JOIN t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.n, t.k ORDER BY f.doc_id
+    """,
+    doc="Per-document Shannon entropy of the character distribution (bits/"
+    "char) — the templated-content signal orthogonal to the Gopher "
+    "repetition ratios: machine-generated boilerplate and keyword-stuffed "
+    "spam sit LOW (few symbols dominate), natural prose sits ~4-4.5 bits "
+    "for English; the C4-era pipelines threshold on it cheaply because it "
+    "needs no model. Shape: position explode → ONE hash agg to the "
+    "(doc, char) frequency table (bounded at ~charset size per doc, "
+    "linear in corpus bytes with map-side partial agg) → per-doc total "
+    "join → entropy sum over ≤ charset terms, rounded. The doc_id<200 "
+    "window bounds the driver-compare rows, not the technique.",
+)
+def text_char_entropy(spark, sf_dir):
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+    c = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    f = c.groupBy("doc_id", "ch").agg(F.count("*").cast("double").alias("c"))
+    t = f.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("k")
+    )
+    return (
+        f.join(t, "doc_id")
+        .groupBy("doc_id", "n", "k")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log2(F.col("c") / F.col("n"))),
+                4,
+            ).alias("entropy_bits")
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("chars"),
+            F.col("k").cast("long").alias("distinct_chars"),
+            "entropy_bits",
+        )
+        .orderBy("doc_id")
+    )

@@ -1885,3 +1885,29 @@ def test_cross_source_dup_detects_syndication(spark, tmp_path):
     r = got.iloc[0]
     assert (r.src_a, r.src_b) == ("mirror-a.example", "mirror-b.example")
     assert r.dup_pairs == 2  # (0,1) and (1,2) — distinct doc pairs, not bands
+
+
+def test_text_char_entropy_separates_templated(spark, tmp_path):
+    """Hand-verifiable entropy: 'aaaa' -> 0 bits; 'abab' -> 1 bit;
+    'abcd' -> 2 bits; natural-ish prose lands well above the templated
+    strings — the signal the op exists to provide."""
+    import pandas as pd
+
+    rows = [
+        (0, "aaaa"),
+        (1, "abab"),
+        (2, "abcd"),
+        (3, "The quick brown fox jumps over the lazy dog near the river."),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["text_char_entropy"].build(spark, str(tmp_path)).toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0].entropy_bits == 0.0 and got.loc[0].distinct_chars == 1
+    assert got.loc[1].entropy_bits == 1.0
+    assert got.loc[2].entropy_bits == 2.0
+    assert got.loc[3].entropy_bits > 3.5
+    assert got.loc[3].chars == 59

@@ -902,3 +902,16 @@ def test_chunk_overlap_is_row_local(spark):
     assert "Join" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning" not in plan  # rangepartitioning for the sort only
+
+
+def test_text_char_entropy_partial_aggregates(spark):
+    """The (doc, char) frequency agg must run partial+final (the explode
+    inflation collapses map-side before the shuffle); no Python, no
+    cartesian, no sort-merge join against the per-doc totals."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["text_char_entropy"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "hashpartitioning(doc_id" in plan
