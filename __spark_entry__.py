@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # the cap)
         "text_char_entropy",       # NEW round 5 (templated-content signal;
                                    # outside the cap)
+        "ngram_novelty",           # NEW round 5 (crawl-freshness curve;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

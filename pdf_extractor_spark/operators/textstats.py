@@ -2028,3 +2028,82 @@ def text_char_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    w AS (
+      SELECT CAST(floor(d.doc_id * 10 / (mx.mx + 1)) AS INT) AS b,
+             regexp_split_to_array(trim(lower(d.text)), '{_WS_SPLIT_SQL}') AS ws
+      FROM documents d CROSS JOIN mx WHERE length(trim(d.text)) > 0
+    ),
+    g AS (
+      SELECT DISTINCT b, md5(array_to_string(ws[i : i + 4], ' ')) AS gh
+      FROM w, unnest(range(1, len(ws) - 3)) AS u(i)
+      WHERE len(ws) >= 5
+    ),
+    f AS (SELECT gh, min(b) AS fb FROM g GROUP BY gh),
+    seen AS (SELECT b, CAST(count(*) AS BIGINT) AS distinct_grams FROM g GROUP BY b),
+    nw AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_grams FROM f GROUP BY fb)
+    SELECT s.b AS decile, s.distinct_grams,
+           coalesce(n.new_grams, 0) AS new_grams,
+           round(coalesce(n.new_grams, 0) / CAST(s.distinct_grams AS DOUBLE), 4)
+             AS novelty
+    FROM seen s LEFT JOIN nw n ON n.b = s.b ORDER BY s.b
+    """,
+    doc="Corpus novelty curve at word-5-gram granularity: per doc-id "
+    "decile, the distinct grams appearing there and the fraction seen for "
+    "the FIRST time — the crawl-freshness signal that tells a pipeline "
+    "when additional data stops adding content (novelty decaying toward "
+    "the Heaps tail means the source is mined out; a decile that jumps "
+    "back up means a new content vein). vocab_growth's first-occurrence "
+    "trick lifted from words to grams: distinct (decile, gram-md5) in ONE "
+    "hash agg, first decile per gram in a second, per-decile counts in "
+    "two more — never a window over the corpus, grams travel as 32-hex "
+    "keys.",
+)
+def ngram_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)).cast("int")
+    w = (
+        d.join(F.broadcast(mx))
+        .select(
+            bucket.alias("b"),
+            F.split(F.trim(F.lower("text")), _WS_SPLIT_SPARK).alias("ws"),
+        )
+        .filter(F.size("ws") >= 5)
+    )
+    g = (
+        w.select(
+            "b",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 4)).alias("i"),
+        )
+        .select(
+            "b",
+            F.md5(F.concat_ws(" ", F.slice("ws", F.col("i"), 5))).alias("gh"),
+        )
+        .distinct()
+    )
+    f = g.groupBy("gh").agg(F.min("b").alias("fb"))
+    seen = g.groupBy("b").agg(F.count("*").cast("long").alias("distinct_grams"))
+    nw = f.groupBy(F.col("fb").alias("b")).agg(
+        F.count("*").cast("long").alias("new_grams")
+    )
+    return (
+        seen.join(nw, "b", "left")
+        .select(
+            F.col("b").alias("decile"),
+            "distinct_grams",
+            F.coalesce("new_grams", F.lit(0)).cast("long").alias("new_grams"),
+            F.round(
+                F.coalesce("new_grams", F.lit(0))
+                / F.col("distinct_grams").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )

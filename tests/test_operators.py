@@ -1911,3 +1911,32 @@ def test_text_char_entropy_separates_templated(spark, tmp_path):
     assert got.loc[2].entropy_bits == 2.0
     assert got.loc[3].entropy_bits > 3.5
     assert got.loc[3].chars == 59
+
+
+def test_ngram_novelty_first_occurrence(spark, tmp_path):
+    """Ten one-doc deciles: doc 0 introduces gram A (novelty 1.0); doc 5
+    repeats A verbatim (novelty 0.0); doc 9 is fresh text (novelty 1.0);
+    all other docs are sub-5-word and contribute no grams."""
+    import pandas as pd
+
+    a = "alpha beta gamma delta epsilon"          # exactly one 5-gram
+    fresh = "zeta eta theta iota kappa"           # a different single gram
+    rows = []
+    for i in range(10):
+        if i == 0 or i == 5:
+            rows.append((i, a))
+        elif i == 9:
+            rows.append((i, fresh))
+        else:
+            rows.append((i, "too short"))
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["ngram_novelty"].build(spark, str(tmp_path)).toPandas()
+        .set_index("decile")
+    )
+    assert list(got.index) == [0, 5, 9]
+    assert got.loc[0].novelty == 1.0 and got.loc[0].new_grams == 1
+    assert got.loc[5].novelty == 0.0 and got.loc[5].new_grams == 0
+    assert got.loc[9].novelty == 1.0

@@ -915,3 +915,15 @@ def test_text_char_entropy_partial_aggregates(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_ngram_novelty_no_corpus_window(spark):
+    """Novelty must come from the first-occurrence trick (hash aggs on the
+    gram key), never a window over the corpus; grams travel as md5 keys."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["ngram_novelty"].build(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(gh" in plan or "hashpartitioning(b" in plan
