@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "ngram_novelty",           # NEW round 5 (crawl-freshness curve;
                                    # outside the cap)
+        "dup_cluster_sizes",       # NEW round 5 (dedup savings histogram;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -91,6 +91,7 @@ HEADLINE_QUERIES = [
     "cross_source_dup",     # cross-source syndication matrix (round 5)
     "text_char_entropy",    # char-distribution entropy signal (round 5)
     "ngram_novelty",        # per-decile novel 5-gram rate (round 5)
+    "dup_cluster_sizes",    # cluster-size histogram incl. singletons (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1301,3 +1301,57 @@ def cross_source_dup(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("dup_pairs"))
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "dup_cluster_sizes",
+    oracle=_COMPONENT_CTES
+    + """,
+    sizes AS (SELECT root, count(*) AS cs FROM comp GROUP BY root),
+    hist AS (SELECT cs AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+             FROM sizes GROUP BY cs),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    inp AS (SELECT CAST(count(*) AS BIGINT) AS k FROM comp)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             tot.n - inp.k AS n_clusters,
+             tot.n - inp.k AS n_docs
+      FROM tot, inp
+      UNION ALL
+      SELECT CAST(cluster_size AS BIGINT), n_clusters,
+             CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+      FROM hist
+    ) ORDER BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram INCLUDING singletons — the dedup "
+    "funnel's planning number: n_docs minus the keep-one-per-cluster "
+    "survivors is exactly the dedup savings, and a heavy tail (one giant "
+    "cluster) is the mirror-site/boilerplate pathology that band_skew_"
+    "stats watches from the candidate side. Singletons (docs in no "
+    "candidate pair) are computed as total minus clustered via two 1-row "
+    "aggregates crossed in-plan — no driver arithmetic, no second corpus "
+    "pass; the histogram itself is one hash agg over the O(clusters) "
+    "component table.",
+)
+def dup_cluster_sizes(spark, sf_dir):
+    clusters = dedup_components(spark, sf_dir)
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    tot = load(spark, sf_dir, "documents").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    inp = clusters.agg(F.sum("cluster_size").cast("long").alias("k"))
+    singles = tot.crossJoin(inp).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n") - F.col("k")).alias("n_clusters"),
+        (F.col("n") - F.col("k")).alias("n_docs"),
+    )
+    rest = hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+    return singles.unionAll(rest).orderBy("cluster_size")

@@ -1940,3 +1940,40 @@ def test_ngram_novelty_first_occurrence(spark, tmp_path):
     assert got.loc[0].novelty == 1.0 and got.loc[0].new_grams == 1
     assert got.loc[5].novelty == 0.0 and got.loc[5].new_grams == 0
     assert got.loc[9].novelty == 1.0
+
+
+def test_dup_cluster_sizes_accounts_every_doc(spark, tmp_path):
+    """Six identical docs form one 6-cluster; two other identical docs a
+    2-cluster; three unique docs are singletons — the histogram rows must
+    account for every document exactly once and the dedup savings (docs
+    minus clusters) must be 6-1 + 2-1 = 6."""
+    import pandas as pd
+
+    big = ("identical syndicated article body repeated across mirrors with "
+           "enough length to shingle properly and collide in every band")
+    small = ("another duplicated page with completely different wording "
+             "but also long enough to produce stable minhash signatures")
+    rows = [(i, big) for i in range(6)]
+    rows += [(10, small), (11, small)]
+    uniques = [
+        "quarterly earnings rose sharply as cloud revenue beat analyst "
+        "expectations across all regional segments this fiscal period",
+        "the hiking trail winds through alpine meadows before descending "
+        "into a narrow gorge carved by glacial meltwater streams",
+        "preheat the oven then fold the sifted flour gently into the "
+        "whipped egg whites until no dry streaks remain visible",
+    ]
+    rows += [(20 + i, t) for i, t in enumerate(uniques)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = (
+        all_ops()["dup_cluster_sizes"].build(spark, str(tmp_path)).toPandas()
+        .set_index("cluster_size")
+    )
+    assert got.loc[1].n_clusters == 3 and got.loc[1].n_docs == 3
+    assert got.loc[2].n_clusters == 1 and got.loc[2].n_docs == 2
+    assert got.loc[6].n_clusters == 1 and got.loc[6].n_docs == 6
+    assert got.n_docs.sum() == 11
+    savings = got.n_docs.sum() - (3 + 1 + 1)  # keep one per cluster
+    assert savings == 6

@@ -927,3 +927,15 @@ def test_ngram_novelty_no_corpus_window(spark):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(gh" in plan or "hashpartitioning(b" in plan
+
+
+def test_dup_cluster_sizes_histogram_is_distributed(spark):
+    """The histogram aggregates the O(clusters) checkpointed component
+    table — no LocalTableScan of clusters, no Python; singletons come
+    from two 1-row aggregates crossed in-plan."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["dup_cluster_sizes"].build(spark, SF_DIR))
+    assert "LocalTableScan" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
