@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "dup_cluster_sizes",       # NEW round 5 (dedup savings histogram;
                                    # outside the cap)
+        "quality_by_rank",         # NEW round 5 (rank-quality validation;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -92,6 +92,7 @@ HEADLINE_QUERIES = [
     "text_char_entropy",    # char-distribution entropy signal (round 5)
     "ngram_novelty",        # per-decile novel 5-gram rate (round 5)
     "dup_cluster_sizes",    # cluster-size histogram incl. singletons (round 5)
+    "quality_by_rank",      # rank-tier quality validation report (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1882,3 +1882,80 @@ def chunk_overlap(spark, sf_dir):
         .cast("long")
         .alias("n_words"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_QBR_QUALITY_SQL = (
+    "ln(1 + length(d.text)) * (1 - len(regexp_extract_all(d.text, "
+    "'\\b(data|table|row|value|query)\\b')) / CAST(len(regexp_split_to_array("
+    "trim(d.text), '[ \\t\\n\\r\\f\\x0B]+')) AS DOUBLE))"
+)
+
+
+@register(
+    "quality_by_rank",
+    oracle=f"""
+    WITH {_pr_ctes(_PR_ROUNDS)},
+    tier AS (
+      SELECT r.host,
+             CASE WHEN r.r >= 2 * ({_PR_SCALE} // n.n) THEN 0
+                  WHEN r.r >= {_PR_SCALE} // n.n THEN 1
+                  ELSE 2 END AS tier
+      FROM r{_PR_ROUNDS} r CROSS JOIN n
+    ),
+    q AS (
+      SELECT d.source AS host, {_QBR_QUALITY_SQL} AS q
+      FROM documents d WHERE length(trim(d.text)) > 0
+    )
+    SELECT t.tier,
+           CAST(count(DISTINCT t.host) AS BIGINT) AS hosts,
+           CAST(count(q.q) AS BIGINT) AS docs,
+           round(avg(q.q), 4) AS avg_quality
+    FROM tier t LEFT JOIN q ON q.host = t.host
+    GROUP BY t.tier ORDER BY t.tier
+    """,
+    doc="Signal-validation report: mean heuristic quality per host-"
+    "centrality tier — does link mass correlate with content quality on "
+    "this corpus (the assumption behind rank-weighted sampling)? Tiers "
+    "are RANK-VALUE thresholds relative to the uniform share (>=2x "
+    "uniform / >=uniform / below), i.e. row-local arithmetic against the "
+    "broadcast 1-row host count — deliberately NOT a global row_number "
+    "(a corpus-wide SinglePartition window is the shape token_budget_"
+    "select exists to avoid). Reuses host_pagerank_ranks (edge table "
+    "paid once, rounds checkpointed) and the text_quality formula; one "
+    "equi-join host->tier, one hash agg.",
+)
+def quality_by_rank(spark, sf_dir):
+    ranks = host_pagerank_ranks(spark, sf_dir)
+    nh = ranks.agg(F.count("*").cast("long").alias("nh"))
+    tier = (
+        ranks.crossJoin(F.broadcast(nh))
+        .select(
+            "host",
+            F.when(
+                F.col("r") >= 2 * F.expr(f"{_PR_SCALE} div nh"), F.lit(0)
+            )
+            .when(F.col("r") >= F.expr(f"{_PR_SCALE} div nh"), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("int")
+            .alias("tier"),
+        )
+    )
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    stop_hits = F.regexp_count("text", F.lit(r"\b(data|table|row|value|query)\b"))
+    q = d.select(
+        F.col("source").alias("host"),
+        (
+            F.log(1 + F.length("text")) * (1 - stop_hits / words.cast("double"))
+        ).alias("q"),
+    )
+    return (
+        tier.join(q, "host", "left")
+        .groupBy("tier")
+        .agg(
+            F.countDistinct("host").cast("long").alias("hosts"),
+            F.count("q").cast("long").alias("docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("tier")
+    )

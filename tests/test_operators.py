@@ -1977,3 +1977,24 @@ def test_dup_cluster_sizes_accounts_every_doc(spark, tmp_path):
     assert got.n_docs.sum() == 11
     savings = got.n_docs.sum() - (3 + 1 + 1)  # keep one per cluster
     assert savings == 6
+
+
+def test_quality_by_rank_tiers_and_accounting(spark, tmp_path):
+    """A hub host (most in-links) must land in the top tier; every host
+    lands in exactly one tier and every non-empty doc is counted exactly
+    once across tiers."""
+    import pandas as pd
+
+    rows = [(i, f"plain prose content item number {i} here", "hub.example")
+            for i in range(30)]
+    rows += [(30 + i, f"other text body {i} with words", f"leaf{i}.example")
+             for i in range(10)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["quality_by_rank"].build(spark, str(tmp_path)).toPandas()
+    assert got.hosts.sum() == 11
+    assert got.docs.sum() == 40
+    assert 0 in set(got.tier)  # the hub's rank clears 2x uniform share
+    top = got[got.tier == 0].iloc[0]
+    assert top.hosts >= 1 and top.docs >= 30  # hub docs concentrate on top

@@ -939,3 +939,17 @@ def test_dup_cluster_sizes_histogram_is_distributed(spark):
     assert "LocalTableScan" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_by_rank_no_global_window(spark):
+    """Tiers are rank-value thresholds against the broadcast 1-row host
+    count — the plan must contain NO window at all (a corpus-wide
+    row_number ranking is the anti-pattern this shape avoids) and no
+    Python; the only SinglePartition exchange allowed is the bounded
+    1-row scalar aggregate."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["quality_by_rank"].build(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1  # the host-count scalar
