@@ -93,6 +93,7 @@ HEADLINE_QUERIES = [
     "ngram_novelty",        # per-decile novel 5-gram rate (round 5)
     "dup_cluster_sizes",    # cluster-size histogram incl. singletons (round 5)
     "quality_by_rank",      # rank-tier quality validation report (round 5)
+    "near_dup_precision",   # exact-Jaccard audit of LSH candidates (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

@@ -1355,3 +1355,79 @@ def dup_cluster_sizes(spark, sf_dir):
         .alias("n_docs"),
     )
     return singles.unionAll(rest).orderBy("cluster_size")
+
+
+@register(
+    "near_dup_precision",
+    oracle=f"""
+    WITH {_band_cte_sql("bb", "doc_id < 300")},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+      FROM bb a JOIN bb c
+        ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.da, p.db, CAST(count(*) AS BIGINT) AS i
+      FROM pairs p
+      JOIN sh x ON x.doc_id = p.da
+      JOIN sh y ON y.doc_id = p.db AND y.s = x.s
+      GROUP BY p.da, p.db
+    )
+    SELECT p.da, p.db,
+           coalesce(i.i, 0) AS shared,
+           sa.n + sb.n - coalesce(i.i, 0) AS union_sz,
+           round(coalesce(i.i, 0)
+                 / CAST(sa.n + sb.n - coalesce(i.i, 0) AS DOUBLE), 4) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.da
+    JOIN sz sb ON sb.doc_id = p.db
+    LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+    ORDER BY p.da, p.db
+    """,
+    doc="In-job LSH precision audit: EXACT shingle Jaccard for every "
+    "MinHash band-collision candidate pair — the number that tells you "
+    "whether the banding parameters (4x3 here) are passing junk pairs to "
+    "the expensive verify stage (low-Jaccard candidates = wasted verify "
+    "compute; the S-curve in practice). Candidates come from the same "
+    "(band, band_key) equi-join as dedup_minhash_lsh; the exact "
+    "intersection is TWO more equi-joins (pair->shingles of da, then "
+    "match on (db, shingle)) — work bounded by candidate count x "
+    "shingles-per-doc, NEVER all-pairs: the verification join only "
+    "exists where LSH already collided.",
+)
+def near_dup_precision(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sh = shingle_frame(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("da"), "s"), "da"
+        )
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    return (
+        pairs.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .join(inter, ["da", "db"], "left")
+        .select(
+            "da",
+            "db",
+            F.coalesce("i", F.lit(0)).cast("long").alias("shared"),
+            (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0)))
+            .cast("long")
+            .alias("union_sz"),
+            F.round(
+                F.coalesce("i", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("da", "db")
+    )

@@ -1998,3 +1998,31 @@ def test_quality_by_rank_tiers_and_accounting(spark, tmp_path):
     assert 0 in set(got.tier)  # the hub's rank clears 2x uniform share
     top = got[got.tier == 0].iloc[0]
     assert top.hosts >= 1 and top.docs >= 30  # hub docs concentrate on top
+
+
+def test_near_dup_precision_exact_jaccard(spark, tmp_path):
+    """Two identical docs must report Jaccard 1.0 (shared == union); a
+    half-overlapping doc pair reports a mid Jaccard strictly between 0
+    and 1 if LSH surfaces it; no candidate row may carry jaccard 0 with
+    shared > 0 or shared > union."""
+    import pandas as pd
+
+    base = ("the shared article body text which is long enough to produce "
+            "many stable shingles for exact jaccard computation purposes")
+    rows = [
+        (0, base),
+        (1, base),  # identical twin -> jaccard 1.0
+        (2, base + " plus an extra divergent tail of completely new words "
+            "extending the document with fresh content"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = all_ops()["near_dup_precision"].build(spark, str(tmp_path)).toPandas()
+    twin = got[(got.da == 0) & (got.db == 1)]
+    assert len(twin) == 1 and twin.iloc[0].jaccard == 1.0
+    assert (twin.iloc[0].shared == twin.iloc[0].union_sz)
+    assert (got.shared <= got.union_sz).all()
+    partial = got[(got.db == 2) | (got.da == 2)]
+    if len(partial):
+        assert ((partial.jaccard > 0) & (partial.jaccard < 1)).all()

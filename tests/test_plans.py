@@ -953,3 +953,17 @@ def test_quality_by_rank_no_global_window(spark):
     assert "Window" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange SinglePartition") <= 1  # the host-count scalar
+
+
+def test_near_dup_precision_verify_join_is_candidate_bounded(spark):
+    """The exact-Jaccard verification must hang off the LSH candidate
+    pairs (equi-joins only) — no cartesian, no Python; the shingle
+    intersection joins on (db, s)."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["near_dup_precision"].build(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # the shingle-intersection agg shuffles on the candidate pair key
+    assert "hashpartitioning(da" in plan
