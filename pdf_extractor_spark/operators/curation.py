@@ -1959,3 +1959,31 @@ def quality_by_rank(spark, sf_dir):
         )
         .orderBy("tier")
     )
+
+
+_RSV_K = 50  # exact sample size
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|rsv') AS key
+    FROM documents ORDER BY key, doc_id LIMIT {_RSV_K}
+    """,
+    doc=f"EXACT-k uniform sample ({_RSV_K} docs) — the fixed-size "
+    "complement to sample_stratified's rate-based draw: eval sets, "
+    "human-review batches and debugging slices need exactly k rows, not "
+    "k-in-expectation. Keyed by md5(doc_id), so the SAME k documents are "
+    "selected at any partitioning, cluster size, or re-run (the "
+    "distributed-reservoir guarantee without reservoir state). Plan "
+    "shape: TakeOrderedAndProject — per-partition top-k then a k-row "
+    "merge, never a global sort; k rows cross the wire per partition.",
+)
+def sample_reservoir(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|rsv"))).alias(
+            "key"
+        ),
+    )
+    return d.orderBy("key", "doc_id").limit(_RSV_K)

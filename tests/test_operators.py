@@ -2026,3 +2026,25 @@ def test_near_dup_precision_exact_jaccard(spark, tmp_path):
     partial = got[(got.db == 2) | (got.da == 2)]
     if len(partial):
         assert ((partial.jaccard > 0) & (partial.jaccard < 1)).all()
+
+
+def test_sample_reservoir_exact_k_and_partition_invariant(spark, tmp_path):
+    """Exactly k rows, and the SAME k doc_ids regardless of input
+    partitioning — the property that makes the sample reproducible on any
+    cluster size."""
+    import pandas as pd
+
+    pd.DataFrame(
+        [(i, f"text {i}") for i in range(400)], columns=["doc_id", "text"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got1 = set(
+        all_ops()["sample_reservoir"].build(spark, str(tmp_path)).toPandas().doc_id
+    )
+    # rewrite the same table as 13 shuffled partitions
+    spark.read.parquet(f"{tmp_path}/documents.parquet").repartition(13).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got2 = set(
+        all_ops()["sample_reservoir"].build(spark, str(tmp_path)).toPandas().doc_id
+    )
+    assert len(got1) == 50 and got1 == got2

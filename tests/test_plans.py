@@ -967,3 +967,13 @@ def test_near_dup_precision_verify_join_is_candidate_bounded(spark):
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     # the shingle-intersection agg shuffles on the candidate pair key
     assert "hashpartitioning(da" in plan
+
+
+def test_sample_reservoir_is_take_ordered(spark):
+    """Exact-k sampling must plan TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a global sort exchange."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["sample_reservoir"].build(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
