@@ -286,3 +286,82 @@ def stateful_user_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_corpus(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental near-dup dedup: each micro-batch is stripped
+    of documents whose MinHash bands collide with the PERSISTED band
+    state (all prior batches/snapshots — old text never re-read) AND of
+    within-batch near-dups (min-url survives), then survivors are
+    appended to the corpus and THEIR bands appended to the state — the
+    streaming twin of the batch `--dedup-state-in/out` job flags, built
+    on the same minhash_band_table so batch and stream dedup decisions
+    are bit-identical for identical inputs.
+
+    Ordering note: the state append happens after the corpus append in
+    the same foreachBatch invocation; a crash between the two re-runs the
+    batch from the checkpoint, and the url anti-join against the corpus
+    output keeps the re-run idempotent (the T2 merge discipline).
+    """
+    from pdf_extractor_spark.operators.dedup import minhash_band_table
+
+    reader = spark.readStream.schema(PAGES_DDL)
+    pages = reader.parquet(input_dir)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # pin the micro-batch: foreachBatch frames reuse attribute ids, so
+        # the self-referencing joins below (batch -> bands -> drop -> batch)
+        # hit AMBIGUOUS_REFERENCE without a checkpoint's fresh attributes;
+        # the batch is already materialized, so this costs one block write
+        batch = batch_df.localCheckpoint(eager=True).dropDuplicates(["url"])
+        if _sink_has_data_files(sess, out_dir):
+            existing = sess.read.parquet(out_dir).select("url")
+            batch = batch.join(existing, "url", "left_anti")
+        bands = minhash_band_table(
+            batch.select("url", "text"), id_col="url", text_col="text"
+        ).localCheckpoint(eager=True)
+        drop = None
+        if _sink_has_data_files(sess, state_dir):
+            # membership probe only — project away the state's own url so
+            # the join output has a single unambiguous url column
+            state = sess.read.parquet(state_dir).select("band", "band_key")
+            drop = (
+                bands.join(state, ["band", "band_key"])
+                .select("url")
+                .distinct()
+            )
+        a = bands.selectExpr("url AS ua", "band", "band_key")
+        b = bands.selectExpr("url AS ub", "band", "band_key")
+        within = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("ua") < F.col("ub"))
+            .select(F.col("ub").alias("url"))
+            .distinct()
+        )
+        drop = within if drop is None else drop.unionByName(within).distinct()
+        # drop's lineage traces back into batch (via bands), so a plain
+        # "url" join key is self-ambiguous — break it with explicit renames
+        dropped = drop.select(F.col("url").alias("_drop_url"))
+        survivors = batch.join(
+            dropped, batch["url"] == dropped["_drop_url"], "left_anti"
+        )
+        survivors.write.mode("append").parquet(out_dir)
+        surl = survivors.select(F.col("url").alias("_keep_url"))
+        bands.join(
+            surl, bands["url"] == surl["_keep_url"], "left_semi"
+        ).write.mode("append").parquet(state_dir)
+        bands.unpersist()
+
+    return (
+        pages.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -215,3 +215,54 @@ def test_stateful_totals_accumulate_across_restarts(spark, tmp_path):
     assert latest[1].n_events == 3 and latest[1].total_value == 16.0
     assert latest[2].n_events == 1 and latest[2].total_value == 7.0
     assert latest[3].n_events == 1 and latest[3].total_value == 2.0
+
+
+def test_stream_dedup_corpus_two_snapshots(spark, tmp_path):
+    """Streaming incremental dedup: snapshot 1 establishes the band state;
+    snapshot 2's recrawl (same long text, new url) and within-batch twin
+    are dropped, fresh content passes, and the state grows by exactly the
+    survivors' bands (4 rows/doc)."""
+    import datetime
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "corpus")
+    state = str(tmp_path / "bands")
+
+    article = ("a long syndicated article body with plenty of distinct "
+               "shingle material spread across the entire passage so the "
+               "minhash signatures are stable and collide for recrawls")
+    fresh = ("entirely different prose about mountain weather patterns "
+             "and the slow drift of glaciers through alpine valleys over "
+             "geological timescales and their terminal moraines")
+    ts = datetime.datetime(2026, 3, 4, 5, 6, 7)
+
+    def write(rows, path):
+        pdf = pd.DataFrame(
+            [(u, ts, b"<html></html>", t, "en") for u, t in rows],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+        spark.createDataFrame(pdf).write.mode("append").parquet(path)
+
+    write([("https://a/1", article), ("https://b/1", fresh)], inp)
+    q = st.stream_dedup_corpus(spark, inp, out, state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(state).count() == 8  # 4 bands per survivor
+
+    # snapshot 2: recrawl of the article under a new url, an in-batch twin
+    # pair, and genuinely new content
+    novel = ("recipes for fermented vegetables using traditional brine "
+             "ratios and burping schedules for small batch crocks in "
+             "cold climates with limited cellar space available")
+    write(
+        [("https://c/recrawl", article),          # vs-state dup -> dropped
+         ("https://d/twin1", novel),
+         ("https://e/twin2", novel),              # within-batch dup -> dropped
+         ],
+        inp,
+    )
+    q = st.stream_dedup_corpus(spark, inp, out, state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert got == {"https://a/1", "https://b/1", "https://d/twin1"}
+    assert spark.read.parquet(state).count() == 12  # +4 for the one survivor
