@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "sample_reservoir",        # NEW round 5 (exact-k uniform sample;
                                    # outside the cap)
+        "cohort_retention",        # NEW round 5 (first-seen cohort matrix;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

@@ -1268,3 +1268,52 @@ def s4_excel_dim(spark, sf_dir):
             F.round(F.sum("weight"), 2).alias("wsum"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH fe AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.c AS cohort_day,
+             date_diff('day', f.c, CAST(e.ts AS DATE)) AS age
+      FROM events e JOIN fe f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(age AS BIGINT) AS age_days,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM act GROUP BY cohort_day, age ORDER BY cohort_day, age_days
+    """,
+    doc="Cohort retention matrix over the events stream: users bucketed by "
+    "first-seen day, activity counted per day-offset from the cohort — "
+    "the classic product-analytics triangle, and for a data pipeline the "
+    "recrawl-behavior analog (how long a discovered source keeps "
+    "producing). Exact date arithmetic (DATE cast + day diff, identical "
+    "in both engines under the session's pinned UTC). Shape: first-seen "
+    "is ONE hash agg on user_id; the age assignment is an equi-join back "
+    "on user_id (map-side combine on the distinct); the matrix is one "
+    "more hash agg — no windows, no driver state, linear in events.",
+)
+def cohort_retention(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    fe = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c"))
+    act = (
+        e.join(fe, "user_id")
+        .select(
+            "user_id",
+            F.col("c").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("c")).alias("age"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "age")
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .select(
+            "cohort_day",
+            F.col("age").cast("long").alias("age_days"),
+            "active_users",
+        )
+        .orderBy("cohort_day", "age_days")
+    )

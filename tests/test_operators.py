@@ -2048,3 +2048,36 @@ def test_sample_reservoir_exact_k_and_partition_invariant(spark, tmp_path):
         all_ops()["sample_reservoir"].build(spark, str(tmp_path)).toPandas().doc_id
     )
     assert len(got1) == 50 and got1 == got2
+
+
+def test_cohort_retention_hand_matrix(spark, tmp_path):
+    """Two users, hand-dated events: u1 first seen day 0 and active on
+    days 0/1/3 (two events on day 1 collapse to one active mark); u2
+    first seen day 1, active day 1 only. The matrix must be exactly
+    those cells."""
+    import datetime
+    import pandas as pd
+
+    d = datetime.datetime
+    rows = [
+        (0, d(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (1, d(2024, 1, 2, 9), 1, "view", 1.0, "{}"),
+        (2, d(2024, 1, 2, 15), 1, "click", 1.0, "{}"),  # same day as above
+        (3, d(2024, 1, 4, 9), 1, "view", 1.0, "{}"),
+        (4, d(2024, 1, 2, 10), 2, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    got = all_ops()["cohort_retention"].build(spark, str(tmp_path)).toPandas()
+    cells = {
+        (str(r.cohort_day), r.age_days): r.active_users for _, r in got.iterrows()
+    }
+    assert cells == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }

@@ -977,3 +977,15 @@ def test_sample_reservoir_is_take_ordered(spark):
     plan = _plan(all_ops()["sample_reservoir"].build(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_cohort_retention_is_two_hash_aggs(spark):
+    """Cohort assignment is one hash agg + an equi-join back; the matrix a
+    second hash agg — no windows, no cartesian, no Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["cohort_retention"].build(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(user_id" in plan
