@@ -1317,3 +1317,63 @@ def cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort_day", "age_days")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NULL THEN 0
+                  WHEN t_click IS NULL OR t_click < t_view THEN 1
+                  WHEN t_buy IS NULL OR t_buy < t_click THEN 2
+                  ELSE 3 END AS depth
+      FROM f
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS users
+    FROM s GROUP BY depth ORDER BY depth
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase): per user, "
+    "the deepest step reached IN ORDER — a later step only counts if its "
+    "FIRST occurrence follows the first occurrence of the previous step "
+    "(the strict-sequence funnel; unordered set-membership funnels "
+    "overcount). Depth 0 = never viewed, 3 = full conversion. Shape: the "
+    "whole funnel is ONE conditional-min hash agg per user (map-side "
+    "partial) + row-local CASE ladder + one tiny depth agg — no windows, "
+    "no self-joins, no event ordering shuffle; timestamps compare "
+    "exactly so every engine agrees on the depth.",
+)
+def funnel_conversion(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    depth = (
+        F.when(F.col("t_view").isNull(), F.lit(0))
+        .when(
+            F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")),
+            F.lit(1),
+        )
+        .when(
+            F.col("t_buy").isNull() | (F.col("t_buy") < F.col("t_click")),
+            F.lit(2),
+        )
+        .otherwise(F.lit(3))
+    )
+    return (
+        f.select(depth.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").cast("long").alias("users"))
+        .select(F.col("depth").cast("long").alias("depth"), "users")
+        .orderBy("depth")
+    )

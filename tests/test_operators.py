@@ -2081,3 +2081,42 @@ def test_cohort_retention_hand_matrix(spark, tmp_path):
         ("2024-01-01", 3): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_funnel_conversion_strict_order(spark, tmp_path):
+    """Strict-sequence semantics on hand-dated users: u1 converts fully in
+    order (depth 3); u2 clicked BEFORE first viewing (depth 1 — the
+    ordering rule unordered funnels get wrong); u3 viewed+clicked but
+    purchased before clicking (depth 2); u4 never viewed (depth 0)."""
+    import datetime
+    import pandas as pd
+
+    d = datetime.datetime
+    rows = [
+        # u1: view < click < purchase
+        (0, d(2024, 1, 1, 9), 1, "view", 1.0, "{}"),
+        (1, d(2024, 1, 1, 10), 1, "click", 1.0, "{}"),
+        (2, d(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        # u2: click at 8, first view at 9 -> stuck at depth 1
+        (3, d(2024, 1, 1, 8), 2, "click", 1.0, "{}"),
+        (4, d(2024, 1, 1, 9), 2, "view", 1.0, "{}"),
+        # u3: view 9 < click 10, but purchase at 9:30 precedes click
+        (5, d(2024, 1, 1, 9), 3, "view", 1.0, "{}"),
+        (6, d(2024, 1, 1, 10), 3, "click", 1.0, "{}"),
+        (7, d(2024, 1, 1, 9, 30), 3, "purchase", 1.0, "{}"),
+        # u4: errors only
+        (8, d(2024, 1, 1, 9), 4, "error", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    got = (
+        all_ops()["funnel_conversion"].build(spark, str(tmp_path)).toPandas()
+        .set_index("depth")
+    )
+    assert got.loc[0].users == 1
+    assert got.loc[1].users == 1
+    assert got.loc[2].users == 1
+    assert got.loc[3].users == 1

@@ -989,3 +989,15 @@ def test_cohort_retention_is_two_hash_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_funnel_conversion_single_event_pass(spark):
+    """The whole funnel must cost ONE pass over events (conditional-min
+    hash agg with map-side partial) — no window, no self-join of the
+    events table, no Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["funnel_conversion"].build(spark, SF_DIR))
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") == 1  # events scanned exactly once
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
