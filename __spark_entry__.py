@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "funnel_conversion",       # NEW round 5 (strict-order funnel;
                                    # outside the cap)
+        "host_components",         # NEW round 5 (frontier islands; outside
+                                   # the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

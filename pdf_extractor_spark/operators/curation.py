@@ -1987,3 +1987,59 @@ def sample_reservoir(spark, sf_dir):
         ),
     )
     return d.orderBy("key", "doc_id").limit(_RSV_K)
+
+
+@register(
+    "host_components",
+    oracle=f"""
+    WITH {_EDGE_CTES_SQL},
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT host, host FROM hosts
+        UNION
+        SELECT s.b, r.root FROM r JOIN sym s ON s.a = r.node
+      ) SELECT * FROM r
+    ),
+    comp AS (SELECT node, min(root) AS root FROM reach GROUP BY node)
+    SELECT root AS component, CAST(count(*) AS BIGINT) AS n_hosts
+    FROM comp GROUP BY root ORDER BY component
+    """,
+    doc="Weakly-connected components of the host link graph — the crawl-"
+    "frontier partitioning: each component is an island the crawler can "
+    "schedule independently (and a single giant component is the "
+    "expected web-graph shape; many singletons = a fragmented or "
+    "under-linked crawl). Reuses min_label_components (adaptive pointer "
+    "jumping, per-round localCheckpoint, O(log d) rounds) over the "
+    "SYMMETRIZED shared edge table (_host_edges) — the same iteration "
+    "that clusters near-dup docs, demonstrating the graph kernel is "
+    "generic over node type (string hosts here, long doc ids there). "
+    "DuckDB oracle = recursive-CTE transitive closure, min-root per "
+    "node.",
+)
+def host_components(spark, sf_dir):
+    from pdf_extractor_spark.operators.dedup import min_label_components
+
+    d = load(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    e = _host_edges(d, hosts, max_id)
+    sym = (
+        e.selectExpr("src AS a", "dst AS b")
+        .unionAll(e.selectExpr("dst AS a", "src AS b"))
+        .cache()
+    )
+    pinned, _rounds = min_label_components(sym)
+    result = (
+        pinned.select("node", "root")
+        .groupBy("root")
+        .agg(F.count("*").cast("long").alias("n_hosts"))
+        .select(F.col("root").alias("component"), "n_hosts")
+    )
+    out = result.localCheckpoint(eager=True)
+    sym.unpersist()
+    pinned.unpersist()
+    return out.orderBy("component")

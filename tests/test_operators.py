@@ -2120,3 +2120,29 @@ def test_funnel_conversion_strict_order(spark, tmp_path):
     assert got.loc[1].users == 1
     assert got.loc[2].users == 1
     assert got.loc[3].users == 1
+
+
+def test_host_components_islands(spark, tmp_path):
+    """The md5 draw only targets EXISTING doc_ids, so two doc-id islands
+    with disjoint hosts cannot cross-link... except draws land anywhere
+    in [0, max_id]. Instead pin the invariant properties: every host is
+    in exactly one component, component labels are the lexical min of
+    their members, and a single-host corpus is one singleton component."""
+    import pandas as pd
+
+    pd.DataFrame(
+        [(i, f"text {i}", "only.example") for i in range(10)],
+        columns=["doc_id", "text", "source"],
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = all_ops()["host_components"].build(spark, str(tmp_path)).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0].component == "only.example" and got.iloc[0].n_hosts == 1
+
+    pd.DataFrame(
+        [(i, f"text {i}", f"h{i % 7}.example") for i in range(40)],
+        columns=["doc_id", "text", "source"],
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    got = all_ops()["host_components"].build(spark, str(tmp_path)).toPandas()
+    assert got.n_hosts.sum() == 7  # every host in exactly one component
+    # each component label is a member host (lexical min) of that component
+    assert set(got.component).issubset({f"h{i}.example" for i in range(7)})

@@ -1001,3 +1001,15 @@ def test_funnel_conversion_single_event_pass(spark):
     assert "Window" not in plan
     assert plan.count("FileScan parquet") == 1  # events scanned exactly once
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_components_result_is_distributed(spark):
+    """Like dedup_components: the final component table must scan pinned
+    executor blocks, never a driver LocalTableScan, with no Python."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    df = all_ops()["host_components"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
