@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    # outside the cap)
         "host_components",         # NEW round 5 (frontier islands; outside
                                    # the cap)
+        "event_value_quantiles",   # NEW round 5 (grouped exact p50/p95;
+                                   # outside the cap)
         "s4_excel_dim",            # round-4 cohort, still in-window
         "c4_filter_suite",
         "url_canonical",

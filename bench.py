@@ -98,6 +98,7 @@ HEADLINE_QUERIES = [
     "cohort_retention",     # first-seen cohort activity matrix (round 5)
     "funnel_conversion",    # strict-order funnel in one event pass (round 5)
     "host_components",      # host-graph weakly-connected islands (round 5)
+    "event_value_quantiles", # grouped exact p50/p95 via type spines (round 5)
     "token_budget_select",  # distributed prefix-sum budget fill (round 5)
     "pack_sequences",       # md5-shuffle concat-and-chunk packing (round 5)
     "pack_windows",         # packed-sequence materialization (round 5)

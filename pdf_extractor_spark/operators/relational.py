@@ -1377,3 +1377,79 @@ def funnel_conversion(spark, sf_dir):
         .select(F.col("depth").cast("long").alias("depth"), "users")
         .orderBy("depth")
     )
+
+
+_EVQ_PCTS = [50, 95]  # integer percents; exact-rank arithmetic
+
+
+@register(
+    "event_value_quantiles",
+    oracle=f"""
+    WITH spine AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM spine
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM spine
+      GROUP BY event_type
+    ),
+    grid AS (SELECT unnest([{", ".join(str(p) for p in _EVQ_PCTS)}]) AS pct)
+    SELECT c.event_type, g.pct,
+           min(c.value) AS value_at,
+           CAST((g.pct * t.n + 99) // 100 AS BIGINT) AS target_rank,
+           t.n AS n_events
+    FROM grid g
+    JOIN tot t ON TRUE
+    JOIN cum c ON c.event_type = t.event_type
+             AND c.cum >= (g.pct * t.n + 99) // 100
+    GROUP BY c.event_type, g.pct, t.n
+    ORDER BY c.event_type, g.pct
+    """,
+    doc="EXACT per-event-type value quantiles (p50/p95) — the grouped form "
+    "of length_quantiles' spine trick: the corpus collapses to the "
+    "(type, value) distinct spine in ONE hash agg (bounded by distinct "
+    "value count per type, corpus-size-independent for priced/bucketed "
+    "values), the cumulative window is PARTITIONED by type so no global "
+    "ordering exists anywhere, and the quantile rule is integer rank "
+    "arithmetic (target = ceil(p·n/100), answer = min value whose "
+    "cumulative count reaches it) — bit-identical across engines, which "
+    "approx_percentile can never be. The per-type latency/price p95 is "
+    "the SLO number a pipeline alerts on.",
+)
+def event_value_quantiles(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    spine = e.groupBy("event_type", "value").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cum = spine.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("event_type")
+            .orderBy("value")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = spine.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    grid = spark.createDataFrame([(p,) for p in _EVQ_PCTS], "pct int")
+    target = F.expr("(pct * n + 99) div 100")
+    return (
+        cum.join(tot, "event_type")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("cum") >= target)
+        .groupBy("event_type", "pct", "n")
+        .agg(F.min("value").alias("value_at"))
+        .select(
+            "event_type",
+            "pct",
+            "value_at",
+            target.cast("long").alias("target_rank"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("event_type", "pct")
+    )

@@ -2146,3 +2146,29 @@ def test_host_components_islands(spark, tmp_path):
     assert got.n_hosts.sum() == 7  # every host in exactly one component
     # each component label is a member host (lexical min) of that component
     assert set(got.component).issubset({f"h{i}.example" for i in range(7)})
+
+
+def test_event_value_quantiles_grouped_exact(spark, tmp_path):
+    """Two types with hand-set values: type A has values 1..10 (p50 -> 5,
+    p95 -> 10); type B has a single repeated value (both quantiles equal
+    it); ranks follow ceil(p*n/100) exactly."""
+    import datetime
+    import pandas as pd
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, 1, "a", float(i + 1), "{}") for i in range(10)]
+    rows += [(100 + i, ts, 2, "b", 7.5, "{}") for i in range(4)]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    got = (
+        all_ops()["event_value_quantiles"].build(spark, str(tmp_path)).toPandas()
+        .set_index(["event_type", "pct"])
+    )
+    assert got.loc[("a", 50)].value_at == 5.0
+    assert got.loc[("a", 50)].target_rank == 5
+    assert got.loc[("a", 95)].value_at == 10.0  # ceil(9.5) = 10th of 10
+    assert got.loc[("b", 50)].value_at == 7.5
+    assert got.loc[("b", 95)].value_at == 7.5

@@ -1013,3 +1013,15 @@ def test_host_components_result_is_distributed(spark):
     assert "LocalTableScan" not in plan
     assert "ExistingRDD" in plan or "Scan" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_event_value_quantiles_window_partitioned_by_type(spark):
+    """The cumulative window must be PARTITIONED by event_type over the
+    aggregated (type, value) spine — no SinglePartition window, no
+    Python; events collapse in one hash agg first."""
+    from pdf_extractor_spark.operators.registry import all_ops
+
+    plan = _plan(all_ops()["event_value_quantiles"].build(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
